@@ -1,0 +1,597 @@
+"""The likelihood engine: device-resident CLV state + jitted compute waves.
+
+Architecture (TPU-first redesign of the reference's kernel layer,
+examl/newviewGenericSpecial.c / evaluateGenericSpecial.c /
+makenewzGenericSpecial.c):
+
+* One unified CLV buffer per partition, shape [2*mxtips, C, W, S]:
+  row = node number; rows 1..mxtips hold materialized tip CLVs
+  (tipVector rows looked up by tip code, broadcast over rate categories),
+  rows mxtips+1..2*mxtips-2 hold inner-node CLVs, row 2*mxtips-1 is a
+  scratch row that traversal padding writes into. A per-partition
+  [2*mxtips] int32 vector holds cumulative weighted scaling counts
+  (the reference's globalScaler).
+
+* A traversal wave is one jitted lax.scan over the packed descriptor:
+  each step builds the two P matrices from (qz, rz) and the partition's
+  eigensystem, contracts the two child CLVs, applies underflow scaling,
+  and scatters the result row. The scan gives one device dispatch per
+  wave regardless of traversal length.
+
+* evaluate / sumtable / NR-derivative kernels are separate jitted
+  functions; site-dimension reductions end in jnp.sum which, under a
+  sharded mesh, XLA lowers to psum over the ICI (replacing the
+  reference's MPI_Allreduce, evaluateGenericSpecial.c:966-973).
+
+Sites are padded to a lane multiple with weight-0 columns (the
+reference's own Xeon-Phi padding trick, examl/axml.h:42-53).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .datatypes import DataType, ProtModel, info_for
+from .io.bytefile import Alignment
+from .kernels import reference_jnp as K
+from .models.eigen import make_eigen
+from .models.gamma import make_gamma_cats
+from .models.protein import prot_rates_freqs, wag_rates
+from .traversal import (PackedTraversal, full_traversal, partial_traversal,
+                        pack_traversal, TraversalEntry)
+from .tree import Node, Tree
+
+
+@dataclasses.dataclass
+class PartitionModel:
+    """Host-side model parameters for one partition."""
+    name: str
+    data_type: DataType
+    states: int
+    prot_model: ProtModel
+    prot_freqs: bool
+    optimize_base_frequencies: bool
+    empirical_frequencies: np.ndarray
+    # current parameter values
+    subst_rates: np.ndarray         # upper-triangle exchangeabilities
+    frequencies: np.ndarray
+    freq_exponents: np.ndarray
+    alpha: float
+    auto_prot_model: ProtModel = ProtModel.WAG
+    partition_weight: float = 0.0   # Σ wgt, for fracchange averaging
+
+    def n_rates(self) -> int:
+        return self.states * (self.states - 1) // 2
+
+
+def default_partition_model(meta) -> PartitionModel:
+    """Initial model parameters (reference models.c initModel :4180,
+    initRateMatrix :3866)."""
+    states = meta.states
+    nr = states * (states - 1) // 2
+    if meta.data_type == DataType.AA and meta.prot_model != ProtModel.GTR:
+        if meta.prot_model == ProtModel.AUTO:
+            rates, mfreqs = prot_rates_freqs(ProtModel.WAG)
+        else:
+            rates, mfreqs = prot_rates_freqs(meta.prot_model)
+        if meta.prot_model == ProtModel.AUTO:
+            freqs = (mfreqs if meta.prot_freqs
+                     else meta.frequencies.copy())
+        elif meta.optimize_base_frequencies:
+            freqs = np.full(states, 1.0 / states)
+        elif meta.prot_freqs:
+            freqs = meta.frequencies.copy()
+        else:
+            freqs = mfreqs
+    else:
+        if meta.data_type == DataType.AA:   # AA GTR mode
+            rates = wag_rates()
+        else:
+            rates = np.ones(nr)
+        freqs = (np.full(states, 1.0 / states)
+                 if meta.optimize_base_frequencies else meta.frequencies.copy())
+    return PartitionModel(
+        name=meta.name, data_type=meta.data_type, states=states,
+        prot_model=meta.prot_model, prot_freqs=meta.prot_freqs,
+        optimize_base_frequencies=meta.optimize_base_frequencies,
+        empirical_frequencies=meta.frequencies.copy(),
+        subst_rates=rates, frequencies=freqs,
+        freq_exponents=np.zeros(states), alpha=1.0)
+
+
+class LikelihoodEngine:
+    """Owns device CLV state for one tree + alignment and exposes the four
+    generic operations (newview / evaluate / makenewz / per-site eval)."""
+
+    def __init__(self, alignment: Alignment, tree: Tree, *,
+                 dtype=None, rate_het: str = 'GAMMA', pad: int = 8,
+                 num_branches: int = 1, use_median: bool = False,
+                 sharding=None):
+        assert rate_het == 'GAMMA', 'CAT lands in a later milestone'
+        self.aln = alignment
+        self.tree = tree
+        self.rate_het = rate_het
+        self.use_median = use_median
+        self.num_branches = num_branches
+        self.pad = pad
+        self.sharding = sharding
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = jnp.dtype(dtype)
+        scale_exp = (C.SCALE_EXP_F64 if self.dtype == jnp.float64
+                     else C.SCALE_EXP_F32)
+        self.min_scale = 2.0 ** -scale_exp
+        self.inv_min_scale = 2.0 ** scale_exp
+        self.log_min_scale = math.log(self.min_scale)
+
+        self.mxtips = tree.mxtips
+        self.rows = 2 * self.mxtips          # CLV rows incl. scratch row
+        self.n_cats = 4
+
+        self.partitions: List[PartitionModel] = [
+            default_partition_model(m) for m in alignment.partitions]
+        self.n_models = len(self.partitions)
+        if num_branches > 1:
+            assert num_branches == self.n_models
+
+        self._jit_cache = {}
+        self._build_buffers()
+        self.update_eigen(range(self.n_models))
+
+        # host-visible engine status, mirroring the reference tree struct
+        self.likelihood = C.UNLIKELY
+        self.per_partition_lh = np.zeros(self.n_models)
+        self.partition_smoothed = np.zeros(num_branches, dtype=bool)
+        self.partition_converged = np.zeros(num_branches, dtype=bool)
+        self.execute_model = np.ones(self.n_models, dtype=bool)
+
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # device state construction
+
+    def _build_buffers(self):
+        self.widths = []        # padded widths
+        self.real_widths = []
+        self.tip_codes = []     # [mxtips+1, W] int32 per partition
+        self.wgts = []          # [W] dtype
+        self.wgts_i = []        # [W] int32
+        for m, meta in enumerate(self.aln.partitions):
+            w = meta.width
+            W = max(self.pad, ((w + self.pad - 1) // self.pad) * self.pad)
+            inf = info_for(meta.data_type)
+            codes = np.full((self.mxtips + 1, W), inf.undetermined,
+                            dtype=np.int32)
+            codes[1:, :w] = self.aln.codes[:, meta.lower:meta.upper]
+            wgt = np.zeros(W, dtype=np.int64)
+            wgt[:w] = self.aln.weights[meta.lower:meta.upper]
+            self.widths.append(W)
+            self.real_widths.append(w)
+            self.tip_codes.append(jnp.asarray(codes))
+            self.wgts.append(jnp.asarray(wgt, dtype=self.dtype))
+            self.wgts_i.append(jnp.asarray(wgt, dtype=jnp.int32))
+            self.partitions[m].partition_weight = float(wgt.sum())
+
+        # device model tensors (filled by update_eigen)
+        self.d_EIGN = [None] * self.n_models
+        self.d_EI = [None] * self.n_models
+        self.d_EV = [None] * self.n_models
+        self.d_tipvec = [None] * self.n_models
+        self.d_gamma = [None] * self.n_models
+        self.d_rate_weights = [
+            jnp.full((self.n_cats,), 0.25, dtype=self.dtype)
+            for _ in range(self.n_models)]
+
+        # CLV buffers and scalers
+        self.clv = []
+        self.scaler = []
+        for m in range(self.n_models):
+            S = self.partitions[m].states
+            self.clv.append(jnp.zeros(
+                (self.rows, self.n_cats, self.widths[m], S), dtype=self.dtype))
+            self.scaler.append(jnp.zeros((self.rows,), dtype=jnp.int32))
+
+    def update_eigen(self, models):
+        """Recompute eigensystem + tip CLV rows after a parameter change
+        (the analogue of initReversibleGTR, models.c:3462)."""
+        for m in models:
+            pm = self.partitions[m]
+            inf = info_for(pm.data_type)
+            es = make_eigen(pm.subst_rates, pm.frequencies, inf.bit_vectors)
+            pm_gamma = make_gamma_cats(pm.alpha, self.n_cats, self.use_median)
+            self.d_EIGN[m] = jnp.asarray(es.EIGN, dtype=self.dtype)
+            self.d_EI[m] = jnp.asarray(es.EI, dtype=self.dtype)
+            self.d_EV[m] = jnp.asarray(es.EV, dtype=self.dtype)
+            self.d_tipvec[m] = jnp.asarray(es.tip_vector, dtype=self.dtype)
+            self.d_gamma[m] = jnp.asarray(pm_gamma, dtype=self.dtype)
+            self._refresh_tip_rows(m)
+
+    def update_gamma(self, models):
+        """Alpha changed only: refresh discrete rates."""
+        for m in models:
+            pm = self.partitions[m]
+            self.d_gamma[m] = jnp.asarray(
+                make_gamma_cats(pm.alpha, self.n_cats, self.use_median),
+                dtype=self.dtype)
+
+    def _refresh_tip_rows(self, m):
+        """Materialize tip CLVs = tipVector[code] broadcast over categories."""
+        fn = self._get_jit('tip_rows', m)
+        self.clv[m] = fn(self.clv[m], self.d_tipvec[m], self.tip_codes[m])
+
+    # ------------------------------------------------------------------
+    # jitted kernels (built per partition / per signature, cached)
+
+    def _get_jit(self, kind, key):
+        ck = (kind, key)
+        if ck in self._jit_cache:
+            return self._jit_cache[ck]
+
+        if kind == 'tip_rows':
+            @partial(jax.jit, donate_argnums=(0,))
+            def fn(clv, tipvec, codes):
+                # rows 1..mxtips; row 0 stays zero
+                tips = tipvec[codes]                    # [T+1, W, S]
+                tips = jnp.broadcast_to(
+                    tips[:, None, :, :],
+                    (codes.shape[0], self.n_cats) + tips.shape[1:])
+                return clv.at[:self.mxtips + 1].set(tips.astype(clv.dtype))
+            self._jit_cache[ck] = fn
+            return fn
+
+        if kind == 'traversal':
+            fn = self._build_traversal_fn()
+            self._jit_cache[ck] = fn
+            return fn
+
+        if kind == 'evaluate':
+            fn = self._build_evaluate_fn()
+            self._jit_cache[ck] = fn
+            return fn
+
+        if kind == 'sumtable':
+            fn = self._build_sumtable_fn()
+            self._jit_cache[ck] = fn
+            return fn
+
+        if kind == 'nr_core':
+            fn = self._build_nr_core_fn()
+            self._jit_cache[ck] = fn
+            return fn
+
+        raise KeyError(kind)
+
+    def _branch_col(self, m):
+        """Which column of the packed qz/rz arrays partition m uses."""
+        return m if self.num_branches > 1 else 0
+
+    def _build_traversal_fn(self):
+        n_models = self.n_models
+        mxtips = self.mxtips
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def run(clv_list, scaler_list, eign, ei, ev, gamma, wgts,
+                p_idx, q_idx, r_idx, tip_tip, qz, rz, exec_mask):
+            def step(carry, op):
+                clvs, scalers = carry
+                pi, qi, ri, tt, opqz, oprz = op
+                new_clvs = []
+                new_scalers = []
+                for m in range(n_models):
+                    col = self._branch_col(m)
+                    lzq = K.log_z(opqz[col])
+                    lzr = K.log_z(oprz[col])
+                    pl = K.make_p(lzq, gamma[m], eign[m], ei[m])
+                    pr = K.make_p(lzr, gamma[m], eign[m], ei[m])
+                    x1 = clvs[m][qi]
+                    x2 = clvs[m][ri]
+                    x3, inc = K.newview_kernel(
+                        x1, x2, pl, pr, ev[m], wgts[m], tt,
+                        self.min_scale, self.inv_min_scale)
+                    sc = scalers[m][qi] + scalers[m][ri] + inc.astype(jnp.int32)
+                    # execute mask: masked partitions keep their old CLV
+                    x3 = jnp.where(exec_mask[m], x3, clvs[m][pi])
+                    sc = jnp.where(exec_mask[m], sc, scalers[m][pi])
+                    new_clvs.append(clvs[m].at[pi].set(x3))
+                    new_scalers.append(scalers[m].at[pi].set(sc))
+                return (tuple(new_clvs), tuple(new_scalers)), None
+
+            ops = (p_idx, q_idx, r_idx, tip_tip, qz, rz)
+            (clvs, scalers), _ = jax.lax.scan(
+                step, (tuple(clv_list), tuple(scaler_list)), ops)
+            return clvs, scalers
+
+        return run
+
+    def _build_evaluate_fn(self):
+        n_models = self.n_models
+
+        @jax.jit
+        def run(clv_list, scaler_list, eign, gamma, rate_weights, wgts,
+                p_row, q_row, qz):
+            out = []
+            for m in range(n_models):
+                col = self._branch_col(m)
+                lz = jnp.log(jnp.maximum(qz[col], C.ZMIN))
+                diag = jnp.exp(eign[m][None, :] * gamma[m][:, None] * lz)
+                scaler_sum = (scaler_list[m][p_row] + scaler_list[m][q_row]
+                              ).astype(self.dtype)
+                lh = K.evaluate_kernel(
+                    clv_list[m][q_row], clv_list[m][p_row], diag,
+                    rate_weights[m], wgts[m], scaler_sum,
+                    self.log_min_scale)
+                out.append(lh)
+            return jnp.stack(out)
+
+        return run
+
+    def _build_sumtable_fn(self):
+        n_models = self.n_models
+
+        @jax.jit
+        def run(clv_list, p_row, q_row):
+            return tuple(K.sumtable_kernel(clv_list[m][p_row],
+                                           clv_list[m][q_row])
+                         for m in range(n_models))
+
+        return run
+
+    def _build_nr_core_fn(self):
+        n_models = self.n_models
+
+        @jax.jit
+        def run(sumtables, eign, gamma, wgts, lzs):
+            d1s, d2s = [], []
+            for m in range(n_models):
+                col = self._branch_col(m)
+                d1, d2 = K.nr_core_kernel(sumtables[m], lzs[col], gamma[m],
+                                          eign[m], wgts[m])
+                d1s.append(d1)
+                d2s.append(d2)
+            return jnp.stack(d1s), jnp.stack(d2s)
+
+        return run
+
+    # ------------------------------------------------------------------
+    # generic operations (host API mirroring the reference entry points)
+
+    def _run_traversal(self, entries: List[TraversalEntry],
+                       exec_mask: Optional[np.ndarray] = None):
+        if not entries:
+            return
+        packed = pack_traversal(self.tree, entries)
+        if exec_mask is None:
+            exec_mask = np.ones(self.n_models, dtype=bool)
+        fn = self._get_jit('traversal', packed.p_idx.shape[0])
+        clvs, scalers = fn(
+            tuple(self.clv), tuple(self.scaler),
+            tuple(self.d_EIGN), tuple(self.d_EI), tuple(self.d_EV),
+            tuple(self.d_gamma), tuple(self.wgts),
+            jnp.asarray(packed.p_idx), jnp.asarray(packed.q_idx),
+            jnp.asarray(packed.r_idx), jnp.asarray(packed.tip_tip),
+            jnp.asarray(packed.qz, dtype=self.dtype),
+            jnp.asarray(packed.rz, dtype=self.dtype),
+            jnp.asarray(exec_mask))
+        self.clv = list(clvs)
+        self.scaler = list(scalers)
+
+    def newview(self, p: Node, masked: bool = False):
+        """Recompute the CLV at p (reference newviewGeneric :1523)."""
+        if self.tree.is_tip(p.number):
+            return
+        entries = partial_traversal(self.tree, p)
+        exec_mask = None
+        if masked:
+            exec_mask = ~self._converged_mask()
+        self._run_traversal(entries, exec_mask)
+
+    def _converged_mask(self):
+        if self.num_branches > 1:
+            return self.partition_converged.copy()
+        return np.full(self.n_models, self.partition_converged[0])
+
+    def evaluate(self, p: Node, full_traversal_: bool = False) -> float:
+        """Log likelihood at branch (p, p.back)
+        (reference evaluateGeneric :897)."""
+        tr = self.tree
+        q = p.back
+        qz = np.array(q.z, dtype=np.float64)
+
+        entries: List[TraversalEntry] = []
+        if full_traversal_:
+            assert tr.is_tip(p.number)
+            entries = full_traversal(tr, q)
+        else:
+            if not p.x:
+                entries += partial_traversal(tr, p)
+            if not q.x:
+                entries += partial_traversal(tr, q)
+        self._run_traversal(entries)
+
+        fn = self._get_jit('evaluate', 0)
+        lhs = fn(tuple(self.clv), tuple(self.scaler), tuple(self.d_EIGN),
+                 tuple(self.d_gamma), tuple(self.d_rate_weights),
+                 tuple(self.wgts), p.number, q.number,
+                 jnp.asarray(qz, dtype=self.dtype))
+        lhs = np.asarray(lhs, dtype=np.float64)
+        # per-partition execute mask: keep stored values for masked entries
+        lhs = np.where(self.execute_model, lhs, self.per_partition_lh)
+        self.per_partition_lh = lhs
+        self.likelihood = float(lhs.sum())
+        return self.likelihood
+
+    # ------------------------------------------------------------------
+    # Newton-Raphson branch-length optimization
+
+    def makenewz(self, p: Node, q: Node, z0, maxiter: int,
+                 mask: bool = False):
+        """Optimize the branch (p, q) starting from z0
+        (reference makenewzGeneric :1355 + topLevelMakenewz :1133)."""
+        tr = self.tree
+        B = self.num_branches
+        z0 = np.array(z0, dtype=np.float64)
+
+        if mask:
+            self.execute_model = ~self._converged_mask()
+        entries: List[TraversalEntry] = []
+        if not p.x:
+            entries += partial_traversal(tr, p)
+        if not q.x:
+            entries += partial_traversal(tr, q)
+        self._run_traversal(entries, self.execute_model if mask else None)
+
+        sum_fn = self._get_jit('sumtable', 0)
+        sumtables = sum_fn(tuple(self.clv), p.number, q.number)
+        nr_fn = self._get_jit('nr_core', 0)
+
+        # --- the NR loop state machine (topLevelMakenewz :1133-1349) ---
+        z = z0.copy()
+        zprev = z.copy()
+        zstep = np.zeros(B)
+        maxiters = np.full(B, maxiter)
+        outer_converged = np.zeros(B, dtype=bool)
+        curvat_ok = np.ones(B, dtype=bool)
+        core_lz = np.zeros(B)
+
+        while True:
+            fresh = ~outer_converged & curvat_ok
+            curvat_ok[fresh] = False
+            zprev[fresh] = z[fresh]
+            zstep[fresh] = (1.0 - C.ZMAX) * z[fresh] + C.ZMIN
+
+            active = ~outer_converged & ~curvat_ok
+            zc = np.clip(z[active], C.ZMIN, C.ZMAX)
+            z[active] = zc
+            core_lz[active] = np.log(zc)
+
+            d1, d2 = nr_fn(sumtables, tuple(self.d_EIGN),
+                           tuple(self.d_gamma), tuple(self.wgts),
+                           jnp.asarray(core_lz, dtype=self.dtype))
+            d1 = np.asarray(d1, dtype=np.float64)
+            d2 = np.asarray(d2, dtype=np.float64)
+            if B == 1:
+                ex = self.execute_model if mask else np.ones(self.n_models,
+                                                             dtype=bool)
+                dlnLdlz = np.array([d1[ex].sum()])
+                d2lnLdlz2 = np.array([d2[ex].sum()])
+            else:
+                dlnLdlz, d2lnLdlz2 = d1, d2
+
+            for i in range(B):
+                if outer_converged[i] or curvat_ok[i]:
+                    continue
+                if d2lnLdlz2[i] >= 0.0 and z[i] < C.ZMAX:
+                    zprev[i] = z[i] = 0.37 * z[i] + 0.63  # bad curvature
+                else:
+                    curvat_ok[i] = True
+
+            for i in range(B):
+                if not (curvat_ok[i] and not outer_converged[i]):
+                    continue
+                if d2lnLdlz2[i] < 0.0:
+                    tantmp = -dlnLdlz[i] / d2lnLdlz2[i]
+                    if tantmp < 100:
+                        z[i] *= math.exp(tantmp)
+                        if z[i] < C.ZMIN:
+                            z[i] = C.ZMIN
+                        if z[i] > 0.25 * zprev[i] + 0.75:
+                            z[i] = 0.25 * zprev[i] + 0.75
+                    else:
+                        z[i] = 0.25 * zprev[i] + 0.75
+                if z[i] > C.ZMAX:
+                    z[i] = C.ZMAX
+                maxiters[i] -= 1
+                if abs(z[i] - zprev[i]) > zstep[i]:
+                    if maxiters[i] < -20:
+                        z[i] = z0[i]
+                        outer_converged[i] = True
+                    else:
+                        outer_converged[i] = False
+                else:
+                    outer_converged[i] = True
+
+            if outer_converged.all():
+                break
+
+        self.execute_model[:] = True
+        return z
+
+    # ------------------------------------------------------------------
+    # branch smoothing (reference searchAlgo.c update/smooth/treeEvaluate)
+
+    def update_branch(self, p: Node):
+        q = p.back
+        z0 = list(q.z)
+        z = self.makenewz(p, q, z0, C.NEWZPERCYCLE,
+                          mask=self.num_branches > 1)
+        for i in range(self.num_branches):
+            if not self.partition_converged[i]:
+                if abs(z[i] - z0[i]) > C.DELTAZ:
+                    self.partition_smoothed[i] = False
+                p.z[i] = q.z[i] = float(z[i])
+
+    def _smooth(self, p: Node):
+        self.update_branch(p)
+        if not self.tree.is_tip(p.number):
+            q = p.next
+            while q is not p:
+                self._smooth(q.back)
+                q = q.next
+            self.newview(p, masked=self.num_branches > 1)
+
+    def smooth_tree(self, maxtimes: int):
+        tr = self.tree
+        p = tr.start
+        self.partition_converged[:] = False
+        while maxtimes > 0:
+            maxtimes -= 1
+            self.partition_smoothed[:] = True
+            self._smooth(p.back)
+            if not tr.is_tip(p.number):
+                q = p.next
+                while q is not p:
+                    self._smooth(q.back)
+                    q = q.next
+            if self._all_smoothed():
+                break
+        self.partition_converged[:] = False
+
+    def _all_smoothed(self) -> bool:
+        result = True
+        for i in range(self.num_branches):
+            if not self.partition_smoothed[i]:
+                result = False
+            else:
+                self.partition_converged[i] = True
+        return result
+
+    def local_smooth(self, p: Node, maxtimes: int):
+        if self.tree.is_tip(p.number):
+            return
+        self.partition_converged[:] = False
+        while maxtimes > 0:
+            maxtimes -= 1
+            self.partition_smoothed[:] = True
+            q = p
+            while True:
+                self.update_branch(q)
+                q = q.next
+                if q is p:
+                    break
+            if self._all_smoothed():
+                break
+        self.partition_smoothed[:] = False
+        self.partition_converged[:] = False
+
+    def tree_evaluate(self, smooth_factor: float) -> float:
+        """treeEvaluate (searchAlgo.c:2635): smooth all branches, then a
+        full-traversal evaluation rooted at tr.start."""
+        self.smooth_tree(int(C.SMOOTHINGS * smooth_factor))
+        return self.evaluate(self.tree.start, full_traversal_=True)

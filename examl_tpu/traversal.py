@@ -1,0 +1,128 @@
+"""Traversal descriptors: the bridge between host-side tree topology and the
+device compute wave.
+
+compute_traversal mirrors the reference's computeTraversalInfo
+(reference: examl/newviewGenericSpecial.c:691-813): it lists, bottom-up, the
+inner nodes whose CLVs must be recomputed so that the CLV at node p is
+oriented toward p, flipping children so a tip child is always the q (left)
+child, and re-orienting x flags along the way. A partial traversal stops at
+nodes whose CLV is already correctly oriented.
+
+The descriptor is then packed into fixed-size numpy arrays (padded to a
+small set of bucket lengths to bound jit recompilation); node numbers index
+rows of the unified CLV buffer (row = node number; rows 1..mxtips are
+materialized tip CLVs, row 2*mxtips-1 is a scratch row that padding entries
+write to).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+from .constants import DEFAULTZ
+from .tree import Node, Tree
+
+
+@dataclasses.dataclass
+class TraversalEntry:
+    tip_case: int          # 0 = TIP_TIP, 1 = TIP_INNER, 2 = INNER_INNER
+    p_number: int
+    q_number: int
+    r_number: int
+    qz: List[float]
+    rz: List[float]
+
+
+TIP_TIP, TIP_INNER, INNER_INNER = 0, 1, 2
+
+
+def compute_traversal(tr: Tree, p: Node, entries: List[TraversalEntry],
+                      partial: bool) -> None:
+    if tr.is_tip(p.number):
+        return
+    q = p.next.back
+    r = p.next.next.back
+    q_tip = tr.is_tip(q.number)
+    r_tip = tr.is_tip(r.number)
+
+    if q_tip and r_tip:
+        if not p.x:
+            tr.orient(p)
+        tip_case = TIP_TIP
+    elif q_tip or r_tip:
+        if r_tip:
+            q, r = r, q
+        if (not r.x) or (not partial):
+            compute_traversal(tr, r, entries, partial)
+        if not p.x:
+            tr.orient(p)
+        tip_case = TIP_INNER
+    else:
+        if (not q.x) or (not partial):
+            compute_traversal(tr, q, entries, partial)
+        if (not r.x) or (not partial):
+            compute_traversal(tr, r, entries, partial)
+        if not p.x:
+            tr.orient(p)
+        tip_case = INNER_INNER
+
+    entries.append(TraversalEntry(tip_case, p.number, q.number, r.number,
+                                  list(q.z), list(r.z)))
+
+
+@dataclasses.dataclass
+class PackedTraversal:
+    """Fixed-shape arrays for the device traversal wave."""
+    count: int
+    p_idx: np.ndarray      # [L] int32  destination CLV row
+    q_idx: np.ndarray      # [L] int32  left child CLV row
+    r_idx: np.ndarray      # [L] int32  right child CLV row
+    tip_tip: np.ndarray    # [L] bool
+    qz: np.ndarray         # [L, B] float
+    rz: np.ndarray         # [L, B] float
+
+
+def _bucket(n: int) -> int:
+    b = 4
+    while b < n:
+        b *= 2
+    return b
+
+
+def pack_traversal(tr: Tree, entries: List[TraversalEntry]) -> PackedTraversal:
+    n = len(entries)
+    L = _bucket(n)
+    dummy = 2 * tr.mxtips - 1
+    B = tr.num_branches
+
+    p_idx = np.full(L, dummy, dtype=np.int32)
+    q_idx = np.full(L, dummy, dtype=np.int32)
+    r_idx = np.full(L, dummy, dtype=np.int32)
+    tip_tip = np.ones(L, dtype=bool)       # padding: no scaling work
+    qz = np.full((L, B), DEFAULTZ)
+    rz = np.full((L, B), DEFAULTZ)
+
+    for i, e in enumerate(entries):
+        p_idx[i] = e.p_number
+        q_idx[i] = e.q_number
+        r_idx[i] = e.r_number
+        tip_tip[i] = e.tip_case == TIP_TIP
+        qz[i] = e.qz
+        rz[i] = e.rz
+
+    return PackedTraversal(count=n, p_idx=p_idx, q_idx=q_idx, r_idx=r_idx,
+                           tip_tip=tip_tip, qz=qz, rz=rz)
+
+
+def full_traversal(tr: Tree, p: Node) -> List[TraversalEntry]:
+    entries: List[TraversalEntry] = []
+    compute_traversal(tr, p, entries, partial=False)
+    return entries
+
+
+def partial_traversal(tr: Tree, p: Node) -> List[TraversalEntry]:
+    entries: List[TraversalEntry] = []
+    compute_traversal(tr, p, entries, partial=True)
+    return entries

@@ -1,0 +1,12 @@
+import os
+
+# Parity tests run on the CPU backend in float64; multi-device tests use a
+# virtual 8-device host platform. jax may already be imported (axon
+# sitecustomize), so select the platform via jax.config, not env vars.
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                           + ' --xla_force_host_platform_device_count=8')
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
