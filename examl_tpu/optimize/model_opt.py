@@ -1,0 +1,593 @@
+"""Model-parameter optimization: Brent's method over linked partition groups.
+
+Faithful port of the reference optimizer stack (reference:
+examl/optimizeModel.c — optParamGeneric :1283, brakGeneric :800,
+brentGeneric :582, evaluateChange :464, changeModelParameters :419,
+optRatesGeneric :1634, optBaseFreqs :1501, optAlphasGeneric :1136,
+modOpt :2963). The bracketing/Brent state machines are vectorized across
+linkage groups exactly like the reference so optimization trajectories (and
+hence final parameters) match.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from .. import constants as C
+from ..datatypes import DataType, ProtModel
+from ..engine import LikelihoodEngine
+
+MNBRAK_GOLD = 1.618034
+MNBRAK_TINY = 1.e-20
+MNBRAK_GLIMIT = 100.0
+BRENT_ZEPS = 1.e-5
+BRENT_CGOLD = 0.3819660
+
+ALPHA_F, RATE_F, FREQ_F, LXRATE_F, LXWEIGHT_F = 0, 1, 2, 3, 4
+
+
+def _sign(a, b):
+    return abs(a) if b > 0.0 else -abs(a)
+
+
+@dataclasses.dataclass
+class LinkageGroup:
+    partitions: List[int]
+    valid: bool = True
+
+
+class LinkageList:
+    def __init__(self, groups: List[LinkageGroup]):
+        self.groups = groups
+
+    @property
+    def entries(self):
+        return len(self.groups)
+
+    def set_all_valid(self):
+        for g in self.groups:
+            g.valid = True
+
+
+def init_linkage_list(link_ids: List[int]) -> LinkageList:
+    """link_ids[i] = group id of partition i (optimizeModel.c:126)."""
+    n_groups = max(link_ids) + 1
+    groups = []
+    for g in range(n_groups):
+        groups.append(LinkageGroup(
+            [i for i, l in enumerate(link_ids) if l == g]))
+    return LinkageList(groups)
+
+
+def init_linkage_list_gtr(engine: LikelihoodEngine) -> LinkageList:
+    """All AA partitions under GTR share one group; anything else is
+    unlinked (optimizeModel.c initLinkageListGTR :259)."""
+    n = engine.n_models
+    first_aa = n + 2
+    count_gtr = 0
+    for i, pm in enumerate(engine.partitions):
+        if pm.data_type == DataType.AA and pm.prot_model == ProtModel.GTR:
+            first_aa = min(first_aa, i)
+            count_gtr += 1
+    links = []
+    for i, pm in enumerate(engine.partitions):
+        if count_gtr > 0 and pm.data_type == DataType.AA:
+            links.append(first_aa)
+        else:
+            links.append(i)
+    return init_linkage_list(links)
+
+
+class ModelOptimizer:
+    def __init__(self, engine: LikelihoodEngine):
+        self.engine = engine
+
+    # ------------------------------------------------------------------
+
+    def _change_parameter(self, index: int, rate_number: int, value: float,
+                          which: int):
+        eng = self.engine
+        pm = eng.partitions[index]
+        if which == RATE_F:
+            states = pm.states
+            num_rates = states * (states - 1) // 2
+            if pm.data_type == DataType.DNA:
+                assert 0 <= rate_number < num_rates - 1
+            assert C.RATE_MIN <= value <= C.RATE_MAX
+            pm.subst_rates[rate_number] = value
+            eng.update_eigen([index])
+        elif which == ALPHA_F:
+            pm.alpha = value
+            eng.update_gamma([index])
+        elif which == FREQ_F:
+            pm.freq_exponents[rate_number] = value
+            w = np.exp(pm.freq_exponents)
+            pm.frequencies = w / w.sum()
+            eng.update_eigen([index])
+        else:
+            raise NotImplementedError(f'parameter type {which} (LG4X later)')
+
+    def _evaluate_change(self, rate_number, values, converged, which,
+                         ll: LinkageList):
+        """Apply proposals and evaluate; returns -lnL per valid group
+        (evaluateChange :464)."""
+        eng = self.engine
+        pos = 0
+        for group in ll.groups:
+            if group.valid:
+                if converged[pos]:
+                    for k in group.partitions:
+                        eng.execute_model[k] = False
+                else:
+                    for k in group.partitions:
+                        self._change_parameter(k, rate_number, values[pos],
+                                               which)
+                pos += 1
+            else:
+                for k in group.partitions:
+                    eng.execute_model[k] = False
+
+        eng.evaluate(eng.tree.start, full_traversal_=True)
+
+        result = np.zeros(pos)
+        pos = 0
+        for group in ll.groups:
+            if group.valid:
+                for k in group.partitions:
+                    result[pos] -= eng.per_partition_lh[k]
+                pos += 1
+            for k in group.partitions:
+                eng.execute_model[k] = True
+        return result
+
+    # ------------------------------------------------------------------
+    # bracketing (brakGeneric :800)
+
+    def _brak(self, ax, bx, cx, fa, fb, fc, lim_inf, lim_sup, n,
+              rate_number, which, ll):
+        param = np.zeros(n)
+        u = np.zeros(n)
+        ulim = np.zeros(n)
+        state = np.zeros(n, dtype=int)
+        end_state = np.zeros(n, dtype=int)
+        converged = np.zeros(n, dtype=bool)
+
+        def clamp(arr, i):
+            arr[i] = min(max(arr[i], lim_inf[i]), lim_sup[i])
+
+        for i in range(n):
+            param[i] = ax[i]
+            clamp(param, i)
+            ax[i] = param[i]
+        fa[:] = self._evaluate_change(rate_number, param, converged, which, ll)
+
+        for i in range(n):
+            param[i] = bx[i]
+            clamp(param, i)
+            bx[i] = param[i]
+        fb[:] = self._evaluate_change(rate_number, param, converged, which, ll)
+
+        for i in range(n):
+            if fb[i] > fa[i]:
+                ax[i], bx[i] = bx[i], ax[i]
+                fa[i], fb[i] = fb[i], fa[i]
+            cx[i] = bx[i] + MNBRAK_GOLD * (bx[i] - ax[i])
+            param[i] = cx[i]
+            clamp(param, i)
+            cx[i] = param[i]
+        fc[:] = self._evaluate_change(rate_number, param, converged, which, ll)
+
+        while True:
+            if converged.all():
+                for i in range(n):
+                    clamp(ax, i)
+                    clamp(bx, i)
+                    clamp(cx, i)
+                return
+
+            for i in range(n):
+                if converged[i]:
+                    continue
+                if state[i] == 0:
+                    end_state[i] = 0
+                    if not (fb[i] > fc[i]):
+                        converged[i] = True
+                    else:
+                        clamp(ax, i)
+                        clamp(bx, i)
+                        clamp(cx, i)
+                        r = (bx[i] - ax[i]) * (fb[i] - fc[i])
+                        q = (bx[i] - cx[i]) * (fb[i] - fa[i])
+                        u[i] = bx[i] - ((bx[i] - cx[i]) * q
+                                        - (bx[i] - ax[i]) * r) / (
+                            2.0 * _sign(max(abs(q - r), MNBRAK_TINY), q - r))
+                        ulim[i] = bx[i] + MNBRAK_GLIMIT * (cx[i] - bx[i])
+                        clamp(u, i)
+                        clamp(ulim, i)
+                        if (bx[i] - u[i]) * (u[i] - cx[i]) > 0.0:
+                            param[i] = u[i]
+                            clamp(param, i)
+                            u[i] = param[i]
+                            end_state[i] = 1
+                        elif (cx[i] - u[i]) * (u[i] - ulim[i]) > 0.0:
+                            param[i] = u[i]
+                            clamp(param, i)
+                            u[i] = param[i]
+                            end_state[i] = 2
+                        elif (u[i] - ulim[i]) * (ulim[i] - cx[i]) >= 0.0:
+                            u[i] = ulim[i]
+                            param[i] = u[i]
+                            clamp(param, i)
+                            u[i] = ulim[i] = param[i]
+                            end_state[i] = 0
+                        else:
+                            u[i] = cx[i] + MNBRAK_GOLD * (cx[i] - bx[i])
+                            param[i] = u[i]
+                            clamp(param, i)
+                            u[i] = param[i]
+                            end_state[i] = 0
+                elif state[i] == 1:
+                    end_state[i] = 0
+                elif state[i] == 2:
+                    end_state[i] = 3
+                else:
+                    raise AssertionError
+
+            temp = self._evaluate_change(rate_number, param, converged,
+                                         which, ll)
+
+            for i in range(n):
+                if converged[i]:
+                    continue
+                if end_state[i] == 0:
+                    fu = temp[i]
+                    ax[i], bx[i], cx[i] = bx[i], cx[i], u[i]
+                    fa[i], fb[i], fc[i] = fb[i], fc[i], fu
+                    state[i] = 0
+                elif end_state[i] == 1:
+                    fu = temp[i]
+                    if fu < fc[i]:
+                        ax[i] = bx[i]
+                        bx[i] = u[i]
+                        fa[i] = fb[i]
+                        fb[i] = fu
+                        converged[i] = True
+                    elif fu > fb[i]:
+                        cx[i] = u[i]
+                        fc[i] = fu
+                        converged[i] = True
+                    else:
+                        u[i] = cx[i] + MNBRAK_GOLD * (cx[i] - bx[i])
+                        param[i] = u[i]
+                        clamp(param, i)
+                        u[i] = param[i]
+                        state[i] = 1
+                elif end_state[i] == 2:
+                    fu = temp[i]
+                    if fu < fc[i]:
+                        bx[i], cx[i] = cx[i], u[i]
+                        u[i] = cx[i] + MNBRAK_GOLD * (cx[i] - bx[i])
+                        fb[i], fc[i] = fc[i], fu
+                        state[i] = 2
+                    else:
+                        state[i] = 0
+                        ax[i], bx[i], cx[i] = bx[i], cx[i], u[i]
+                        fa[i], fb[i], fc[i] = fb[i], fc[i], fu
+                elif end_state[i] == 3:
+                    fb[i], fc[i], fu = fc[i], temp[i], temp[i]
+                    ax[i], bx[i], cx[i] = bx[i], cx[i], u[i]
+                    fa[i], fb[i], fc[i] = fb[i], fc[i], fu
+                    state[i] = 0
+                else:
+                    raise AssertionError
+
+    # ------------------------------------------------------------------
+    # Brent (brentGeneric :582)
+
+    def _brent(self, ax, bx, cx, fb, tol, xmin, result, n, which,
+               rate_number, ll, lim_inf, lim_sup):
+        a = np.minimum(ax, cx)
+        b = np.maximum(ax, cx)
+        x = bx.copy()
+        w = bx.copy()
+        v = bx.copy()
+        fw = fb.copy()
+        fv = fb.copy()
+        fx = fb.copy()
+        d = np.zeros(n)
+        e = np.zeros(n)
+        u = np.zeros(n)
+        fu = np.zeros(n)
+        converged = np.zeros(n, dtype=bool)
+
+        for _ in range(C.ITMAX):
+            if converged.all():
+                return
+            for i in range(n):
+                if converged[i]:
+                    continue
+                xm = 0.5 * (a[i] + b[i])
+                tol1 = tol * abs(x[i]) + BRENT_ZEPS
+                tol2 = 2.0 * tol1
+                if abs(x[i] - xm) <= tol2 - 0.5 * (b[i] - a[i]):
+                    result[i] = -fx[i]
+                    xmin[i] = x[i]
+                    converged[i] = True
+                    continue
+                if abs(e[i]) > tol1:
+                    r = (x[i] - w[i]) * (fx[i] - fv[i])
+                    q = (x[i] - v[i]) * (fx[i] - fw[i])
+                    p = (x[i] - v[i]) * q - (x[i] - w[i]) * r
+                    q = 2.0 * (q - r)
+                    if q > 0.0:
+                        p = -p
+                    q = abs(q)
+                    etemp = e[i]
+                    e[i] = d[i]
+                    if (abs(p) >= abs(0.5 * q * etemp) or p <= q * (a[i] - x[i])
+                            or p >= q * (b[i] - x[i])):
+                        e[i] = a[i] - x[i] if x[i] >= xm else b[i] - x[i]
+                        d[i] = BRENT_CGOLD * e[i]
+                    else:
+                        d[i] = p / q
+                        u[i] = x[i] + d[i]
+                        if u[i] - a[i] < tol2 or b[i] - u[i] < tol2:
+                            d[i] = _sign(tol1, xm - x[i])
+                else:
+                    e[i] = a[i] - x[i] if x[i] >= xm else b[i] - x[i]
+                    d[i] = BRENT_CGOLD * e[i]
+                u[i] = (x[i] + d[i] if abs(d[i]) >= tol1
+                        else x[i] + _sign(tol1, d[i]))
+
+            fu[:len(u)] = self._evaluate_change(rate_number, u, converged,
+                                                which, ll)
+
+            for i in range(n):
+                if converged[i]:
+                    continue
+                if fu[i] <= fx[i]:
+                    if u[i] >= x[i]:
+                        a[i] = x[i]
+                    else:
+                        b[i] = x[i]
+                    v[i], w[i], x[i] = w[i], x[i], u[i]
+                    fv[i], fw[i], fx[i] = fw[i], fx[i], fu[i]
+                else:
+                    if u[i] < x[i]:
+                        a[i] = u[i]
+                    else:
+                        b[i] = u[i]
+                    if fu[i] <= fw[i] or w[i] == x[i]:
+                        v[i] = w[i]
+                        w[i] = u[i]
+                        fv[i] = fw[i]
+                        fw[i] = fu[i]
+                    elif fu[i] <= fv[i] or v[i] == x[i] or v[i] == w[i]:
+                        v[i] = u[i]
+                        fv[i] = fu[i]
+        raise RuntimeError('Too many iterations in BRENT')
+
+    # ------------------------------------------------------------------
+    # generic single-parameter optimization (optParamGeneric :1283)
+
+    def _opt_param_generic(self, model_epsilon, ll: LinkageList, n,
+                           rate_number, lim_inf_s, lim_sup_s, which):
+        eng = self.engine
+        eng.evaluate(eng.tree.start, full_traversal_=True)
+
+        start_values = np.zeros(n)
+        start_lh = np.zeros(n)
+        lim_inf = np.zeros(n)
+        lim_sup = np.zeros(n)
+        pos = 0
+        for group in ll.groups:
+            if not group.valid:
+                continue
+            for k in group.partitions:
+                pm = eng.partitions[k]
+                start_lh[pos] += eng.per_partition_lh[k]
+                if which == ALPHA_F:
+                    lim_inf[pos] = lim_inf_s
+                    lim_sup[pos] = lim_sup_s
+                    start_values[pos] = pm.alpha
+                elif which == RATE_F:
+                    lim_inf[pos] = lim_inf_s
+                    lim_sup[pos] = lim_sup_s
+                    start_values[pos] = pm.subst_rates[rate_number]
+                elif which == FREQ_F:
+                    lim_inf[pos] = self._min_freq(k, rate_number, lim_inf_s)
+                    lim_sup[pos] = self._max_freq(k, rate_number, lim_sup_s)
+                    start_values[pos] = pm.freq_exponents[rate_number]
+                else:
+                    raise NotImplementedError
+            pos += 1
+        assert pos == n
+
+        a = np.clip(start_values + 0.1, lim_inf, lim_sup)
+        b = np.clip(start_values - 0.1, lim_inf, lim_sup)
+        c = np.zeros(n)
+        fa = np.zeros(n)
+        fb = np.zeros(n)
+        fc = np.zeros(n)
+        x = np.zeros(n)
+        end_lh = np.full(n, C.UNLIKELY)
+
+        self._brak(a, b, c, fa, fb, fc, lim_inf, lim_sup, n, rate_number,
+                   which, ll)
+        self._brent(a, b, c, fb, model_epsilon, x, end_lh, n, which,
+                    rate_number, ll, lim_inf, lim_sup)
+
+        pos = 0
+        for group in ll.groups:
+            if not group.valid:
+                continue
+            value = (start_values[pos] if start_lh[pos] > end_lh[pos]
+                     else x[pos])
+            for k in group.partitions:
+                self._change_parameter(k, rate_number, value, which)
+            pos += 1
+
+    def _min_freq(self, index, which_freq, absolute_min):
+        pm = self.engine.partitions[index]
+        c = sum(math.exp(w) for i, w in enumerate(pm.freq_exponents)
+                if i != which_freq)
+        mn = (math.log(C.FREQ_MIN) + math.log(c)
+              - math.log(1.0 - C.FREQ_MIN))
+        return max(mn, absolute_min)
+
+    def _max_freq(self, index, which_freq, absolute_max):
+        pm = self.engine.partitions[index]
+        states = pm.states
+        c = sum(math.exp(w) for i, w in enumerate(pm.freq_exponents)
+                if i != which_freq)
+        mx = (math.log(1.0 - (states - 1) * C.FREQ_MIN) + math.log(c)
+              - math.log((states - 1) * C.FREQ_MIN))
+        return min(mx, absolute_max)
+
+    # ------------------------------------------------------------------
+    # per-parameter-family drivers
+
+    def opt_rates_generic(self, model_epsilon, ll: LinkageList):
+        eng = self.engine
+        dna_groups = 0
+        states = -1
+        for g in ll.groups:
+            dt = eng.partitions[g.partitions[0]].data_type
+            if dt == DataType.DNA:
+                states = eng.partitions[g.partitions[0]].states
+                g.valid = True
+                dna_groups += 1
+            else:
+                g.valid = False
+        if dna_groups > 0:
+            self._opt_rates(model_epsilon, ll, dna_groups, states)
+
+        if self._aa_is_gtr():
+            aa_groups = 0
+            for g in ll.groups:
+                dt = eng.partitions[g.partitions[0]].data_type
+                if dt == DataType.AA:
+                    states = eng.partitions[g.partitions[0]].states
+                    g.valid = True
+                    aa_groups += 1
+                else:
+                    g.valid = False
+            assert aa_groups == 1
+            self._opt_rates(model_epsilon, ll, aa_groups, states)
+
+        ll.set_all_valid()
+
+    def _aa_is_gtr(self):
+        count = 0
+        for pm in self.engine.partitions:
+            if pm.data_type == DataType.AA:
+                count += 1
+                if pm.prot_model != ProtModel.GTR:
+                    return False
+        return count > 0
+
+    def _opt_rates(self, model_epsilon, ll, n, states):
+        num_rates = states * (states - 1) // 2 - 1
+        for rate_number in range(num_rates):
+            self._opt_param_generic(model_epsilon, ll, n, rate_number,
+                                    C.RATE_MIN, C.RATE_MAX, RATE_F)
+
+    def opt_base_freqs(self, model_epsilon, ll: LinkageList):
+        eng = self.engine
+        for want in (DataType.DNA, DataType.AA, DataType.BINARY):
+            count = 0
+            for g in ll.groups:
+                pm = eng.partitions[g.partitions[0]]
+                if (pm.data_type == want
+                        and pm.optimize_base_frequencies):
+                    g.valid = True
+                    count += 1
+                else:
+                    g.valid = False
+            if count > 0:
+                # each frequency exponent is optimized in turn
+                # (optFreqs :1488)
+                states = None
+                for g in ll.groups:
+                    if g.valid:
+                        states = eng.partitions[g.partitions[0]].states
+                for rate_number in range(states):
+                    self._opt_param_generic(model_epsilon, ll, count,
+                                            rate_number, -1000000.0, 200.0,
+                                            FREQ_F)
+        ll.set_all_valid()
+
+    def opt_alphas_generic(self, model_epsilon, ll: LinkageList):
+        eng = self.engine
+        non_lg4x = 0
+        for g in ll.groups:
+            pm = eng.partitions[g.partitions[0]]
+            if (pm.data_type == DataType.AA
+                    and pm.prot_model == ProtModel.LG4X):
+                g.valid = False
+            else:
+                g.valid = True
+                non_lg4x += 1
+        if non_lg4x > 0:
+            self._opt_param_generic(model_epsilon, ll, non_lg4x, -1,
+                                    C.ALPHA_MIN, C.ALPHA_MAX, ALPHA_F)
+        # LG4X partitions handled in the protein milestone
+        ll.set_all_valid()
+
+    # ------------------------------------------------------------------
+    # the outer modOpt loop (modOpt :2963)
+
+    def mod_opt(self, likelihood_epsilon, checkpointer=None):
+        eng = self.engine
+        model_epsilon = 0.0001
+
+        unlinked = list(range(eng.n_models))
+        alpha_list = init_linkage_list(unlinked)
+        freq_list = init_linkage_list(unlinked)
+        rate_list = init_linkage_list_gtr(eng)
+
+        eng.tree.start = eng.tree.nodep[1]
+        eng.evaluate(eng.tree.start, full_traversal_=True)
+
+        while True:
+            if checkpointer is not None:
+                checkpointer()
+            current = eng.likelihood
+
+            self.opt_rates_generic(model_epsilon, rate_list)
+            eng.evaluate(eng.tree.start, full_traversal_=True)
+
+            self.auto_protein()
+
+            eng.tree_evaluate(0.0625)
+            eng.evaluate(eng.tree.start, full_traversal_=True)
+
+            self.opt_base_freqs(model_epsilon, freq_list)
+            eng.evaluate(eng.tree.start, full_traversal_=True)
+            eng.tree_evaluate(0.0625)
+
+            self.opt_alphas_generic(model_epsilon, alpha_list)
+            eng.evaluate(eng.tree.start, full_traversal_=True)
+            eng.tree_evaluate(0.1)
+
+            self._check_tolerance(eng.likelihood, current)
+            if abs(current - eng.likelihood) <= likelihood_epsilon:
+                break
+
+    def auto_protein(self):
+        """Protein AUTO model selection — lands with the protein milestone
+        (optimizeModel.c autoProtein :2669)."""
+        if any(pm.prot_model == ProtModel.AUTO
+               for pm in self.engine.partitions):
+            raise NotImplementedError('AUTO protein selection pending')
+
+    @staticmethod
+    def _check_tolerance(l1, l2):
+        if l1 < l2:
+            tolerance = abs(max(l1, l2) * 1e-12)
+            if abs(l1 - l2) > min(0.1, tolerance):
+                raise AssertionError(
+                    f'likelihood regressed in model optimization: {l1} {l2}')

@@ -1,0 +1,617 @@
+"""SPR hill-climbing tree search — the RAxML search algorithm.
+
+Port of the reference search driver (reference: examl/searchAlgo.c —
+computeBIGRAPID :1914, treeOptimizeRapid :914, rearrangeBIG :804,
+insertBIG/testInsertBIG :484/:682, determineRearrangementSetting :1752,
+restoreTreeFast :1090; examl/trash.c nodeRectifier :55). Heuristic
+constants and control flow match the reference so the search visits the
+same trees; the likelihood/branch-length math runs on the device engine.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from .. import constants as C
+from ..engine import LikelihoodEngine
+from ..tree import Node, Tree
+from .topologies import BestList, canonical_key
+
+BAD_REAR = -1
+
+
+def node_rectifier(tr: Tree) -> None:
+    """Renumber inner ring records in traversal order from tip 1
+    (trash.c nodeRectifier :55). The ring record encountered first becomes
+    nodep[mxtips+1+k] for traversal index k."""
+    tr.start = tr.nodep[1]
+    tr.rooted = False
+
+    old = {i: tr.nodep[i] for i in range(tr.mxtips + 1, 2 * tr.mxtips - 1)}
+    count = [0]
+
+    def reorder(p: Node):
+        if tr.is_tip(p.number):
+            return
+        tr.nodep[count[0] + tr.mxtips + 1] = p
+        count[0] += 1
+        reorder(p.next.back)
+        reorder(p.next.next.back)
+
+    reorder(tr.start.back)
+    assert count[0] == tr.mxtips - 2
+    # renumber all ring records to match their new slots
+    for i in range(tr.mxtips + 1, 2 * tr.mxtips - 1):
+        p = tr.nodep[i]
+        p.number = p.next.number = p.next.next.number = i
+
+
+@dataclasses.dataclass
+class InfoList:
+    """Top-50 prune candidates from the fast pass (searchAlgo.c iList)."""
+    n: int = 50
+    nodes: List[Optional[Node]] = dataclasses.field(default_factory=list)
+    likelihoods: List[float] = dataclasses.field(default_factory=list)
+    valid: int = 0
+
+    def reset(self):
+        self.nodes = [None] * self.n
+        self.likelihoods = [C.UNLIKELY] * self.n
+        self.valid = 0
+
+    def insert(self, node: Node, likelihood: float):
+        mn = int(np.argmin(self.likelihoods))
+        if likelihood > self.likelihoods[mn]:
+            self.likelihoods[mn] = likelihood
+            self.nodes[mn] = node
+            self.valid = min(self.valid + 1, self.n)
+
+
+class SprSearch:
+    def __init__(self, engine: LikelihoodEngine, *,
+                 step_width: int = 5, max_rearrange: int = 21,
+                 do_cutoff: bool = True, big_cutoff: bool = False,
+                 initial_radius: Optional[int] = None,
+                 search_convergence: bool = False,
+                 log_fn=None, checkpointer=None):
+        self.eng = engine
+        self.tr = engine.tree
+        self.thorough = False
+        self.step_width = step_width
+        self.max_rearrange = max_rearrange
+        self.do_cutoff = do_cutoff
+        self.big_cutoff = big_cutoff
+        self.initial_radius = initial_radius
+        self.search_convergence = search_convergence
+        self.log_fn = log_fn or (lambda *a: None)
+        self.checkpointer = checkpointer
+
+        self.ilist = InfoList()
+        # per-cycle SPR bookkeeping (tree struct fields in the reference)
+        self.start_lh = 0.0
+        self.end_lh = 0.0
+        self.best_of_node = C.UNLIKELY
+        self.zqr = [C.DEFAULTZ] * engine.num_branches
+        self.current_zqr = [C.DEFAULTZ] * engine.num_branches
+        self.lzq = [0.0] * engine.num_branches
+        self.lzr = [0.0] * engine.num_branches
+        self.lzs = [0.0] * engine.num_branches
+        self.lzi = [0.0] * engine.num_branches
+        self.current_lzq = [0.0] * engine.num_branches
+        self.current_lzr = [0.0] * engine.num_branches
+        self.current_lzs = [0.0] * engine.num_branches
+        self.insert_node: Optional[Node] = None
+        self.remove_node: Optional[Node] = None
+        self.lh_cutoff = 0.0
+        self.lh_avg = 0.0
+        self.lh_dec = 0
+        self.it_count = 0
+        # RF convergence state: bipartition sets of the two last cycles
+        self.rf_slots = [None, None]
+
+    # ------------------------------------------------------------------
+    # SPR primitives
+
+    def remove_node_big(self, p: Node):
+        tr = self.tr
+        q = p.next.back
+        r = p.next.next.back
+        zqr = [qz * rz for qz, rz in zip(q.z, r.z)]
+        result = self.eng.makenewz(q, r, zqr, C.ITERATIONS, mask=False)
+        self.zqr = list(result)
+        tr.hookup(q, r, result)
+        p.next.back = p.next.next.back = None
+        return q
+
+    def remove_node_restore_big(self, p: Node):
+        tr = self.tr
+        q = p.next.back
+        r = p.next.next.back
+        self.eng.newview(q)
+        self.eng.newview(r)
+        tr.hookup(q, r, self.current_zqr)
+        p.next.back = p.next.next.back = None
+        return q
+
+    def insert_big(self, p: Node, q: Node):
+        tr = self.tr
+        B = self.eng.num_branches
+        r = q.back
+        s = p.back
+        self.lzi = list(q.z)
+        if self.thorough:
+            qz = list(q.z)
+            default = [C.DEFAULTZ] * B
+            zqr = self.eng.makenewz(q, r, qz, C.ITERATIONS, mask=False)
+            zqs = self.eng.makenewz(q, s, default, C.ITERATIONS, mask=False)
+            zrs = self.eng.makenewz(r, s, default, C.ITERATIONS, mask=False)
+            e1, e2, e3 = [0.0] * B, [0.0] * B, [0.0] * B
+            for i in range(B):
+                lzqr = math.log(max(zqr[i], C.ZMIN))
+                lzqs = math.log(max(zqs[i], C.ZMIN))
+                lzrs = math.log(max(zrs[i], C.ZMIN))
+                lzsum = 0.5 * (lzqr + lzqs + lzrs)
+                lzq = lzsum - lzrs
+                lzr = lzsum - lzqs
+                lzs = lzsum - lzqr
+                lzmax = math.log(C.ZMAX)
+                if lzq > lzmax:
+                    lzq, lzr, lzs = lzmax, lzqr, lzqs
+                elif lzr > lzmax:
+                    lzr, lzq, lzs = lzmax, lzqr, lzrs
+                elif lzs > lzmax:
+                    lzs, lzq, lzr = lzmax, lzqs, lzrs
+                e1[i] = math.exp(lzq)
+                e2[i] = math.exp(lzr)
+                e3[i] = math.exp(lzs)
+            tr.hookup(p.next, q, e1)
+            tr.hookup(p.next.next, r, e2)
+            tr.hookup(p, s, e3)
+        else:
+            z = [min(max(math.sqrt(zi), C.ZMIN), C.ZMAX) for zi in q.z]
+            tr.hookup(p.next, q, z)
+            tr.hookup(p.next.next, r, z)
+        self.eng.newview(p)
+        if self.thorough:
+            self.eng.local_smooth(p, C.SMOOTHINGS)
+            self.lzq = list(p.next.z)
+            self.lzr = list(p.next.next.z)
+            self.lzs = list(p.z)
+
+    def insert_restore_big(self, p: Node, q: Node):
+        tr = self.tr
+        r = q.back
+        s = p.back
+        if self.thorough:
+            tr.hookup(p.next, q, self.current_lzq)
+            tr.hookup(p.next.next, r, self.current_lzr)
+            tr.hookup(p, s, self.current_lzs)
+        else:
+            z = [min(max(math.sqrt(zi), C.ZMIN), C.ZMAX) for zi in q.z]
+            tr.hookup(p.next, q, z)
+            tr.hookup(p.next.next, r, z)
+        self.eng.newview(p)
+
+    def test_insert_big(self, p: Node, q: Node) -> bool:
+        tr = self.tr
+        r = q.back
+        qz = list(q.z)
+        pz = list(p.z)
+        start_lh = self.end_lh
+
+        self.insert_big(p, q)
+        lh = self.eng.evaluate(p.next.next)
+
+        if lh > self.best_of_node:
+            self.best_of_node = lh
+            self.insert_node = q
+            self.remove_node = p
+            self.current_zqr = list(self.zqr)
+            self.current_lzr = list(self.lzr)
+            self.current_lzq = list(self.lzq)
+            self.current_lzs = list(self.lzs)
+        if lh > self.end_lh:
+            self.insert_node = q
+            self.remove_node = p
+            self.current_zqr = list(self.zqr)
+            self.end_lh = lh
+
+        tr.hookup(q, r, qz)
+        p.next.back = p.next.next.back = None
+        if self.thorough:
+            s = p.back
+            tr.hookup(p, s, pz)
+
+        if self.do_cutoff and lh < start_lh:
+            self.lh_avg += start_lh - lh
+            self.lh_dec += 1
+            return (start_lh - lh) < self.lh_cutoff
+        return True
+
+    def add_traverse_big(self, p: Node, q: Node, mintrav: int, maxtrav: int):
+        mintrav -= 1
+        if mintrav <= 0:
+            if not self.test_insert_big(p, q):
+                return
+        maxtrav -= 1
+        if (not self.tr.is_tip(q.number)) and maxtrav > 0:
+            self.add_traverse_big(p, q.next.back, mintrav, maxtrav)
+            self.add_traverse_big(p, q.next.next.back, mintrav, maxtrav)
+
+    def rearrange_big(self, p: Node, mintrav: int, maxtrav: int) -> int:
+        tr = self.tr
+        if maxtrav < 1 or mintrav > maxtrav:
+            return 0
+        q = p.back
+
+        if not tr.is_tip(p.number):
+            p1 = p.next.back
+            p2 = p.next.next.back
+            if not tr.is_tip(p1.number) or not tr.is_tip(p2.number):
+                p1z = list(p1.z)
+                p2z = list(p2.z)
+                self.remove_node_big(p)
+                if not tr.is_tip(p1.number):
+                    self.add_traverse_big(p, p1.next.back, mintrav, maxtrav)
+                    self.add_traverse_big(p, p1.next.next.back, mintrav,
+                                          maxtrav)
+                if not tr.is_tip(p2.number):
+                    self.add_traverse_big(p, p2.next.back, mintrav, maxtrav)
+                    self.add_traverse_big(p, p2.next.next.back, mintrav,
+                                          maxtrav)
+                tr.hookup(p.next, p1, p1z)
+                tr.hookup(p.next.next, p2, p2z)
+                self.eng.newview(p)
+
+        if not tr.is_tip(q.number) and maxtrav > 0:
+            q1 = q.next.back
+            q2 = q.next.next.back
+            if ((not tr.is_tip(q1.number)
+                 and (not tr.is_tip(q1.next.back.number)
+                      or not tr.is_tip(q1.next.next.back.number)))
+                    or (not tr.is_tip(q2.number)
+                        and (not tr.is_tip(q2.next.back.number)
+                             or not tr.is_tip(q2.next.next.back.number)))):
+                q1z = list(q1.z)
+                q2z = list(q2.z)
+                self.remove_node_big(q)
+                mintrav2 = max(mintrav, 2)
+                if not tr.is_tip(q1.number):
+                    self.add_traverse_big(q, q1.next.back, mintrav2, maxtrav)
+                    self.add_traverse_big(q, q1.next.next.back, mintrav2,
+                                          maxtrav)
+                if not tr.is_tip(q2.number):
+                    self.add_traverse_big(q, q2.next.back, mintrav2, maxtrav)
+                    self.add_traverse_big(q, q2.next.next.back, mintrav2,
+                                          maxtrav)
+                tr.hookup(q.next, q1, q1z)
+                tr.hookup(q.next.next, q2, q2z)
+                self.eng.newview(q)
+        return 1
+
+    def test_insert_restore_big(self, p: Node, q: Node):
+        tr = self.tr
+        if self.thorough:
+            self.insert_big(p, q)
+            self.eng.evaluate(p.next.next)
+        else:
+            self.insert_restore_big(p, q)
+            x = p.next.next
+            y = p.back
+            while ((not tr.is_tip(x.number) and not x.x)
+                   or (not tr.is_tip(y.number) and not y.x)):
+                if not tr.is_tip(x.number) and not x.x:
+                    self.eng.newview(x)
+                if not tr.is_tip(y.number) and not y.x:
+                    self.eng.newview(y)
+            self.eng.likelihood = self.end_lh
+
+    def restore_tree_fast(self):
+        self.remove_node_restore_big(self.remove_node)
+        self.test_insert_restore_big(self.remove_node, self.insert_node)
+
+    def restore_topology_only(self, bt: BestList):
+        """Virtually apply the best insertion for this prune node, record
+        the topology in bt, then revert (searchAlgo.c:618)."""
+        tr = self.tr
+        p = self.remove_node
+        q = self.insert_node
+        current_lh = self.eng.likelihood
+
+        p1 = p.next.back
+        p2 = p.next.next.back
+        p1z = list(p1.z)
+        p2z = list(p2.z)
+        tr.hookup(p1, p2, self.current_zqr)
+        p.next.back = p.next.next.back = None
+        qz = list(q.z)
+        pz = list(p.z)
+        r = q.back
+        s = p.back
+        if self.thorough:
+            tr.hookup(p.next, q, self.current_lzq)
+            tr.hookup(p.next.next, r, self.current_lzr)
+            tr.hookup(p, s, self.current_lzs)
+        else:
+            z = [min(max(math.sqrt(zi), C.ZMIN), C.ZMAX) for zi in q.z]
+            tr.hookup(p.next, q, z)
+            tr.hookup(p.next.next, r, z)
+
+        bt.save(tr, self.best_of_node, keep_identical=True)
+
+        tr.hookup(q, r, qz)
+        p.next.back = p.next.next.back = None
+        if self.thorough:
+            tr.hookup(p, s, pz)
+        tr.hookup(p.next, p1, p1z)
+        tr.hookup(p.next.next, p2, p2z)
+        self.eng.likelihood = current_lh
+
+    # ------------------------------------------------------------------
+    # one SPR cycle over all nodes
+
+    def tree_optimize_rapid(self, mintrav: int, maxtrav: int,
+                            bt: BestList) -> float:
+        tr = self.tr
+        eng = self.eng
+        node_rectifier(tr)
+        maxtrav = min(maxtrav, tr.mxtips - 3)
+        self.ilist.reset()
+        bt.reset()
+        self.start_lh = self.end_lh = eng.likelihood
+
+        if self.do_cutoff:
+            if self.it_count == 0:
+                factor = 0.5 if self.big_cutoff else 1.0
+                self.lh_cutoff = factor * (eng.likelihood / -1000.0)
+            else:
+                factor = 0.5 if self.big_cutoff else 1.0
+                self.lh_cutoff = factor * (self.lh_avg / self.lh_dec)
+            self.it_count += 1
+            self.lh_avg = 0.0
+            self.lh_dec = 0
+
+        for i in range(1, 2 * tr.mxtips - 1):
+            self.best_of_node = C.UNLIKELY
+            if self.rearrange_big(tr.nodep[i], mintrav, maxtrav):
+                if self.thorough:
+                    if self.end_lh > self.start_lh:
+                        self.restore_tree_fast()
+                        self.start_lh = self.end_lh = eng.likelihood
+                        bt.save(tr, eng.likelihood, keep_identical=True)
+                    elif self.best_of_node != C.UNLIKELY:
+                        self.restore_topology_only(bt)
+                else:
+                    self.ilist.insert(tr.nodep[i], self.best_of_node)
+                    if self.end_lh > self.start_lh:
+                        self.restore_tree_fast()
+                        self.start_lh = self.end_lh = eng.likelihood
+
+        if not self.thorough:
+            self.thorough = True
+            for i in range(self.ilist.valid):
+                node = self.ilist.nodes[i]
+                if node is None:
+                    continue
+                self.best_of_node = C.UNLIKELY
+                if self.rearrange_big(node, mintrav, maxtrav):
+                    if self.end_lh > self.start_lh:
+                        self.restore_tree_fast()
+                        self.start_lh = self.end_lh = eng.likelihood
+                        bt.save(tr, eng.likelihood, keep_identical=True)
+                    elif self.best_of_node != C.UNLIKELY:
+                        self.restore_topology_only(bt)
+            self.thorough = False
+
+        return self.start_lh
+
+    # ------------------------------------------------------------------
+    # rearrangement-radius auto-tuning (determineRearrangementSetting :1752)
+
+    def determine_rearrangement_setting(self, best_t: BestList,
+                                        bt: BestList) -> int:
+        tr = self.tr
+        eng = self.eng
+        MAX_FAST = 26
+        maxtrav = 5
+        best_trav = 5
+        start_lh = eng.likelihood
+        impr = True
+        cutoff = self.do_cutoff
+        self.do_cutoff = False
+        bt.reset()
+        assert not self.thorough
+
+        while impr and maxtrav < MAX_FAST:
+            self._recall(best_t, 1)
+            node_rectifier(tr)
+            maxtrav = min(maxtrav, tr.mxtips - 3)
+            self.start_lh = self.end_lh = eng.likelihood
+
+            for i in range(1, 2 * tr.mxtips - 1):
+                self.best_of_node = C.UNLIKELY
+                if self.rearrange_big(tr.nodep[i], 1, maxtrav):
+                    if self.end_lh > self.start_lh:
+                        self.restore_tree_fast()
+                        self.start_lh = self.end_lh = eng.likelihood
+
+            eng.tree_evaluate(0.25)
+            bt.save(tr, eng.likelihood, keep_identical=True)
+
+            if eng.likelihood > start_lh:
+                start_lh = eng.likelihood
+                self.log_fn(eng.likelihood)
+                best_trav = maxtrav
+                impr = True
+            else:
+                impr = False
+
+            if self.do_cutoff:
+                self.lh_cutoff = self.lh_avg / self.lh_dec
+                self.it_count += 1
+                self.lh_avg = 0.0
+                self.lh_dec = 0
+            maxtrav += 5
+
+        self._recall(bt, 1)
+        self.do_cutoff = cutoff
+        return best_trav
+
+    def _recall(self, bl: BestList, rank: int):
+        snap = bl.recall(rank, self.tr)
+        if snap is not None:
+            self.eng.evaluate(self.tr.start, full_traversal_=True)
+
+    # ------------------------------------------------------------------
+    # RF convergence bookkeeping
+
+    def _bipartitions(self):
+        """Set of non-trivial bipartitions as frozensets of tip numbers."""
+        tr = self.tr
+        bips = set()
+
+        def rec(p: Node):
+            if tr.is_tip(p.number):
+                return frozenset((p.number,))
+            below = rec(p.next.back) | rec(p.next.next.back)
+            bips.add(below)
+            return below
+
+        root = tr.nodep[1].back
+        rec(root)
+        bips.discard(frozenset(range(1, tr.mxtips + 1)))
+        # remove the trivial bipartition adjacent to the root tip
+        full = frozenset(range(1, tr.mxtips + 1))
+        bips.discard(full - frozenset((1,)))
+        return bips
+
+    def _rf_converged(self, iteration: int) -> bool:
+        if not self.search_convergence:
+            return False
+        current = self._bipartitions()
+        slot = iteration % 2
+        prev = self.rf_slots[1 - slot]
+        self.rf_slots[slot] = current
+        if iteration > 0 and prev is not None:
+            rf = len(current.symmetric_difference(prev))
+            rrf = rf / (2.0 * (self.tr.mxtips - 3))
+            if rrf <= 0.01:
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # the full hill-climbing search (computeBIGRAPID :1914)
+
+    def compute_big_rapid(self, mod_opt_fn=None, estimate_model: bool = True):
+        tr = self.tr
+        eng = self.eng
+
+        best_t = BestList(1)
+        bt = BestList(20)
+        self.ilist.reset()
+
+        difference = 10.0
+        epsilon = 0.01
+        self.thorough = False
+
+        if estimate_model:
+            mod_opt_fn(10.0)
+        else:
+            eng.tree_evaluate(2.0)
+        self.log_fn(eng.likelihood)
+
+        best_t.save(tr, eng.likelihood, keep_identical=True)
+
+        if self.initial_radius is not None:
+            best_trav = self.initial_radius
+        else:
+            best_trav = self.determine_rearrangement_setting(best_t, bt)
+
+        if estimate_model:
+            mod_opt_fn(5.0)
+        else:
+            eng.tree_evaluate(1.0)
+
+        best_t.save(tr, eng.likelihood, keep_identical=True)
+
+        impr = True
+        if self.do_cutoff:
+            self.it_count = 0
+
+        fast_iterations = 0
+        lh = previous_lh = C.UNLIKELY
+
+        while impr:
+            self._recall(best_t, 1)
+            if self._rf_converged(fast_iterations):
+                break
+            fast_iterations += 1
+            eng.tree_evaluate(1.0)
+            best_t.save(tr, eng.likelihood, keep_identical=True)
+            self.log_fn(eng.likelihood)
+            lh = previous_lh = eng.likelihood
+
+            self.tree_optimize_rapid(1, best_trav, bt)
+
+            impr = False
+            for i in range(1, bt.nvalid + 1):
+                self._recall(bt, i)
+                eng.tree_evaluate(0.25)
+                difference = abs(eng.likelihood - previous_lh)
+                if eng.likelihood > lh and difference > epsilon:
+                    impr = True
+                    lh = eng.likelihood
+                    best_t.save(tr, eng.likelihood, keep_identical=True)
+
+        # ---------------- thorough (slow) SPR phase ----------------
+        self.rf_slots = [None, None]
+        self.thorough = True
+        impr = True
+        self._recall(best_t, 1)
+        eng.evaluate(tr.start, full_traversal_=True)
+        if estimate_model:
+            mod_opt_fn(1.0)
+        else:
+            eng.tree_evaluate(1.0)
+
+        thorough_iterations = 0
+        rearrangements_min = 1
+        rearrangements_max = self.step_width
+
+        while True:
+            self._recall(best_t, 1)
+            if impr:
+                rearrangements_min = 1
+                rearrangements_max = self.step_width
+                if self._rf_converged(thorough_iterations):
+                    break
+                thorough_iterations += 1
+            else:
+                rearrangements_max += self.step_width
+                rearrangements_min += self.step_width
+                if rearrangements_max > self.max_rearrange:
+                    break
+
+            eng.tree_evaluate(1.0)
+            previous_lh = lh = eng.likelihood
+            best_t.save(tr, eng.likelihood, keep_identical=True)
+            self.log_fn(eng.likelihood)
+
+            self.tree_optimize_rapid(rearrangements_min, rearrangements_max,
+                                     bt)
+            impr = False
+            for i in range(1, bt.nvalid + 1):
+                self._recall(bt, i)
+                eng.tree_evaluate(0.25)
+                difference = abs(eng.likelihood - previous_lh)
+                if eng.likelihood > lh and difference > epsilon:
+                    impr = True
+                    lh = eng.likelihood
+                    best_t.save(tr, eng.likelihood, keep_identical=True)
+
+        self._recall(best_t, 1)
+        eng.evaluate(tr.start, full_traversal_=True)
+        return eng.likelihood

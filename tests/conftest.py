@@ -10,3 +10,16 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+def pytest_addoption(parser):
+    parser.addoption('--runslow', action='store_true', default=False)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    if config.getoption('--runslow'):
+        return
+    skip = _pytest.mark.skip(reason='slow; use --runslow')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)
