@@ -9,8 +9,9 @@ makenewzGenericSpecial.c):
   (tipVector rows looked up by tip code, broadcast over rate categories),
   rows mxtips+1..2*mxtips-2 hold inner-node CLVs, row 2*mxtips-1 is a
   scratch row that traversal padding writes into. A per-partition
-  [2*mxtips] int32 vector holds cumulative weighted scaling counts
-  (the reference's globalScaler).
+  [2*mxtips, C, W] int32 array holds cumulative per-(category, site)
+  scale counters (refining the reference's per-node globalScaler so the
+  f32 path survives the inter-category magnitude spread).
 
 * A traversal wave is one jitted lax.scan over the packed descriptor:
   each step builds the two P matrices from (qz, rz) and the partition's
@@ -152,8 +153,6 @@ class LikelihoodEngine:
         self.partition_converged = np.zeros(num_branches, dtype=bool)
         self.execute_model = np.ones(self.n_models, dtype=bool)
 
-        self._jit_cache = {}
-
     # ------------------------------------------------------------------
     # device state construction
 
@@ -189,20 +188,55 @@ class LikelihoodEngine:
             jnp.full((self.n_cats,), 0.25, dtype=self.dtype)
             for _ in range(self.n_models)]
 
-        # CLV buffers and scalers
+        # CLV buffers and per-(category, site) scale counters
         self.clv = []
         self.scaler = []
         for m in range(self.n_models):
             S = self.partitions[m].states
             self.clv.append(jnp.zeros(
                 (self.rows, self.n_cats, self.widths[m], S), dtype=self.dtype))
-            self.scaler.append(jnp.zeros((self.rows,), dtype=jnp.int32))
+            self.scaler.append(jnp.zeros(
+                (self.rows, self.n_cats, self.widths[m]), dtype=jnp.int32))
+
+    def _resolve_model(self, pm: PartitionModel):
+        """Refresh rates/frequencies of empirical-matrix AA partitions
+        before the eigendecomposition (initReversibleGTR AA branch,
+        models.c:3495-3560). Note the protFreqs flag semantics: for AUTO,
+        1 = matrix ("fixed") frequencies; for fixed models, 1 = empirical."""
+        if pm.data_type != DataType.AA or pm.prot_model == ProtModel.GTR:
+            return
+        if pm.prot_model == ProtModel.AUTO:
+            rates, mfreqs = prot_rates_freqs(pm.auto_prot_model)
+            pm.subst_rates = rates
+            assert not pm.optimize_base_frequencies
+            pm.frequencies = (mfreqs if pm.prot_freqs
+                              else pm.empirical_frequencies.copy())
+        elif pm.prot_model in (ProtModel.LG4M, ProtModel.LG4X):
+            raise NotImplementedError('LG4 models pending')
+        else:
+            rates, mfreqs = prot_rates_freqs(pm.prot_model)
+            pm.subst_rates = rates
+            if not pm.optimize_base_frequencies:
+                pm.frequencies = (pm.empirical_frequencies.copy()
+                                  if pm.prot_freqs else mfreqs)
+
+    def reset_branches(self):
+        """All branches back to defaultz (optimizeModel.c resetBranches)."""
+        for i in range(1, 2 * self.mxtips - 1):
+            base = self.tree.nodep[i]
+            if base is None:
+                continue
+            ring = ([base] if self.tree.is_tip(i)
+                    else [base, base.next, base.next.next])
+            for p in ring:
+                p.z = [C.DEFAULTZ] * self.num_branches
 
     def update_eigen(self, models):
         """Recompute eigensystem + tip CLV rows after a parameter change
         (the analogue of initReversibleGTR, models.c:3462)."""
         for m in models:
             pm = self.partitions[m]
+            self._resolve_model(pm)
             inf = info_for(pm.data_type)
             es = make_eigen(pm.subst_rates, pm.frequencies, inf.bit_vectors)
             pm_gamma = make_gamma_cats(pm.alpha, self.n_cats, self.use_median)
@@ -292,10 +326,9 @@ class LikelihoodEngine:
                     pr = K.make_p(lzr, gamma[m], eign[m], ei[m])
                     x1 = clvs[m][qi]
                     x2 = clvs[m][ri]
-                    x3, inc = K.newview_kernel(
-                        x1, x2, pl, pr, ev[m], wgts[m], tt,
-                        self.min_scale, self.inv_min_scale)
-                    sc = scalers[m][qi] + scalers[m][ri] + inc.astype(jnp.int32)
+                    x3, sc = K.newview_kernel(
+                        x1, x2, scalers[m][qi], scalers[m][ri], pl, pr,
+                        ev[m], tt, self.min_scale, self.inv_min_scale)
                     # execute mask: masked partitions keep their old CLV
                     x3 = jnp.where(exec_mask[m], x3, clvs[m][pi])
                     sc = jnp.where(exec_mask[m], sc, scalers[m][pi])
@@ -321,12 +354,10 @@ class LikelihoodEngine:
                 col = self._branch_col(m)
                 lz = jnp.log(jnp.maximum(qz[col], C.ZMIN))
                 diag = jnp.exp(eign[m][None, :] * gamma[m][:, None] * lz)
-                scaler_sum = (scaler_list[m][p_row] + scaler_list[m][q_row]
-                              ).astype(self.dtype)
                 lh = K.evaluate_kernel(
-                    clv_list[m][q_row], clv_list[m][p_row], diag,
-                    rate_weights[m], wgts[m], scaler_sum,
-                    self.log_min_scale)
+                    clv_list[m][q_row], clv_list[m][p_row],
+                    scaler_list[m][q_row], scaler_list[m][p_row], diag,
+                    rate_weights[m], wgts[m], self.log_min_scale)
                 out.append(lh)
             return jnp.stack(out)
 
@@ -336,10 +367,17 @@ class LikelihoodEngine:
         n_models = self.n_models
 
         @jax.jit
-        def run(clv_list, p_row, q_row):
-            return tuple(K.sumtable_kernel(clv_list[m][p_row],
-                                           clv_list[m][q_row])
-                         for m in range(n_models))
+        def run(clv_list, scaler_list, p_row, q_row):
+            sums = []
+            srels = []
+            for m in range(n_models):
+                sums.append(K.sumtable_kernel(clv_list[m][p_row],
+                                              clv_list[m][q_row]))
+                s = scaler_list[m][p_row] + scaler_list[m][q_row]
+                smin = jnp.min(s, axis=0)
+                rel = (s - smin[None, :]).astype(self.dtype)
+                srels.append(jnp.exp(rel * self.log_min_scale))
+            return tuple(sums), tuple(srels)
 
         return run
 
@@ -347,12 +385,12 @@ class LikelihoodEngine:
         n_models = self.n_models
 
         @jax.jit
-        def run(sumtables, eign, gamma, wgts, lzs):
+        def run(sumtables, srels, eign, gamma, wgts, lzs):
             d1s, d2s = [], []
             for m in range(n_models):
                 col = self._branch_col(m)
-                d1, d2 = K.nr_core_kernel(sumtables[m], lzs[col], gamma[m],
-                                          eign[m], wgts[m])
+                d1, d2 = K.nr_core_kernel(sumtables[m], srels[m], lzs[col],
+                                          gamma[m], eign[m], wgts[m])
                 d1s.append(d1)
                 d2s.append(d2)
             return jnp.stack(d1s), jnp.stack(d2s)
@@ -448,7 +486,8 @@ class LikelihoodEngine:
         self._run_traversal(entries, self.execute_model if mask else None)
 
         sum_fn = self._get_jit('sumtable', 0)
-        sumtables = sum_fn(tuple(self.clv), p.number, q.number)
+        sumtables, srels = sum_fn(tuple(self.clv), tuple(self.scaler),
+                                  p.number, q.number)
         nr_fn = self._get_jit('nr_core', 0)
 
         # --- the NR loop state machine (topLevelMakenewz :1133-1349) ---
@@ -471,7 +510,7 @@ class LikelihoodEngine:
             z[active] = zc
             core_lz[active] = np.log(zc)
 
-            d1, d2 = nr_fn(sumtables, tuple(self.d_EIGN),
+            d1, d2 = nr_fn(sumtables, srels, tuple(self.d_EIGN),
                            tuple(self.d_gamma), tuple(self.wgts),
                            jnp.asarray(core_lz, dtype=self.dtype))
             d1 = np.asarray(d1, dtype=np.float64)

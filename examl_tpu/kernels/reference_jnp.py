@@ -37,38 +37,52 @@ def log_z(z):
     return jnp.log(jnp.maximum(z, ZMIN))
 
 
-def newview_kernel(x1, x2, p_left, p_right, EV, wgt, tip_tip,
+def newview_kernel(x1, x2, s1, s2, p_left, p_right, EV, tip_tip,
                    min_scale, inv_min_scale):
-    """One CLV update: children x1, x2 [C, W, S] -> (x3, scale_increment).
+    """One CLV update: children x1, x2 [C, W, S] with cumulative scale
+    counters s1, s2 [C, W] -> (x3, s3).
 
-    Scaling: when every |entry| across the C*S span of a site is below
-    min_scale, multiply the site by 1/min_scale and count wgt; TIP_TIP
-    updates never scale (newviewGAMMA_FLEX :600-616 and the TIP_TIP branch
-    which has no scaling check)."""
+    Scaling is per (site, rate-category): when every |entry| of a
+    category's state vector falls below min_scale, that block is multiplied
+    by 1/min_scale and its counter incremented. This refines the
+    reference's joint C*S-span check (newviewGAMMA_FLEX :600-616) — joint
+    scaling is fine in f64 but under f32 the spread between slow and fast
+    Γ categories exceeds the exponent range; per-category counters keep
+    every block in range at identical cost (power-of-two multiplies are
+    exact, so f64 results agree to rounding). TIP_TIP updates never scale,
+    like the reference's TIP_TIP branches."""
     a = jnp.einsum('cws,cls->cwl', x1, p_left)
     b = jnp.einsum('cws,cls->cwl', x2, p_right)
     x3 = jnp.einsum('cwl,lk->cwk', a * b, EV)
 
-    site_max = jnp.max(jnp.abs(x3), axis=(0, 2))                # [W]
-    do_scale = jnp.logical_and(site_max < min_scale,
-                               jnp.logical_not(tip_tip))        # [W]
-    x3 = jnp.where(do_scale[None, :, None], x3 * inv_min_scale, x3)
-    increment = jnp.sum(jnp.where(do_scale, wgt, 0).astype(jnp.int64))
-    return x3, increment
+    cat_max = jnp.max(jnp.abs(x3), axis=2)                      # [C, W]
+    do_scale = jnp.logical_and(cat_max < min_scale,
+                               jnp.logical_not(tip_tip))        # [C, W]
+    x3 = jnp.where(do_scale[:, :, None], x3 * inv_min_scale, x3)
+    s3 = s1 + s2 + do_scale.astype(s1.dtype)
+    return x3, s3
 
 
-def evaluate_kernel(x1, x2, diag, rate_weights, wgt, scaler_sum, log_min_scale):
+def evaluate_kernel(x1, x2, s1, s2, diag, rate_weights, wgt, log_min_scale):
     """Per-partition log likelihood at the root branch.
 
     diag [C, S] = exp(EIGN r_c log z); rate_weights [C] are the category
     weights *inside* the log (0.25 each for plain GAMMA; fitted weights for
-    LG4X) (evaluateGenericSpecial.c:195-200, :1164). scaler_sum is the
-    cumulative weighted scale count of both root-branch endpoints."""
+    LG4X) (evaluateGenericSpecial.c:195-200, :1164). s1, s2 [C, W] are the
+    endpoints' cumulative scale counters; each count means the stored block
+    is min_scale^-1 times the true value, undone here per category before
+    the cross-category sum (log-sum with the per-site minimum count pulled
+    out of the log)."""
     per_cat = jnp.einsum('cws,cs->cw', x1 * x2, diag)           # [C, W]
+    s = s1 + s2                                                 # [C, W]
+    smin = jnp.min(s, axis=0)                                   # [W]
+    rel = (s - smin[None, :]).astype(per_cat.dtype)
+    per_cat = per_cat * jnp.exp(rel * log_min_scale)
     term = jnp.einsum('c,cw->w', rate_weights, per_cat)         # [W]
-    site_log = jnp.log(jnp.abs(term))
+    site_log = (jnp.log(jnp.abs(term))
+                + smin.astype(per_cat.dtype) * log_min_scale)
     lh = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
-    return lh + scaler_sum * log_min_scale
+    return lh
 
 
 def sumtable_kernel(x1, x2):
@@ -76,12 +90,16 @@ def sumtable_kernel(x1, x2):
     return x1 * x2
 
 
-def nr_core_kernel(sumtable, lz, gamma_rates, EIGN, wgt):
+def nr_core_kernel(sumtable, srel, lz, gamma_rates, EIGN, wgt):
     """First/second derivative of the partition log-likelihood wrt lz
-    (coreGAMMA_FLEX :522-619). Returns (dlnLdlz, d2lnLdlz2) scalars."""
+    (coreGAMMA_FLEX :522-619). srel [C, W] is the branch endpoints'
+    combined scale count relative to the per-site minimum (the common
+    factor cancels in the derivative ratios). Returns scalars
+    (dlnLdlz, d2lnLdlz2)."""
     lam = EIGN[None, :] * gamma_rates[:, None]                  # [C, S]
     d = jnp.exp(lam * lz)                                       # [C, S]
     tmp = d[:, None, :] * sumtable                              # [C, W, S]
+    tmp = tmp * srel[:, :, None]
     inv_li = jnp.sum(tmp, axis=(0, 2))                          # [W]
     dln = jnp.einsum('cws,cs->w', tmp, lam)
     d2ln = jnp.einsum('cws,cs->w', tmp, lam * lam)

@@ -577,12 +577,98 @@ class ModelOptimizer:
             if abs(current - eng.likelihood) <= likelihood_epsilon:
                 break
 
-    def auto_protein(self):
-        """Protein AUTO model selection — lands with the protein milestone
-        (optimizeModel.c autoProtein :2669)."""
-        if any(pm.prot_model == ProtModel.AUTO
-               for pm in self.engine.partitions):
-            raise NotImplementedError('AUTO protein selection pending')
+    def _opt_model_sweep(self, empirical_freqs: bool):
+        """Score every candidate matrix for all AUTO partitions
+        (optimizeModel.c optModel :2606). Returns (best_index, best_score)
+        per partition."""
+        eng = self.engine
+        n = eng.n_models
+        best_index = np.full(n, -1)
+        best_score = np.full(n, C.UNLIKELY)
+        from ..models.protein import AUTO_CANDIDATES
+        for i, cand in enumerate(AUTO_CANDIDATES):
+            for m, pm in enumerate(eng.partitions):
+                if pm.prot_model == ProtModel.AUTO:
+                    pm.prot_freqs = not empirical_freqs
+                    assert not pm.optimize_base_frequencies
+                    pm.auto_prot_model = cand
+                    eng.update_eigen([m])
+            eng.reset_branches()
+            eng.evaluate(eng.tree.start, full_traversal_=True)
+            eng.tree_evaluate(0.5)
+            for m, pm in enumerate(eng.partitions):
+                if (pm.prot_model == ProtModel.AUTO
+                        and eng.per_partition_lh[m] > best_score[m]):
+                    best_score[m] = eng.per_partition_lh[m]
+                    best_index[m] = i
+        return best_index, best_score
+
+    def auto_protein(self, selection_type: str = 'ml'):
+        """Protein AUTO model selection (optimizeModel.c autoProtein
+        :2669): score all 19 empirical matrices with fixed and with
+        empirical frequencies, select per ML/BIC/AIC/AICc."""
+        from ..models.protein import AUTO_CANDIDATES
+        from ..search.topologies import snapshot_tree, restore_snapshot
+        eng = self.engine
+        autos = [m for m, pm in enumerate(eng.partitions)
+                 if pm.prot_model == ProtModel.AUTO]
+        if not autos:
+            return
+
+        snap = snapshot_tree(eng.tree, eng.likelihood)
+        eng.evaluate(eng.tree.start, full_traversal_=True)
+        start_lh = eng.likelihood
+        old_index = [eng.partitions[m].auto_prot_model for m in autos]
+        old_freqs = [eng.partitions[m].prot_freqs for m in autos]
+
+        best_idx_fixed, best_lh_fixed = self._opt_model_sweep(False)
+        best_idx_emp, best_lh_emp = self._opt_model_sweep(True)
+
+        for m in autos:
+            pm = eng.partitions[m]
+            samples = pm.partition_weight
+            free_fixed = 2.0 * eng.tree.ntips - 3
+            free_emp = free_fixed + 19.0
+            free_fixed += 1.0   # GAMMA alpha
+            free_emp += 1.0
+            lf, le = best_lh_fixed[m], best_lh_emp[m]
+            if selection_type == 'ml':
+                use_fixed = lf > le
+            elif selection_type == 'bic':
+                use_fixed = (-2 * lf + free_fixed * math.log(samples)
+                             < -2 * le + free_emp * math.log(samples))
+            elif selection_type == 'aic':
+                use_fixed = 2 * (free_fixed - lf) < 2 * (free_emp - le)
+            elif selection_type == 'aicc':
+                def aicc(free, lh):
+                    if abs(samples - free - 1.0) < 0.5:
+                        return 0.0
+                    return (2 * (free - lh)
+                            + 2 * free * (free + 1.0) / (samples - free - 1.0))
+                use_fixed = aicc(free_fixed, lf) < aicc(free_emp, le)
+            else:
+                raise ValueError(selection_type)
+            if use_fixed:
+                pm.auto_prot_model = AUTO_CANDIDATES[int(best_idx_fixed[m])]
+                pm.prot_freqs = True
+            else:
+                pm.auto_prot_model = AUTO_CANDIDATES[int(best_idx_emp[m])]
+                pm.prot_freqs = False
+            eng.update_eigen([m])
+
+        eng.reset_branches()
+        eng.evaluate(eng.tree.start, full_traversal_=True)
+        eng.tree_evaluate(2.0)
+
+        if eng.likelihood < start_lh:
+            for m, oi, of in zip(autos, old_index, old_freqs):
+                pm = eng.partitions[m]
+                pm.auto_prot_model = oi
+                pm.prot_freqs = of
+                eng.update_eigen([m])
+            restore_snapshot(eng.tree, snap)
+            eng.evaluate(eng.tree.start, full_traversal_=True)
+        assert eng.likelihood >= start_lh - 1e-6
 
     @staticmethod
     def _check_tolerance(l1, l2):

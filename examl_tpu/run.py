@@ -1,0 +1,78 @@
+"""High-level analysis drivers: the programmatic equivalents of the
+reference main() modes (reference: examl/axml.c:2573-2794).
+
+run_tree_evaluation  == -f e (optimize model + branch lengths on fixed trees)
+run_search           == -f d (full ML search, computeBIGRAPID)
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+from .engine import LikelihoodEngine
+from .io.bytefile import Alignment, read_bytefile
+from .io.newick import parse_newick, write_newick
+from .optimize.model_opt import ModelOptimizer
+from .search.spr import SprSearch
+from .tree import Tree
+
+
+@dataclasses.dataclass
+class RunResult:
+    likelihood: float
+    tree_newick: str
+    engine: LikelihoodEngine
+    log: List  # [(seconds, lnL), ...]
+
+
+def _setup(alignment: Alignment, tree_newick: str, **engine_kwargs):
+    tree = Tree(alignment.taxon_names)
+    parse_newick(tree_newick, tree)
+    engine = LikelihoodEngine(alignment, tree, **engine_kwargs)
+    return engine
+
+
+def run_tree_evaluation(alignment: Alignment, tree_newick: str,
+                        likelihood_epsilon: float = 0.1,
+                        **engine_kwargs) -> RunResult:
+    """Evaluate/optimize a fixed topology (reference optimizeTrees :2251)."""
+    engine = _setup(alignment, tree_newick, **engine_kwargs)
+    tr = engine.tree
+    engine.evaluate(tr.start, full_traversal_=True)
+    engine.tree_evaluate(1.0)
+    ModelOptimizer(engine).mod_opt(likelihood_epsilon)
+    return RunResult(engine.likelihood, write_newick(tr), engine, [])
+
+
+def run_search(alignment: Alignment, tree_newick: str,
+               estimate_model: bool = True,
+               initial_radius: Optional[int] = None,
+               search_convergence: bool = False,
+               step_width: int = 5, max_rearrange: int = 21,
+               verbose: bool = False,
+               **engine_kwargs) -> RunResult:
+    """Full ML search (reference BIG_RAPID_MODE path, axml.c:2730-2772)."""
+    engine = _setup(alignment, tree_newick, **engine_kwargs)
+    tr = engine.tree
+
+    t0 = time.time()
+    log: List = []
+
+    def log_fn(lnl):
+        log.append((time.time() - t0, lnl))
+        if verbose:
+            print(f'[{time.time() - t0:9.2f}s] lnL {lnl:.6f}', flush=True)
+
+    engine.evaluate(tr.start, full_traversal_=True)
+    engine.tree_evaluate(1.0)
+
+    optimizer = ModelOptimizer(engine)
+    search = SprSearch(engine, step_width=step_width,
+                       max_rearrange=max_rearrange,
+                       initial_radius=initial_radius,
+                       search_convergence=search_convergence,
+                       log_fn=log_fn)
+    lnl = search.compute_big_rapid(mod_opt_fn=optimizer.mod_opt,
+                                   estimate_model=estimate_model)
+    return RunResult(lnl, write_newick(tr), engine, log)
