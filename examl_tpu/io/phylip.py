@@ -1,0 +1,288 @@
+"""Alignment "compiler": PHYLIP + partition file -> compressed Alignment.
+
+The standalone equivalent of the reference's parse-examl (reference:
+parser/axml.c getinput :760, makeweights/sitesort/sitecombcrunch
+:1421-1683, makevalues :1690, baseFrequenciesGTR :2617,
+parser/parsePartitions.c :100-460):
+
+1. read relaxed PHYLIP (sequential or interleaved), encode tip codes;
+2. assign partition models from the partition file (DNA/BIN/MULTI/CODON or
+   an AA matrix name, with F = empirical model frequencies and X = optimize
+   frequencies suffixes), ranges "a-b", "a-b\\m" (stride), single columns;
+3. sort columns by (partition, content) and collapse identical columns into
+   weighted patterns, dropping all-undetermined columns;
+4. lay patterns out partition-major and compute per-partition empirical
+   frequencies with an 8-step EM over ambiguity codes (AA frequencies
+   smoothed up to FREQ_MIN).
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import numpy as np
+
+from ..constants import FREQ_MIN
+from ..datatypes import DataType, ProtModel, encode_sequence, info_for
+from .bytefile import Alignment, PartitionMeta
+
+PROT_MODEL_NAMES = [
+    'DAYHOFF', 'DCMUT', 'JTT', 'MTREV', 'WAG', 'RTREV', 'CPREV', 'VT',
+    'BLOSUM62', 'MTMAM', 'LG', 'MTART', 'MTZOA', 'PMB', 'HIVB', 'HIVW',
+    'JTTDCMUT', 'FLU', 'STMTREV', 'AUTO', 'LG4M', 'LG4X', 'GTR',
+]
+
+
+def read_phylip(path: str) -> Tuple[List[str], List[str]]:
+    """Return (taxon_names, sequences) from a relaxed PHYLIP file
+    (sequential or interleaved)."""
+    with open(path) as fh:
+        header = fh.readline().split()
+        n_taxa, n_sites = int(header[0]), int(header[1])
+        names: List[str] = []
+        seqs: List[List[str]] = [[] for _ in range(n_taxa)]
+        lengths = [0] * n_taxa
+        idx = 0
+        first_pass = True
+        for raw in fh:
+            line = raw.strip()
+            if not line:
+                continue
+            if first_pass:
+                parts = line.split(None, 1)
+                names.append(parts[0])
+                chunk = parts[1].replace(' ', '').replace('\t', '') \
+                    if len(parts) > 1 else ''
+            else:
+                chunk = line.replace(' ', '').replace('\t', '')
+            seqs[idx].append(chunk)
+            lengths[idx] += len(chunk)
+            idx += 1
+            if idx == n_taxa:
+                idx = 0
+                first_pass = False
+            if all(l >= n_sites for l in lengths):
+                break
+    sequences = [''.join(s)[:n_sites] for s in seqs]
+    for i, s in enumerate(sequences):
+        if len(s) != n_sites:
+            raise ValueError(f'taxon {names[i]}: {len(s)} != {n_sites} sites')
+    return names, sequences
+
+
+class PartitionSpec:
+    def __init__(self, name, data_type, prot_model, prot_freqs,
+                 optimize_bf, ranges):
+        self.name = name
+        self.data_type = data_type
+        self.prot_model = prot_model
+        self.prot_freqs = prot_freqs
+        self.optimize_bf = optimize_bf
+        self.ranges = ranges  # list of (lower0, upper0_exclusive, stride)
+
+
+def parse_partition_file(path: str, n_sites: int) -> List[PartitionSpec]:
+    specs = []
+    with open(path) as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line:
+                continue
+            left, right = line.split('=', 1)
+            left = left.replace(' ', '').replace('\t', '')
+            model, name = left.split(',', 1)
+            mu = model.upper()
+
+            prot_model = ProtModel.NONE
+            prot_freqs = False
+            optimize_bf = False
+            if mu in ('DNA', 'DNAX'):
+                data_type = DataType.DNA
+                optimize_bf = mu.endswith('X')
+            elif mu in ('BIN', 'BINX'):
+                data_type = DataType.BINARY
+                optimize_bf = mu.endswith('X')
+            else:
+                data_type = DataType.AA
+                base, suffix = mu, ''
+                if mu not in PROT_MODEL_NAMES and mu[-1] in 'FX':
+                    base, suffix = mu[:-1], mu[-1]
+                if base not in PROT_MODEL_NAMES:
+                    raise ValueError(f'unknown partition model {model!r}')
+                prot_model = ProtModel[base]
+                if suffix == 'F':
+                    if prot_model in (ProtModel.AUTO, ProtModel.LG4M,
+                                      ProtModel.LG4X):
+                        raise ValueError(f'{mu}: F suffix deprecated here')
+                    prot_freqs = True
+                elif suffix == 'X':
+                    if prot_model in (ProtModel.AUTO, ProtModel.LG4M,
+                                      ProtModel.LG4X):
+                        raise ValueError(f'{mu}: X suffix deprecated here')
+                    optimize_bf = True
+
+            ranges = []
+            for token in right.replace(' ', '').replace('\t', '').split(','):
+                if not token:
+                    continue
+                m = re.fullmatch(r'(\d+)(?:-(\d+))?(?:\\(\d+))?', token)
+                if not m:
+                    raise ValueError(f'bad range {token!r}')
+                lo = int(m.group(1))
+                hi = int(m.group(2)) if m.group(2) else lo
+                stride = int(m.group(3)) if m.group(3) else 1
+                if not (1 <= lo <= hi <= n_sites):
+                    raise ValueError(f'range {token!r} outside 1-{n_sites}')
+                ranges.append((lo - 1, hi, stride))
+            specs.append(PartitionSpec(name, data_type, prot_model,
+                                       prot_freqs, optimize_bf, ranges))
+    return specs
+
+
+def _empirical_frequencies(codes: np.ndarray, states: int, bit_vectors,
+                           weights: np.ndarray, smooth: bool) -> np.ndarray:
+    """8-step EM over ambiguity codes (parser/axml.c
+    genericBaseFrequencies :2420)."""
+    bits = np.asarray(bit_vectors)[codes]            # [taxa, width]
+    masks = ((bits[:, :, None] >> np.arange(states)[None, None, :]) & 1
+             ).astype(np.float64)                    # [taxa, width, states]
+    w = weights.astype(np.float64)
+
+    pfreqs = np.full(states, 1.0 / states)
+    for _ in range(8):
+        temp = masks * pfreqs[None, None, :]
+        acc = temp.sum(axis=2)                       # [taxa, width]
+        wj = w[None, :] / acc
+        sumf = (temp * wj[:, :, None]).sum(axis=(0, 1))
+        pfreqs = sumf / sumf.sum()
+
+    if smooth:
+        # push tiny frequencies up to FREQ_MIN (parser smoothFreqs :2331)
+        guard = 0
+        while np.any(pfreqs < FREQ_MIN):
+            correction = 0.0
+            factor = 1.0
+            for v in pfreqs:
+                if v == 0.0:
+                    correction += FREQ_MIN
+                elif v < FREQ_MIN:
+                    correction += FREQ_MIN - v
+                    factor -= FREQ_MIN - v
+            pfreqs = np.where(pfreqs >= FREQ_MIN,
+                              pfreqs - pfreqs * correction * factor,
+                              FREQ_MIN)
+            guard += 1
+            assert guard < 100
+    else:
+        if np.any(pfreqs == 0.0):
+            raise ValueError('empirical base frequency of zero; fix data')
+    return pfreqs
+
+
+def build_alignment(names: List[str], sequences: List[str],
+                    specs: List[PartitionSpec],
+                    compress: bool = True) -> Alignment:
+    n_taxa = len(names)
+    n_sites = len(sequences[0])
+
+    # per-site partition assignment
+    site_model = np.full(n_sites, -1, dtype=np.int64)
+    for mi, spec in enumerate(specs):
+        for lo, hi, stride in spec.ranges:
+            cols = np.arange(lo, hi, stride)
+            if np.any(site_model[cols] != -1):
+                bad = cols[site_model[cols] != -1][0]
+                raise ValueError(f'column {bad + 1} assigned twice')
+            site_model[cols] = mi
+    if np.any(site_model == -1):
+        bad = int(np.argmax(site_model == -1))
+        raise ValueError(f'column {bad + 1} not assigned to any partition')
+
+    # encode all taxa with the per-column data type
+    raw = np.zeros((n_taxa, n_sites), dtype=np.uint8)
+    for mi, spec in enumerate(specs):
+        cols = site_model == mi
+        for t in range(n_taxa):
+            seq = np.frombuffer(sequences[t].encode('ascii'), dtype=np.uint8)
+            sub = ''.join(chr(c) for c in seq[cols])
+            raw[t, cols] = encode_sequence(sub, spec.data_type)
+
+    gaps = 0
+    total = 0
+    for mi, spec in enumerate(specs):
+        und = info_for(spec.data_type).undetermined
+        cols = site_model == mi
+        gaps += int((raw[:, cols] == und).sum())
+        total += int(cols.sum()) * n_taxa
+    gappyness = gaps / total
+
+    # drop all-undetermined columns
+    undet = np.zeros(n_sites, dtype=bool)
+    for mi, spec in enumerate(specs):
+        und = info_for(spec.data_type).undetermined
+        cols = np.flatnonzero(site_model == mi)
+        undet[cols] = np.all(raw[:, cols] == und, axis=0)
+    keep = ~undet
+    raw = raw[:, keep]
+    site_model = site_model[keep]
+
+    # sort by (partition, column content) and collapse duplicates
+    order = np.lexsort(tuple(raw[t] for t in range(n_taxa - 1, -1, -1))
+                       + (site_model,))
+    raw = raw[:, order]
+    site_model = site_model[order]
+    if compress:
+        keyed = np.vstack([site_model[None, :].astype(np.uint8) * 0
+                           + site_model[None, :].astype(np.uint8), raw])
+        change = np.ones(raw.shape[1], dtype=bool)
+        if raw.shape[1] > 1:
+            same = np.all(keyed[:, 1:] == keyed[:, :-1], axis=0)
+            change[1:] = ~same
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, raw.shape[1]))
+        patterns = raw[:, starts]
+        pat_model = site_model[starts]
+        weights = counts.astype(np.int32)
+    else:
+        patterns = raw
+        pat_model = site_model
+        weights = np.ones(raw.shape[1], dtype=np.int32)
+
+    # partition-major layout with per-partition [lower, upper)
+    partitions = []
+    codes_list = []
+    wgt_list = []
+    lower = 0
+    for mi, spec in enumerate(specs):
+        sel = pat_model == mi
+        width = int(sel.sum())
+        part_codes = patterns[:, sel]
+        part_w = weights[sel]
+        inf = info_for(spec.data_type)
+        freqs = _empirical_frequencies(
+            part_codes, inf.states, inf.bit_vectors, part_w,
+            smooth=(spec.data_type == DataType.AA))
+        partitions.append(PartitionMeta(
+            name=spec.name, states=inf.states,
+            max_tip_states=inf.max_tip_states,
+            lower=lower, upper=lower + width,
+            data_type=spec.data_type, prot_model=spec.prot_model,
+            prot_freqs=spec.prot_freqs, non_gtr=False,
+            optimize_base_frequencies=spec.optimize_bf,
+            frequencies=freqs))
+        codes_list.append(part_codes)
+        wgt_list.append(part_w)
+        lower += width
+
+    codes = np.concatenate(codes_list, axis=1)
+    all_weights = np.concatenate(wgt_list)
+    return Alignment(n_taxa=n_taxa, n_patterns=codes.shape[1],
+                     gappyness=gappyness, weights=all_weights,
+                     taxon_names=names, partitions=partitions, codes=codes)
+
+
+def parse_phylip(alignment_path: str, partition_path: str,
+                 compress: bool = True) -> Alignment:
+    names, sequences = read_phylip(alignment_path)
+    specs = parse_partition_file(partition_path, len(sequences[0]))
+    return build_alignment(names, sequences, specs, compress=compress)

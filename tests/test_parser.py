@@ -1,0 +1,39 @@
+"""The standalone PHYLIP parser must produce byte-identical compressed
+alignments to the reference parse-examl (patterns, weights, layout,
+empirical frequencies) on both bundled datasets."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from examl_tpu.io.bytefile import read_bytefile, write_bytefile
+from examl_tpu.io.phylip import parse_phylip
+
+REF = pathlib.Path('/root/reference/testData')
+DATA = pathlib.Path(__file__).resolve().parent / 'data'
+
+
+@pytest.mark.parametrize('name,model', [('49', '49.model'),
+                                        ('140', '140.model')])
+def test_parser_matches_reference_bytefile(name, model):
+    mine = parse_phylip(str(REF / name), str(REF / model))
+    ref = read_bytefile(str(DATA / f'{name}.binary'))
+    assert mine.n_patterns == ref.n_patterns
+    assert np.array_equal(mine.weights, ref.weights)
+    assert np.array_equal(mine.codes, ref.codes)
+    assert mine.taxon_names == ref.taxon_names
+    assert mine.gappyness == pytest.approx(ref.gappyness, abs=1e-12)
+    for pm, pr in zip(mine.partitions, ref.partitions):
+        assert (pm.name, pm.lower, pm.upper) == (pr.name, pr.lower, pr.upper)
+        assert int(pm.data_type) == int(pr.data_type)
+        assert int(pm.prot_model) == int(pr.prot_model)
+        assert np.allclose(pm.frequencies, pr.frequencies, atol=1e-12)
+
+
+def test_bytefile_roundtrip(tmp_path):
+    mine = parse_phylip(str(REF / '49'), str(REF / '49.model'))
+    path = tmp_path / 'rt.binary'
+    write_bytefile(str(path), mine)
+    back = read_bytefile(str(path))
+    assert np.array_equal(back.codes, mine.codes)
+    assert np.array_equal(back.weights, mine.weights)
