@@ -1,0 +1,165 @@
+"""Command-line interface.
+
+Two subcommands mirroring the reference executables (reference:
+examl/axml.c get_args :935 / main :2573, parser/axml.c main :2689):
+
+  examl-tpu parse  -s alignment -q partitionFile -m DNA|PROT|BIN -n name
+  examl-tpu run    -s bytefile  -t startingTree -n name
+                   [-m GAMMA|PSR] [-f d|e|E] [-e eps] [-i radius] [-D] [-M]
+                   [-a] [-B n] [-w workdir] [--auto-prot=ml|bic|aic|aicc]
+
+Outputs mirror the reference artifacts: ExaML_info.NAME (run log),
+ExaML_result.NAME (best tree), ExaML_log.NAME ((seconds, lnL) series),
+ExaML_modelFile.NAME (fitted parameters).
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+
+def _info(path, msg):
+    print(msg, end='')
+    with open(path, 'a') as fh:
+        fh.write(msg)
+
+
+def cmd_parse(args):
+    from .io.bytefile import write_bytefile
+    from .io.phylip import parse_phylip
+
+    aln = parse_phylip(args.s, args.q, compress=not args.no_compression)
+    out = f'{args.n}.binary'
+    write_bytefile(out, aln)
+    print(f'Alignment has {aln.n_patterns} unique patterns')
+    print(f'gappyness: {aln.gappyness:f}')
+    print(f'Binary and compressed alignment file written to file {out}')
+    return 0
+
+
+def _print_model_params(engine, path):
+    from .datatypes import DataType, ProtModel
+    lines = []
+    for m, pm in enumerate(engine.partitions):
+        lines.append(f'Model Parameters of Partition {m}, Name: {pm.name}, '
+                     f'Type of Data: {pm.data_type.name}\n')
+        lines.append(f'alpha: {pm.alpha:f}\n')
+        if pm.data_type == DataType.DNA:
+            labels = ['A <-> C', 'A <-> G', 'A <-> T', 'C <-> G', 'C <-> T',
+                      'G <-> T']
+            for lab, r in zip(labels, pm.subst_rates):
+                lines.append(f'rate {lab}: {r:f}\n')
+            lines.append('\n')
+            for base, f in zip('ACGT', pm.frequencies):
+                lines.append(f'freq pi({base}): {f:f}\n')
+        elif pm.data_type == DataType.AA:
+            model = (pm.auto_prot_model if pm.prot_model == ProtModel.AUTO
+                     else pm.prot_model)
+            lines.append(f'Substitution Matrix: {model.name}\n')
+            for i, f in enumerate(pm.frequencies):
+                lines.append(f'freq pi({i}): {f:f}\n')
+        lines.append('\n\n')
+    with open(path, 'w') as fh:
+        fh.writelines(lines)
+
+
+def cmd_run(args):
+    import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+    if args.f64:
+        jax.config.update('jax_enable_x64', True)
+
+    from .io.bytefile import read_bytefile
+    from .run import run_search, run_tree_evaluation
+
+    workdir = args.w or os.getcwd()
+    info_path = os.path.join(workdir, f'ExaML_info.{args.n}')
+    result_path = os.path.join(workdir, f'ExaML_result.{args.n}')
+    log_path = os.path.join(workdir, f'ExaML_log.{args.n}')
+    model_path = os.path.join(workdir, f'ExaML_modelFile.{args.n}')
+    open(info_path, 'w').close()
+
+    aln = read_bytefile(args.s)
+    tree_newick = open(args.t).read()
+
+    _info(info_path, f'examl-tpu analysis name: {args.n}\n')
+    _info(info_path, f'{aln.n_taxa} taxa, {aln.n_patterns} patterns, '
+                     f'{len(aln.partitions)} partitions\n\n')
+
+    t0 = time.time()
+    kwargs = dict(num_branches=(len(aln.partitions) if args.M else 1),
+                  use_median=args.a)
+
+    if args.f in ('e', 'E'):
+        res = run_tree_evaluation(aln, tree_newick,
+                                  likelihood_epsilon=args.e, **kwargs)
+    else:
+        res = run_search(aln, tree_newick,
+                         initial_radius=args.i,
+                         search_convergence=args.D,
+                         verbose=True, **kwargs)
+        with open(log_path, 'w') as fh:
+            for sec, lnl in res.log:
+                fh.write(f'{sec:f} {lnl:f}\n')
+
+    with open(result_path, 'w') as fh:
+        fh.write(res.tree_newick + '\n')
+    _print_model_params(res.engine, model_path)
+
+    _info(info_path,
+          f'\nLikelihood of best tree: {res.likelihood:f}\n'
+          f'Overall Time for 1 Inference {time.time() - t0:f}\n'
+          f'Final tree written to: {result_path}\n')
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog='examl-tpu')
+    sub = parser.add_subparsers(dest='cmd', required=True)
+
+    p = sub.add_parser('parse', help='compile PHYLIP alignment to byte file')
+    p.add_argument('-s', required=True, help='PHYLIP alignment')
+    p.add_argument('-q', required=True, help='partition model file')
+    p.add_argument('-m', default='DNA', help='fallback model (DNA|PROT|BIN)')
+    p.add_argument('-n', required=True, help='output name')
+    p.add_argument('-c', dest='no_compression', action='store_true',
+                   help='disable pattern compression')
+    p.set_defaults(fn=cmd_parse)
+
+    r = sub.add_parser('run', help='run inference on a byte file')
+    r.add_argument('-s', required=True, help='binary alignment file')
+    r.add_argument('-t', required=True, help='starting tree (Newick)')
+    r.add_argument('-n', required=True, help='run name')
+    r.add_argument('-m', default='GAMMA', choices=['GAMMA', 'PSR'],
+                   help='rate heterogeneity model')
+    r.add_argument('-f', default='d', choices=['d', 'e', 'E', 'o'],
+                   help='d = ML search, e/E = evaluate fixed trees')
+    r.add_argument('-e', type=float, default=0.1,
+                   help='likelihood epsilon')
+    r.add_argument('-i', type=int, default=None,
+                   help='initial rearrangement radius')
+    r.add_argument('-D', action='store_true',
+                   help='RF convergence criterion')
+    r.add_argument('-M', action='store_true',
+                   help='per-partition branch lengths')
+    r.add_argument('-a', action='store_true', help='median gamma')
+    r.add_argument('-B', type=int, default=0, help='save N best ML trees')
+    r.add_argument('-w', default=None, help='output directory')
+    r.add_argument('--auto-prot', default='ml',
+                   choices=['ml', 'bic', 'aic', 'aicc'])
+    r.add_argument('--platform', default=None,
+                   help='jax platform override (cpu|axon|tpu)')
+    r.add_argument('--f64', action='store_true',
+                   help='double-precision likelihood arithmetic')
+    r.set_defaults(fn=cmd_run)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == '__main__':
+    sys.exit(main())

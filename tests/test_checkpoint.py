@@ -1,0 +1,43 @@
+"""Checkpoint round-trip: write after branch-length optimization, reload
+into a fresh engine, verify identical likelihood and parameters."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from examl_tpu.checkpoint import Checkpointer, SearchState
+from examl_tpu.engine import LikelihoodEngine
+from examl_tpu.io.bytefile import read_bytefile
+from examl_tpu.io.newick import parse_newick
+from examl_tpu.tree import Tree
+
+REF = pathlib.Path('/root/reference/testData')
+DATA = pathlib.Path(__file__).resolve().parent / 'data'
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    aln = read_bytefile(str(DATA / '49.binary'))
+    tree = Tree(aln.taxon_names)
+    parse_newick((REF / '49.tree').read_text(), tree)
+    eng = LikelihoodEngine(aln, tree)
+    eng.evaluate(tree.start, full_traversal_=True)
+    eng.tree_evaluate(1.0)
+    eng.partitions[0].alpha = 0.31
+    eng.update_gamma([0])
+    lnl = eng.evaluate(tree.start, full_traversal_=True)
+
+    ck = Checkpointer('t', workdir=str(tmp_path))
+    state = SearchState(likelihood=lnl, fast_iterations=3)
+    path = ck.write(eng, state)
+
+    aln2 = read_bytefile(str(DATA / '49.binary'))
+    tree2 = Tree(aln2.taxon_names)
+    parse_newick((REF / '49.tree').read_text(), tree2)
+    eng2 = LikelihoodEngine(aln2, tree2)
+    state2 = Checkpointer.read(path, eng2)
+
+    assert state2.fast_iterations == 3
+    assert eng2.partitions[0].alpha == pytest.approx(0.31)
+    lnl2 = eng2.evaluate(tree2.start, full_traversal_=True)
+    assert lnl2 == pytest.approx(lnl, abs=1e-9)
+    assert Checkpointer.latest('t', str(tmp_path)) == path
