@@ -26,34 +26,37 @@ ITERS = 30
 
 def main():
     import jax
+    # the axon remote-compile path is slow; persist compiled executables so
+    # repeat runs (e.g. the driver's) start instantly
+    import os
+    os.makedirs('/root/repo/.jax_cache', exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
     import jax.numpy as jnp
     sys.path.insert(0, '/root/repo')
     from __graft_entry__ import _synthetic
-    from examl_tpu.functional import traversal_wave
+    from examl_tpu.functional import level_wave
 
-    args, consts = _synthetic(n_taxa=N_TAXA, sites=SITES, dtype=jnp.float32)
+    args, consts, level_args = _synthetic(n_taxa=N_TAXA, sites=SITES,
+                                          dtype=jnp.float32)
 
     fn = jax.jit(
-        lambda clv, scaler, eign, ei, ev, gamma, p, q, r, tt, qz, rz:
-        traversal_wave(clv, scaler, eign, ei, ev, gamma, p, q, r, tt, qz, rz,
-                       consts['min_scale'], consts['inv_min_scale']),
+        lambda clv, scaler, eign, ei, ev, gamma:
+        level_wave(clv, scaler, eign, ei, ev, gamma, level_args,
+                   consts['min_scale'], consts['inv_min_scale']),
         donate_argnums=(0, 1))
 
     a = args
-    call_args = (a['clv'], a['scaler'], a['eign'], a['ei'], a['ev'],
-                 a['gamma'], a['p_idx'], a['q_idx'], a['r_idx'],
-                 a['tip_tip'], a['qz'], a['rz'])
-
     # warmup/compile
-    clv, scaler = fn(*call_args)
+    clv, scaler = fn(a['clv'], a['scaler'], a['eign'], a['ei'], a['ev'],
+                     a['gamma'])
     jax.block_until_ready(clv)
 
-    n_updates_per_iter = int(np.sum(np.asarray(a['p_idx']) != 2 * N_TAXA - 1))
+    n_updates_per_iter = sum(lv[0].shape[0] for lv in level_args)
     t0 = time.time()
     for _ in range(ITERS):
-        clv, scaler = fn(clv, scaler, a['eign'], a['ei'], a['ev'], a['gamma'],
-                         a['p_idx'], a['q_idx'], a['r_idx'], a['tip_tip'],
-                         a['qz'], a['rz'])
+        clv, scaler = fn(clv, scaler, a['eign'], a['ei'], a['ev'], a['gamma'])
     jax.block_until_ready(clv)
     dt = time.time() - t0
 

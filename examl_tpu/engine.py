@@ -115,7 +115,7 @@ class LikelihoodEngine:
                  dtype=None, rate_het: str = 'GAMMA', pad: int = 8,
                  num_branches: int = 1, use_median: bool = False,
                  sharding=None):
-        assert rate_het == 'GAMMA', 'CAT lands in a later milestone'
+        assert rate_het in ('GAMMA', 'PSR')
         self.aln = alignment
         self.tree = tree
         self.rate_het = rate_het
@@ -134,7 +134,10 @@ class LikelihoodEngine:
 
         self.mxtips = tree.mxtips
         self.rows = 2 * self.mxtips          # CLV rows incl. scratch row
-        self.n_cats = 4
+        self.is_psr = rate_het == 'PSR'
+        self.n_cats = 1 if self.is_psr else 4
+        self.max_categories = 25
+        self.optimize_rate_category_invocations = 1
 
         self.partitions: List[PartitionModel] = [
             default_partition_model(m) for m in alignment.partitions]
@@ -185,8 +188,24 @@ class LikelihoodEngine:
         self.d_tipvec = [None] * self.n_models
         self.d_gamma = [None] * self.n_models
         self.d_rate_weights = [
-            jnp.full((self.n_cats,), 0.25, dtype=self.dtype)
+            jnp.full((self.n_cats,), 1.0 if self.is_psr else 0.25,
+                     dtype=self.dtype)
             for _ in range(self.n_models)]
+
+        # PSR state (reference initModel :4190-4214): one category, rate 1
+        self.num_categories = [1] * self.n_models
+        self.psr_rates = [np.concatenate(([1.0],
+                                          np.zeros(self.max_categories - 1)))
+                          for _ in range(self.n_models)]
+        self.patrat = [np.ones(W) for W in self.widths]
+        self.lhs = [np.zeros(W) for W in self.widths]
+        self.rate_category = [np.zeros(W, dtype=np.int32)
+                              for W in self.widths]
+        self.d_psr_rates = [jnp.asarray(r, dtype=self.dtype)
+                            for r in self.psr_rates]
+        self.d_rate_cat = [jnp.asarray(c) for c in self.rate_category]
+        self.d_site_rates = [jnp.ones(W, dtype=self.dtype)
+                             for W in self.widths]
 
         # CLV buffers and per-(category, site) scale counters
         self.clv = []
@@ -239,7 +258,9 @@ class LikelihoodEngine:
             self._resolve_model(pm)
             inf = info_for(pm.data_type)
             es = make_eigen(pm.subst_rates, pm.frequencies, inf.bit_vectors)
-            pm_gamma = make_gamma_cats(pm.alpha, self.n_cats, self.use_median)
+            pm_gamma = (np.ones(1) if self.is_psr else
+                        make_gamma_cats(pm.alpha, self.n_cats,
+                                        self.use_median))
             self.d_EIGN[m] = jnp.asarray(es.EIGN, dtype=self.dtype)
             self.d_EI[m] = jnp.asarray(es.EI, dtype=self.dtype)
             self.d_EV[m] = jnp.asarray(es.EV, dtype=self.dtype)
@@ -249,11 +270,32 @@ class LikelihoodEngine:
 
     def update_gamma(self, models):
         """Alpha changed only: refresh discrete rates."""
+        if self.is_psr:
+            return
         for m in models:
             pm = self.partitions[m]
             self.d_gamma[m] = jnp.asarray(
                 make_gamma_cats(pm.alpha, self.n_cats, self.use_median),
                 dtype=self.dtype)
+
+    def set_psr_state(self, m, num_categories=None, per_site_rates=None,
+                      rate_category=None):
+        """Install new PSR categories/rates for partition m and refresh
+        the device-side gathered per-site rate vector."""
+        assert self.is_psr
+        if num_categories is not None:
+            self.num_categories[m] = int(num_categories)
+        if per_site_rates is not None:
+            rates = np.zeros(self.max_categories)
+            rates[:len(per_site_rates)] = per_site_rates
+            self.psr_rates[m] = rates
+        if rate_category is not None:
+            self.rate_category[m] = np.asarray(rate_category, dtype=np.int32)
+        self.d_psr_rates[m] = jnp.asarray(self.psr_rates[m],
+                                          dtype=self.dtype)
+        self.d_rate_cat[m] = jnp.asarray(self.rate_category[m])
+        self.d_site_rates[m] = jnp.asarray(
+            self.psr_rates[m][self.rate_category[m]], dtype=self.dtype)
 
     def _refresh_tip_rows(self, m):
         """Materialize tip CLVs = tipVector[code] broadcast over categories."""
@@ -300,6 +342,11 @@ class LikelihoodEngine:
             self._jit_cache[ck] = fn
             return fn
 
+        if kind == 'psr_lnl':
+            fn = self._build_psr_lnl_fn()
+            self._jit_cache[ck] = fn
+            return fn
+
         raise KeyError(kind)
 
     def _branch_col(self, m):
@@ -312,6 +359,7 @@ class LikelihoodEngine:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def run(clv_list, scaler_list, eign, ei, ev, gamma, wgts,
+                psr_rates, rate_cat,
                 p_idx, q_idx, r_idx, tip_tip, qz, rz, exec_mask):
             def step(carry, op):
                 clvs, scalers = carry
@@ -322,13 +370,21 @@ class LikelihoodEngine:
                     col = self._branch_col(m)
                     lzq = K.log_z(opqz[col])
                     lzr = K.log_z(oprz[col])
-                    pl = K.make_p(lzq, gamma[m], eign[m], ei[m])
-                    pr = K.make_p(lzr, gamma[m], eign[m], ei[m])
                     x1 = clvs[m][qi]
                     x2 = clvs[m][ri]
-                    x3, sc = K.newview_kernel(
-                        x1, x2, scalers[m][qi], scalers[m][ri], pl, pr,
-                        ev[m], tt, self.min_scale, self.inv_min_scale)
+                    if self.is_psr:
+                        pl = K.make_p_cat(lzq, psr_rates[m], eign[m], ei[m])
+                        pr = K.make_p_cat(lzr, psr_rates[m], eign[m], ei[m])
+                        x3, sc = K.newview_kernel_cat(
+                            x1, x2, scalers[m][qi], scalers[m][ri], pl, pr,
+                            rate_cat[m], ev[m], tt,
+                            self.min_scale, self.inv_min_scale)
+                    else:
+                        pl = K.make_p(lzq, gamma[m], eign[m], ei[m])
+                        pr = K.make_p(lzr, gamma[m], eign[m], ei[m])
+                        x3, sc = K.newview_kernel(
+                            x1, x2, scalers[m][qi], scalers[m][ri], pl, pr,
+                            ev[m], tt, self.min_scale, self.inv_min_scale)
                     # execute mask: masked partitions keep their old CLV
                     x3 = jnp.where(exec_mask[m], x3, clvs[m][pi])
                     sc = jnp.where(exec_mask[m], sc, scalers[m][pi])
@@ -348,16 +404,23 @@ class LikelihoodEngine:
 
         @jax.jit
         def run(clv_list, scaler_list, eign, gamma, rate_weights, wgts,
-                p_row, q_row, qz):
+                site_rates, p_row, q_row, qz):
             out = []
             for m in range(n_models):
                 col = self._branch_col(m)
                 lz = jnp.log(jnp.maximum(qz[col], C.ZMIN))
-                diag = jnp.exp(eign[m][None, :] * gamma[m][:, None] * lz)
-                lh = K.evaluate_kernel(
-                    clv_list[m][q_row], clv_list[m][p_row],
-                    scaler_list[m][q_row], scaler_list[m][p_row], diag,
-                    rate_weights[m], wgts[m], self.log_min_scale)
+                if self.is_psr:
+                    lh = K.evaluate_kernel_cat(
+                        clv_list[m][q_row], clv_list[m][p_row],
+                        scaler_list[m][q_row], scaler_list[m][p_row],
+                        site_rates[m], eign[m], lz, wgts[m],
+                        self.log_min_scale)
+                else:
+                    diag = jnp.exp(eign[m][None, :] * gamma[m][:, None] * lz)
+                    lh = K.evaluate_kernel(
+                        clv_list[m][q_row], clv_list[m][p_row],
+                        scaler_list[m][q_row], scaler_list[m][p_row], diag,
+                        rate_weights[m], wgts[m], self.log_min_scale)
                 out.append(lh)
             return jnp.stack(out)
 
@@ -385,17 +448,86 @@ class LikelihoodEngine:
         n_models = self.n_models
 
         @jax.jit
-        def run(sumtables, srels, eign, gamma, wgts, lzs):
+        def run(sumtables, srels, eign, gamma, wgts, site_rates, lzs):
             d1s, d2s = [], []
             for m in range(n_models):
                 col = self._branch_col(m)
-                d1, d2 = K.nr_core_kernel(sumtables[m], srels[m], lzs[col],
-                                          gamma[m], eign[m], wgts[m])
+                if self.is_psr:
+                    d1, d2 = K.nr_core_kernel_cat(
+                        sumtables[m], site_rates[m], lzs[col], eign[m],
+                        wgts[m])
+                else:
+                    d1, d2 = K.nr_core_kernel(sumtables[m], srels[m],
+                                              lzs[col], gamma[m], eign[m],
+                                              wgts[m])
                 d1s.append(d1)
                 d2s.append(d2)
             return jnp.stack(d1s), jnp.stack(d2s)
 
         return run
+
+    def _build_psr_lnl_fn(self):
+        """Full traversal + per-site log likelihoods at arbitrary per-site
+        rates, all sites in one wave (the TPU-native form of the PSR rate
+        scan; reference optRateCatPthreads + evaluatePartialGeneric)."""
+        n_models = self.n_models
+
+        @jax.jit
+        def run(clv_list, scaler_list, eign, ei, ev, site_rates, root_qzs,
+                p_idx, q_idx, r_idx, tip_tip, qz, rz, root_p, root_q):
+            def step(carry, op):
+                clvs, scalers = carry
+                pi, qi, ri, tt, opqz, oprz = op
+                new_c, new_s = [], []
+                for m in range(n_models):
+                    col = self._branch_col(m)
+                    lzq = K.log_z(opqz[col])
+                    lzr = K.log_z(oprz[col])
+                    x3, sc = K.newview_kernel_persite(
+                        clvs[m][qi], clvs[m][ri],
+                        scalers[m][qi], scalers[m][ri],
+                        site_rates[m], lzq, lzr, eign[m], ei[m], ev[m], tt,
+                        self.min_scale, self.inv_min_scale)
+                    new_c.append(clvs[m].at[pi].set(x3))
+                    new_s.append(scalers[m].at[pi].set(sc))
+                return (tuple(new_c), tuple(new_s)), None
+
+            ops = (p_idx, q_idx, r_idx, tip_tip, qz, rz)
+            (clvs, scalers), _ = jax.lax.scan(
+                step, (tuple(clv_list), tuple(scaler_list)), ops)
+
+            out = []
+            for m in range(n_models):
+                col = self._branch_col(m)
+                lz = jnp.log(jnp.maximum(root_qzs[col], C.ZMIN))
+                out.append(K.per_site_lnl_kernel(
+                    clvs[m][root_q], clvs[m][root_p],
+                    scalers[m][root_q], scalers[m][root_p],
+                    site_rates[m], eign[m], lz, self.log_min_scale))
+            return tuple(out)
+
+        return run
+
+    def psr_per_site_lnl(self, rates_list):
+        """Per-site pattern log likelihoods with per-site rates rates_list
+        (numpy [W] per partition), evaluated at tr.start like the PSR
+        optimizer does."""
+        tr = self.tree
+        p = tr.start
+        q = p.back
+        entries = full_traversal(tr, q)
+        packed = pack_traversal(tr, entries)
+        fn = self._get_jit('psr_lnl', packed.p_idx.shape[0])
+        out = fn(tuple(self.clv), tuple(self.scaler),
+                 tuple(self.d_EIGN), tuple(self.d_EI), tuple(self.d_EV),
+                 tuple(jnp.asarray(r, dtype=self.dtype) for r in rates_list),
+                 jnp.asarray(np.array(q.z), dtype=self.dtype),
+                 jnp.asarray(packed.p_idx), jnp.asarray(packed.q_idx),
+                 jnp.asarray(packed.r_idx), jnp.asarray(packed.tip_tip),
+                 jnp.asarray(packed.qz, dtype=self.dtype),
+                 jnp.asarray(packed.rz, dtype=self.dtype),
+                 p.number, q.number)
+        return [np.asarray(o, dtype=np.float64) for o in out]
 
     # ------------------------------------------------------------------
     # generic operations (host API mirroring the reference entry points)
@@ -412,6 +544,7 @@ class LikelihoodEngine:
             tuple(self.clv), tuple(self.scaler),
             tuple(self.d_EIGN), tuple(self.d_EI), tuple(self.d_EV),
             tuple(self.d_gamma), tuple(self.wgts),
+            tuple(self.d_psr_rates), tuple(self.d_rate_cat),
             jnp.asarray(packed.p_idx), jnp.asarray(packed.q_idx),
             jnp.asarray(packed.r_idx), jnp.asarray(packed.tip_tip),
             jnp.asarray(packed.qz, dtype=self.dtype),
@@ -456,7 +589,8 @@ class LikelihoodEngine:
         fn = self._get_jit('evaluate', 0)
         lhs = fn(tuple(self.clv), tuple(self.scaler), tuple(self.d_EIGN),
                  tuple(self.d_gamma), tuple(self.d_rate_weights),
-                 tuple(self.wgts), p.number, q.number,
+                 tuple(self.wgts), tuple(self.d_site_rates),
+                 p.number, q.number,
                  jnp.asarray(qz, dtype=self.dtype))
         lhs = np.asarray(lhs, dtype=np.float64)
         # per-partition execute mask: keep stored values for masked entries
@@ -512,6 +646,7 @@ class LikelihoodEngine:
 
             d1, d2 = nr_fn(sumtables, srels, tuple(self.d_EIGN),
                            tuple(self.d_gamma), tuple(self.wgts),
+                           tuple(self.d_site_rates),
                            jnp.asarray(core_lz, dtype=self.dtype))
             d1 = np.asarray(d1, dtype=np.float64)
             d2 = np.asarray(d2, dtype=np.float64)

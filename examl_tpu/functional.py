@@ -77,3 +77,27 @@ def full_step(clv, scaler, eign, ei, ev, gamma, rate_weights, wgt,
     d1, d2 = nr_derivatives(clv, scaler, eign, gamma, wgt, root_p, root_q,
                             lz, log_min_scale)
     return clv, scaler, lnl, d1, d2
+
+
+def level_wave(clv, scaler, eign, ei, ev, gamma, level_args,
+               min_scale, inv_min_scale):
+    """Level-batched traversal: a static Python loop over dependency
+    levels, each level one batched (vmapped) newview over all its nodes.
+    No lax.scan / dynamic control flow — the whole wave is straight-line
+    gather/compute/scatter, which XLA compiles and schedules well.
+
+    level_args: list of (p_idx, q_idx, r_idx, tip_tip, qz, rz) per level
+    (each a fixed-shape array batch)."""
+    def batch_newview(x1, x2, s1, s2, z1, z2, tt):
+        pl = K.make_p(K.log_z(z1), gamma, eign, ei)
+        pr = K.make_p(K.log_z(z2), gamma, eign, ei)
+        return K.newview_kernel(x1, x2, s1, s2, pl, pr, ev, tt,
+                                min_scale, inv_min_scale)
+
+    vb = jax.vmap(batch_newview)
+    for (p_idx, q_idx, r_idx, tip_tip, qz, rz) in level_args:
+        x3, s3 = vb(clv[q_idx], clv[r_idx], scaler[q_idx], scaler[r_idx],
+                    qz, rz, tip_tip)
+        clv = clv.at[p_idx].set(x3)
+        scaler = scaler.at[p_idx].set(s3)
+    return clv, scaler

@@ -111,3 +111,96 @@ def nr_core_kernel(sumtable, srel, lz, gamma_rates, EIGN, wgt):
     dlnLdlz = jnp.sum(jnp.where(live, w * dln, 0.0))
     d2lnLdlz2 = jnp.sum(jnp.where(live, w * (d2ln - dln * dln), 0.0))
     return dlnLdlz, d2lnLdlz2
+
+
+# ---------------------------------------------------------------------------
+# PSR/CAT (per-site rate) kernels: every site carries its own rate category,
+# so P matrices and diagonals are gathered per site (reference:
+# newviewCAT_FLEX :217, evaluateCAT_FLEX :233, coreCAT_FLEX :368-520).
+# CLVs are [1, W, S] (a single storage category); scale counters [1, W].
+
+def make_p_cat(lz, rates, EIGN, EI):
+    """P(z) for all (padded) per-site rate categories -> [K, S, S]."""
+    d = jnp.exp(EIGN[None, :] * rates[:, None] * lz)
+    return d[:, None, :] * EI[None, :, :]
+
+
+def newview_kernel_cat(x1, x2, s1, s2, p_left, p_right, cat_idx, EV, tip_tip,
+                       min_scale, inv_min_scale):
+    """CLV update with per-site category P gather; x1/x2 [1, W, S],
+    p_left/p_right [K, S, S], cat_idx [W]."""
+    pl = p_left[cat_idx]                            # [W, S, S]
+    pr = p_right[cat_idx]
+    a = jnp.einsum('ws,wls->wl', x1[0], pl)
+    b = jnp.einsum('ws,wls->wl', x2[0], pr)
+    x3 = jnp.einsum('wl,lk->wk', a * b, EV)[None]   # [1, W, S]
+
+    cat_max = jnp.max(jnp.abs(x3), axis=2)          # [1, W]
+    do_scale = jnp.logical_and(cat_max < min_scale,
+                               jnp.logical_not(tip_tip))
+    x3 = jnp.where(do_scale[:, :, None], x3 * inv_min_scale, x3)
+    s3 = s1 + s2 + do_scale.astype(s1.dtype)
+    return x3, s3
+
+
+def evaluate_kernel_cat(x1, x2, s1, s2, site_rates, EIGN, lz, wgt,
+                        log_min_scale):
+    """Root log likelihood under PSR; site_rates [W] are the concrete
+    per-site rates (perSiteRates[rateCategory[i]])."""
+    diag = jnp.exp(EIGN[None, :] * site_rates[:, None] * lz)   # [W, S]
+    term = jnp.einsum('ws,ws->w', x1[0] * x2[0], diag)
+    s = (s1 + s2)[0]
+    site_log = jnp.log(jnp.abs(term)) + s.astype(term.dtype) * log_min_scale
+    return jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def nr_core_kernel_cat(sumtable, site_rates, lz, EIGN, wgt):
+    """NR derivatives under PSR (coreCAT_FLEX :368-520): the per-site rate
+    multiplies the eigenvalues. sumtable [1, W, S]. No scale-relative
+    factor is needed: with one category per site the counts cancel in the
+    per-site ratio."""
+    lam = EIGN[None, :] * site_rates[:, None]                  # [W, S]
+    d = jnp.exp(lam * lz)
+    tmp = d * sumtable[0]                                      # [W, S]
+    inv_li = jnp.sum(tmp, axis=1)
+    dln = jnp.sum(tmp * lam, axis=1)
+    d2ln = jnp.sum(tmp * lam * lam, axis=1)
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    dlnLdlz = jnp.sum(jnp.where(live, w * dln, 0.0))
+    d2lnLdlz2 = jnp.sum(jnp.where(live, w * (d2ln - dln * dln), 0.0))
+    return dlnLdlz, d2lnLdlz2
+
+
+def per_site_lnl_kernel(x1, x2, s1, s2, site_rates, EIGN, lz,
+                        log_min_scale):
+    """Per-site (pattern) log likelihoods at arbitrary per-site rates —
+    the vectorized replacement for evaluatePartialGeneric
+    (evaluatePartialGenericSpecial.c :190): one traversal evaluates every
+    site's rate proposal simultaneously."""
+    diag = jnp.exp(EIGN[None, :] * site_rates[:, None] * lz)
+    term = jnp.einsum('ws,ws->w', x1[0] * x2[0], diag)
+    s = (s1 + s2)[0]
+    return jnp.log(jnp.abs(term)) + s.astype(term.dtype) * log_min_scale
+
+
+def newview_kernel_persite(x1, x2, s1, s2, rates, lzq, lzr, EIGN, EI, EV,
+                           tip_tip, min_scale, inv_min_scale):
+    """CLV update where every site has its own continuous rate (used by the
+    vectorized per-site rate hill climb, replacing evaluatePartialGeneric's
+    one-site-at-a-time traversals). x1/x2 [1, W, S], rates [W]."""
+    dq = jnp.exp(EIGN[None, :] * (rates * lzq)[:, None])   # [W, S]
+    dr = jnp.exp(EIGN[None, :] * (rates * lzr)[:, None])
+    a = jnp.einsum('wk,lk->wl', x1[0] * dq, EI)
+    b = jnp.einsum('wk,lk->wl', x2[0] * dr, EI)
+    x3 = jnp.einsum('wl,lk->wk', a * b, EV)[None]
+
+    cat_max = jnp.max(jnp.abs(x3), axis=2)
+    do_scale = jnp.logical_and(cat_max < min_scale,
+                               jnp.logical_not(tip_tip))
+    x3 = jnp.where(do_scale[:, :, None], x3 * inv_min_scale, x3)
+    s3 = s1 + s2 + do_scale.astype(s1.dtype)
+    return x3, s3

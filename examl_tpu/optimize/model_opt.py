@@ -84,6 +84,7 @@ def init_linkage_list_gtr(engine: LikelihoodEngine) -> LinkageList:
 class ModelOptimizer:
     def __init__(self, engine: LikelihoodEngine):
         self.engine = engine
+        self._cat_opt = 0   # PSR categorization passes (max 3 per modOpt)
 
     # ------------------------------------------------------------------
 
@@ -569,9 +570,16 @@ class ModelOptimizer:
             eng.evaluate(eng.tree.start, full_traversal_=True)
             eng.tree_evaluate(0.0625)
 
-            self.opt_alphas_generic(model_epsilon, alpha_list)
-            eng.evaluate(eng.tree.start, full_traversal_=True)
-            eng.tree_evaluate(0.1)
+            if eng.is_psr:
+                if self._cat_opt < 3:
+                    from .rates_cat import optimize_rate_categories
+                    eng.evaluate(eng.tree.start, full_traversal_=True)
+                    optimize_rate_categories(eng, eng.max_categories)
+                    self._cat_opt += 1
+            else:
+                self.opt_alphas_generic(model_epsilon, alpha_list)
+                eng.evaluate(eng.tree.start, full_traversal_=True)
+                eng.tree_evaluate(0.1)
 
             self._check_tolerance(eng.likelihood, current)
             if abs(current - eng.likelihood) <= likelihood_epsilon:

@@ -126,3 +126,55 @@ def partial_traversal(tr: Tree, p: Node) -> List[TraversalEntry]:
     entries: List[TraversalEntry] = []
     compute_traversal(tr, p, entries, partial=True)
     return entries
+
+
+@dataclasses.dataclass
+class LevelizedTraversal:
+    """Traversal entries grouped into dependency levels: within one level
+    every destination node's children are already available, so the whole
+    level is one batched CLV update (the TPU-native shape of the reference's
+    strictly sequential newviewIterative loop)."""
+    levels: List[PackedTraversal]
+
+
+def levelize(tr: Tree, entries: List[TraversalEntry],
+             bucket: bool = False) -> LevelizedTraversal:
+    depth = {}
+    for i in range(1, tr.mxtips + 1):
+        depth[i] = 0
+    levels: List[List[TraversalEntry]] = []
+    for e in entries:
+        d = 1 + max(depth.get(e.q_number, 0), depth.get(e.r_number, 0))
+        depth[e.p_number] = d
+        while len(levels) < d:
+            levels.append([])
+        levels[d - 1].append(e)
+    packed = []
+    for lv in levels:
+        if not lv:
+            continue
+        if bucket:
+            packed.append(pack_traversal(tr, lv))
+        else:
+            packed.append(_pack_exact(tr, lv))
+    return LevelizedTraversal(levels=packed)
+
+
+def _pack_exact(tr: Tree, entries: List[TraversalEntry]) -> PackedTraversal:
+    n = len(entries)
+    B = tr.num_branches
+    p_idx = np.empty(n, dtype=np.int32)
+    q_idx = np.empty(n, dtype=np.int32)
+    r_idx = np.empty(n, dtype=np.int32)
+    tip_tip = np.empty(n, dtype=bool)
+    qz = np.empty((n, B))
+    rz = np.empty((n, B))
+    for i, e in enumerate(entries):
+        p_idx[i] = e.p_number
+        q_idx[i] = e.q_number
+        r_idx[i] = e.r_number
+        tip_tip[i] = e.tip_case == TIP_TIP
+        qz[i] = e.qz
+        rz[i] = e.rz
+    return PackedTraversal(count=n, p_idx=p_idx, q_idx=q_idx, r_idx=r_idx,
+                           tip_tip=tip_tip, qz=qz, rz=rz)
