@@ -67,6 +67,10 @@ class PartitionModel:
     alpha: float
     auto_prot_model: ProtModel = ProtModel.WAG
     partition_weight: float = 0.0   # Σ wgt, for fracchange averaging
+    # LG4X free parameters (initModel :4230-4237)
+    gamma_rates: np.ndarray = None        # only used by LG4X
+    lg4x_weights: np.ndarray = None
+    weight_exponents: np.ndarray = None
 
     def n_rates(self) -> int:
         return self.states * (self.states - 1) // 2
@@ -104,7 +108,9 @@ def default_partition_model(meta) -> PartitionModel:
         optimize_base_frequencies=meta.optimize_base_frequencies,
         empirical_frequencies=meta.frequencies.copy(),
         subst_rates=rates, frequencies=freqs,
-        freq_exponents=np.zeros(states), alpha=1.0)
+        freq_exponents=np.zeros(states), alpha=1.0,
+        gamma_rates=make_gamma_cats(1.0, 4),
+        lg4x_weights=np.full(4, 0.25), weight_exponents=np.zeros(4))
 
 
 class LikelihoodEngine:
@@ -231,7 +237,7 @@ class LikelihoodEngine:
             pm.frequencies = (mfreqs if pm.prot_freqs
                               else pm.empirical_frequencies.copy())
         elif pm.prot_model in (ProtModel.LG4M, ProtModel.LG4X):
-            raise NotImplementedError('LG4 models pending')
+            pass  # rates/freqs live per category, handled in update_eigen
         else:
             rates, mfreqs = prot_rates_freqs(pm.prot_model)
             pm.subst_rates = rates
@@ -252,19 +258,51 @@ class LikelihoodEngine:
 
     def update_eigen(self, models):
         """Recompute eigensystem + tip CLV rows after a parameter change
-        (the analogue of initReversibleGTR, models.c:3462)."""
+        (the analogue of initReversibleGTR, models.c:3462). Eigen tensors
+        are stored per category ([C, S] / [C, S, S]): identical rows for
+        ordinary reversible models, four distinct systems for LG4M/LG4X
+        (initReversibleGTR LG4 branch, models.c:3560-3575)."""
+        C_ = self.n_cats
         for m in models:
             pm = self.partitions[m]
             self._resolve_model(pm)
             inf = info_for(pm.data_type)
-            es = make_eigen(pm.subst_rates, pm.frequencies, inf.bit_vectors)
-            pm_gamma = (np.ones(1) if self.is_psr else
-                        make_gamma_cats(pm.alpha, self.n_cats,
-                                        self.use_median))
-            self.d_EIGN[m] = jnp.asarray(es.EIGN, dtype=self.dtype)
-            self.d_EI[m] = jnp.asarray(es.EI, dtype=self.dtype)
-            self.d_EV[m] = jnp.asarray(es.EV, dtype=self.dtype)
-            self.d_tipvec[m] = jnp.asarray(es.tip_vector, dtype=self.dtype)
+            if pm.prot_model in (ProtModel.LG4M, ProtModel.LG4X):
+                systems = []
+                for c in range(C_):
+                    rates, mfreqs = prot_rates_freqs(pm.prot_model, c)
+                    systems.append(make_eigen(rates, mfreqs,
+                                              inf.bit_vectors))
+                eign = np.stack([es.EIGN for es in systems])
+                if pm.prot_model == ProtModel.LG4X:
+                    acc = float(np.dot(pm.lg4x_weights, pm.gamma_rates))
+                    eign = eign / acc      # scaleLG4X_EIGN (:341)
+                    pm_gamma = pm.gamma_rates.copy()
+                    self.d_rate_weights[m] = jnp.asarray(
+                        pm.lg4x_weights, dtype=self.dtype)
+                else:
+                    pm_gamma = make_gamma_cats(pm.alpha, C_, self.use_median)
+                self.d_EIGN[m] = jnp.asarray(eign, dtype=self.dtype)
+                self.d_EI[m] = jnp.asarray(
+                    np.stack([es.EI for es in systems]), dtype=self.dtype)
+                self.d_EV[m] = jnp.asarray(
+                    np.stack([es.EV for es in systems]), dtype=self.dtype)
+                self.d_tipvec[m] = jnp.asarray(
+                    np.stack([es.tip_vector for es in systems]),
+                    dtype=self.dtype)
+            else:
+                es = make_eigen(pm.subst_rates, pm.frequencies,
+                                inf.bit_vectors)
+                pm_gamma = (np.ones(1) if self.is_psr else
+                            make_gamma_cats(pm.alpha, C_, self.use_median))
+                self.d_EIGN[m] = jnp.asarray(
+                    np.tile(es.EIGN, (C_, 1)), dtype=self.dtype)
+                self.d_EI[m] = jnp.asarray(
+                    np.tile(es.EI, (C_, 1, 1)), dtype=self.dtype)
+                self.d_EV[m] = jnp.asarray(
+                    np.tile(es.EV, (C_, 1, 1)), dtype=self.dtype)
+                self.d_tipvec[m] = jnp.asarray(
+                    np.tile(es.tip_vector, (C_, 1, 1)), dtype=self.dtype)
             self.d_gamma[m] = jnp.asarray(pm_gamma, dtype=self.dtype)
             self._refresh_tip_rows(m)
 
@@ -313,11 +351,10 @@ class LikelihoodEngine:
         if kind == 'tip_rows':
             @partial(jax.jit, donate_argnums=(0,))
             def fn(clv, tipvec, codes):
-                # rows 1..mxtips; row 0 stays zero
-                tips = tipvec[codes]                    # [T+1, W, S]
-                tips = jnp.broadcast_to(
-                    tips[:, None, :, :],
-                    (codes.shape[0], self.n_cats) + tips.shape[1:])
+                # rows 1..mxtips; row 0 stays zero. tipvec [C, codes, S]
+                # (distinct per category only for LG4 models)
+                tips = tipvec[:, codes, :]              # [C, T+1, W, S]
+                tips = jnp.moveaxis(tips, 0, 1)         # [T+1, C, W, S]
                 return clv.at[:self.mxtips + 1].set(tips.astype(clv.dtype))
             self._jit_cache[ck] = fn
             return fn
@@ -373,11 +410,13 @@ class LikelihoodEngine:
                     x1 = clvs[m][qi]
                     x2 = clvs[m][ri]
                     if self.is_psr:
-                        pl = K.make_p_cat(lzq, psr_rates[m], eign[m], ei[m])
-                        pr = K.make_p_cat(lzr, psr_rates[m], eign[m], ei[m])
+                        pl = K.make_p_cat(lzq, psr_rates[m], eign[m][0],
+                                          ei[m][0])
+                        pr = K.make_p_cat(lzr, psr_rates[m], eign[m][0],
+                                          ei[m][0])
                         x3, sc = K.newview_kernel_cat(
                             x1, x2, scalers[m][qi], scalers[m][ri], pl, pr,
-                            rate_cat[m], ev[m], tt,
+                            rate_cat[m], ev[m][0], tt,
                             self.min_scale, self.inv_min_scale)
                     else:
                         pl = K.make_p(lzq, gamma[m], eign[m], ei[m])
@@ -413,10 +452,10 @@ class LikelihoodEngine:
                     lh = K.evaluate_kernel_cat(
                         clv_list[m][q_row], clv_list[m][p_row],
                         scaler_list[m][q_row], scaler_list[m][p_row],
-                        site_rates[m], eign[m], lz, wgts[m],
+                        site_rates[m], eign[m][0], lz, wgts[m],
                         self.log_min_scale)
                 else:
-                    diag = jnp.exp(eign[m][None, :] * gamma[m][:, None] * lz)
+                    diag = jnp.exp(eign[m] * gamma[m][:, None] * lz)
                     lh = K.evaluate_kernel(
                         clv_list[m][q_row], clv_list[m][p_row],
                         scaler_list[m][q_row], scaler_list[m][p_row], diag,
@@ -448,18 +487,19 @@ class LikelihoodEngine:
         n_models = self.n_models
 
         @jax.jit
-        def run(sumtables, srels, eign, gamma, wgts, site_rates, lzs):
+        def run(sumtables, srels, eign, gamma, rate_weights, wgts,
+                site_rates, lzs):
             d1s, d2s = [], []
             for m in range(n_models):
                 col = self._branch_col(m)
                 if self.is_psr:
                     d1, d2 = K.nr_core_kernel_cat(
-                        sumtables[m], site_rates[m], lzs[col], eign[m],
+                        sumtables[m], site_rates[m], lzs[col], eign[m][0],
                         wgts[m])
                 else:
                     d1, d2 = K.nr_core_kernel(sumtables[m], srels[m],
                                               lzs[col], gamma[m], eign[m],
-                                              wgts[m])
+                                              wgts[m], rate_weights[m])
                 d1s.append(d1)
                 d2s.append(d2)
             return jnp.stack(d1s), jnp.stack(d2s)
@@ -486,7 +526,8 @@ class LikelihoodEngine:
                     x3, sc = K.newview_kernel_persite(
                         clvs[m][qi], clvs[m][ri],
                         scalers[m][qi], scalers[m][ri],
-                        site_rates[m], lzq, lzr, eign[m], ei[m], ev[m], tt,
+                        site_rates[m], lzq, lzr, eign[m][0], ei[m][0],
+                        ev[m][0], tt,
                         self.min_scale, self.inv_min_scale)
                     new_c.append(clvs[m].at[pi].set(x3))
                     new_s.append(scalers[m].at[pi].set(sc))
@@ -503,7 +544,7 @@ class LikelihoodEngine:
                 out.append(K.per_site_lnl_kernel(
                     clvs[m][root_q], clvs[m][root_p],
                     scalers[m][root_q], scalers[m][root_p],
-                    site_rates[m], eign[m], lz, self.log_min_scale))
+                    site_rates[m], eign[m][0], lz, self.log_min_scale))
             return tuple(out)
 
         return run
@@ -645,8 +686,8 @@ class LikelihoodEngine:
             core_lz[active] = np.log(zc)
 
             d1, d2 = nr_fn(sumtables, srels, tuple(self.d_EIGN),
-                           tuple(self.d_gamma), tuple(self.wgts),
-                           tuple(self.d_site_rates),
+                           tuple(self.d_gamma), tuple(self.d_rate_weights),
+                           tuple(self.wgts), tuple(self.d_site_rates),
                            jnp.asarray(core_lz, dtype=self.dtype))
             d1 = np.asarray(d1, dtype=np.float64)
             d2 = np.asarray(d2, dtype=np.float64)

@@ -47,7 +47,7 @@ def traversal_wave(clv, scaler, eign, ei, ev, gamma,
 def root_log_likelihood(clv, scaler, eign, gamma, rate_weights, wgt,
                         p_row, q_row, qz, log_min_scale):
     lz = jnp.log(jnp.maximum(qz, C.ZMIN))
-    diag = jnp.exp(eign[None, :] * gamma[:, None] * lz)
+    diag = jnp.exp(eign * gamma[:, None] * lz)      # eign [C, S]
     return K.evaluate_kernel(clv[q_row], clv[p_row],
                              scaler[q_row], scaler[p_row], diag,
                              rate_weights, wgt, log_min_scale)

@@ -24,11 +24,13 @@ from ..constants import ZMIN
 def make_p(lz, gamma_rates, EIGN, EI):
     """P(z) for each rate category; lz = log(z) (scalar).
 
-    Returns [C, S, S]. Entry [c, l, k] = exp(EIGN[k] r_c lz) EI[l, k].
-    EIGN[0] == 0 and EI[:, 0] == 1, so column 0 is exactly 1 as in the
-    reference (newviewGenericSpecial.c:123-131)."""
-    d = jnp.exp(EIGN[None, :] * gamma_rates[:, None] * lz)      # [C, S]
-    return d[:, None, :] * EI[None, :, :]
+    EIGN [C, S] and EI [C, S, S] carry one eigensystem per category: all
+    four rows identical for ordinary models, distinct for LG4M/LG4X
+    (reference makeP :78 / makeP_FlexLG4 :170). Returns [C, S, S] with
+    entry [c, l, k] = exp(EIGN[c, k] r_c lz) EI[c, l, k]; EIGN[:, 0] == 0
+    and EI[:, :, 0] == 1, so column 0 is exactly 1."""
+    d = jnp.exp(EIGN * gamma_rates[:, None] * lz)               # [C, S]
+    return d[:, None, :] * EI
 
 
 def log_z(z):
@@ -53,7 +55,7 @@ def newview_kernel(x1, x2, s1, s2, p_left, p_right, EV, tip_tip,
     like the reference's TIP_TIP branches."""
     a = jnp.einsum('cws,cls->cwl', x1, p_left)
     b = jnp.einsum('cws,cls->cwl', x2, p_right)
-    x3 = jnp.einsum('cwl,lk->cwk', a * b, EV)
+    x3 = jnp.einsum('cwl,clk->cwk', a * b, EV)
 
     cat_max = jnp.max(jnp.abs(x3), axis=2)                      # [C, W]
     do_scale = jnp.logical_and(cat_max < min_scale,
@@ -90,14 +92,20 @@ def sumtable_kernel(x1, x2):
     return x1 * x2
 
 
-def nr_core_kernel(sumtable, srel, lz, gamma_rates, EIGN, wgt):
+def nr_core_kernel(sumtable, srel, lz, gamma_rates, EIGN, wgt,
+                   rate_weights=None):
     """First/second derivative of the partition log-likelihood wrt lz
     (coreGAMMA_FLEX :522-619). srel [C, W] is the branch endpoints'
     combined scale count relative to the per-site minimum (the common
-    factor cancels in the derivative ratios). Returns scalars
-    (dlnLdlz, d2lnLdlz2)."""
-    lam = EIGN[None, :] * gamma_rates[:, None]                  # [C, S]
+    factor cancels in the derivative ratios). rate_weights [C] are the
+    category mixture weights — they cancel in the ratios when uniform
+    (plain GAMMA), but must be applied for LG4X's fitted weights
+    (coreGTRGAMMAPROT_LG4's `weights` argument). Returns scalars
+    (dlnLdlz, d2lnLdlz2). EIGN is per-category [C, S]."""
+    lam = EIGN * gamma_rates[:, None]                           # [C, S]
     d = jnp.exp(lam * lz)                                       # [C, S]
+    if rate_weights is not None:
+        d = d * rate_weights[:, None]
     tmp = d[:, None, :] * sumtable                              # [C, W, S]
     tmp = tmp * srel[:, :, None]
     inv_li = jnp.sum(tmp, axis=(0, 2))                          # [W]

@@ -108,8 +108,16 @@ class ModelOptimizer:
             w = np.exp(pm.freq_exponents)
             pm.frequencies = w / w.sum()
             eng.update_eigen([index])
+        elif which == LXRATE_F:
+            pm.gamma_rates[rate_number] = value
+            eng.update_eigen([index])    # re-applies scaleLG4X_EIGN
+        elif which == LXWEIGHT_F:
+            pm.weight_exponents[rate_number] = value
+            w = np.exp(pm.weight_exponents)
+            pm.lg4x_weights = w / w.sum()
+            eng.update_eigen([index])
         else:
-            raise NotImplementedError(f'parameter type {which} (LG4X later)')
+            raise AssertionError(which)
 
     def _evaluate_change(self, rate_number, values, converged, which,
                          ll: LinkageList):
@@ -402,8 +410,16 @@ class ModelOptimizer:
                     lim_inf[pos] = self._min_freq(k, rate_number, lim_inf_s)
                     lim_sup[pos] = self._max_freq(k, rate_number, lim_sup_s)
                     start_values[pos] = pm.freq_exponents[rate_number]
+                elif which == LXRATE_F:
+                    lim_inf[pos] = lim_inf_s
+                    lim_sup[pos] = lim_sup_s
+                    start_values[pos] = pm.gamma_rates[rate_number]
+                elif which == LXWEIGHT_F:
+                    lim_inf[pos] = lim_inf_s
+                    lim_sup[pos] = lim_sup_s
+                    start_values[pos] = pm.weight_exponents[rate_number]
                 else:
-                    raise NotImplementedError
+                    raise AssertionError(which)
             pos += 1
         assert pos == n
 
@@ -535,8 +551,36 @@ class ModelOptimizer:
         if non_lg4x > 0:
             self._opt_param_generic(model_epsilon, ll, non_lg4x, -1,
                                     C.ALPHA_MIN, C.ALPHA_MAX, ALPHA_F)
-        # LG4X partitions handled in the protein milestone
+
+        lg4x = 0
+        for g in ll.groups:
+            pm = eng.partitions[g.partitions[0]]
+            g.valid = (pm.data_type == DataType.AA
+                       and pm.prot_model == ProtModel.LG4X)
+            lg4x += int(g.valid)
+        if lg4x > 0:
+            self._opt_lg4x(model_epsilon, ll, lg4x)
         ll.set_all_valid()
+
+    def _opt_lg4x(self, model_epsilon, ll, n):
+        """optLG4X :1116 — the four free LG4X category rates, each followed
+        by a full weight re-optimization pass."""
+        for i in range(4):
+            self._opt_param_generic(model_epsilon, ll, n, i,
+                                    C.LG4X_RATE_MIN, C.LG4X_RATE_MAX,
+                                    LXRATE_F)
+            self._optimize_weights(model_epsilon, ll, n)
+
+    def _optimize_weights(self, model_epsilon, ll, n):
+        """optimizeWeights :389."""
+        eng = self.engine
+        eng.evaluate(eng.tree.start, full_traversal_=True)
+        initial = eng.likelihood
+        for i in range(4):
+            self._opt_param_generic(model_epsilon, ll, n, i,
+                                    -1000000.0, 200.0, LXWEIGHT_F)
+        eng.evaluate(eng.tree.start, full_traversal_=True)
+        assert eng.likelihood >= initial - 1e-6
 
     # ------------------------------------------------------------------
     # the outer modOpt loop (modOpt :2963)

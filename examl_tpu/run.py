@@ -27,7 +27,8 @@ class RunResult:
 
 
 def _setup(alignment: Alignment, tree_newick: str, **engine_kwargs):
-    tree = Tree(alignment.taxon_names)
+    num_branches = engine_kwargs.get('num_branches', 1)
+    tree = Tree(alignment.taxon_names, num_branches=num_branches)
     parse_newick(tree_newick, tree)
     engine = LikelihoodEngine(alignment, tree, **engine_kwargs)
     return engine

@@ -1,0 +1,72 @@
+"""Parity gates for the remaining model families vs the reference binary:
+PSR rate heterogeneity, LG4M/LG4X, per-partition branch lengths (-M)."""
+import pathlib
+
+import pytest
+
+from examl_tpu.engine import LikelihoodEngine
+from examl_tpu.io.bytefile import read_bytefile
+from examl_tpu.io.newick import parse_newick
+from examl_tpu.optimize.model_opt import ModelOptimizer
+from examl_tpu.run import run_tree_evaluation
+from examl_tpu.tree import Tree
+
+REF = pathlib.Path('/root/reference/testData')
+DATA = pathlib.Path(__file__).resolve().parent / 'data'
+
+
+def _engine(bytefile, treefile, **kw):
+    aln = read_bytefile(str(bytefile))
+    nb = kw.get('num_branches', 1)
+    tree = Tree(aln.taxon_names, num_branches=nb)
+    parse_newick(pathlib.Path(treefile).read_text(), tree)
+    return LikelihoodEngine(aln, tree, **kw)
+
+
+def test_psr_initial_lnl():
+    eng = _engine(DATA / '49.binary', REF / '49.tree', rate_het='PSR')
+    lnl = eng.evaluate(eng.tree.start, full_traversal_=True)
+    assert lnl == pytest.approx(-23829.960665840299, abs=1e-6)
+
+
+@pytest.mark.slow
+def test_psr_mod_opt():
+    eng = _engine(DATA / '49.binary', REF / '49.tree', rate_het='PSR')
+    eng.evaluate(eng.tree.start, full_traversal_=True)
+    eng.tree_evaluate(1.0)
+    ModelOptimizer(eng).mod_opt(0.1)
+    assert eng.likelihood == pytest.approx(-14702.970620, abs=2e-3)
+
+
+def test_lg4x_initial_lnl():
+    eng = _engine(DATA / 'aa20x.binary', DATA / 'aa20.tree')
+    lnl = eng.evaluate(eng.tree.start, full_traversal_=True)
+    assert lnl == pytest.approx(-5704.322211650853, abs=1e-5)
+
+
+def test_lg4m_initial_lnl():
+    eng = _engine(DATA / 'aa20m.binary', DATA / 'aa20.tree')
+    lnl = eng.evaluate(eng.tree.start, full_traversal_=True)
+    assert lnl == pytest.approx(-5696.727866106593, abs=1e-5)
+
+
+@pytest.mark.slow
+def test_lg4x_mod_opt():
+    aln = read_bytefile(str(DATA / 'aa20x.binary'))
+    res = run_tree_evaluation(aln, (DATA / 'aa20.tree').read_text())
+    assert res.likelihood == pytest.approx(-5029.756635, abs=2e-3)
+
+
+@pytest.mark.slow
+def test_lg4m_mod_opt():
+    aln = read_bytefile(str(DATA / 'aa20m.binary'))
+    res = run_tree_evaluation(aln, (DATA / 'aa20.tree').read_text())
+    assert res.likelihood == pytest.approx(-5063.295855, abs=2e-3)
+
+
+@pytest.mark.slow
+def test_per_partition_branch_lengths():
+    aln = read_bytefile(str(DATA / '49.binary'))
+    res = run_tree_evaluation(aln, (REF / '49.tree').read_text(),
+                              num_branches=len(aln.partitions))
+    assert res.likelihood == pytest.approx(-16035.202133, abs=5e-3)
