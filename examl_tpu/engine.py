@@ -4,7 +4,8 @@ Architecture (TPU-first redesign of the reference's kernel layer,
 examl/newviewGenericSpecial.c / evaluateGenericSpecial.c /
 makenewzGenericSpecial.c):
 
-* One unified CLV buffer per partition, shape [2*mxtips, C, W, S]:
+* One unified CLV buffer per partition, shape [2*mxtips, C, S, W]
+  (sites last, so the site axis lands on TPU vector lanes):
   row = node number; rows 1..mxtips hold materialized tip CLVs
   (tipVector rows looked up by tip code, broadcast over rate categories),
   rows mxtips+1..2*mxtips-2 hold inner-node CLVs, row 2*mxtips-1 is a
@@ -219,7 +220,7 @@ class LikelihoodEngine:
         for m in range(self.n_models):
             S = self.partitions[m].states
             self.clv.append(jnp.zeros(
-                (self.rows, self.n_cats, self.widths[m], S), dtype=self.dtype))
+                (self.rows, self.n_cats, S, self.widths[m]), dtype=self.dtype))
             self.scaler.append(jnp.zeros(
                 (self.rows, self.n_cats, self.widths[m]), dtype=jnp.int32))
 
@@ -354,7 +355,7 @@ class LikelihoodEngine:
                 # rows 1..mxtips; row 0 stays zero. tipvec [C, codes, S]
                 # (distinct per category only for LG4 models)
                 tips = tipvec[:, codes, :]              # [C, T+1, W, S]
-                tips = jnp.moveaxis(tips, 0, 1)         # [T+1, C, W, S]
+                tips = jnp.transpose(tips, (1, 0, 3, 2))  # [T+1, C, S, W]
                 return clv.at[:self.mxtips + 1].set(tips.astype(clv.dtype))
             self._jit_cache[ck] = fn
             return fn

@@ -6,8 +6,8 @@ dry-run, and by bench.py. One "step" = CLV traversal wave (lax.scan over
 the packed descriptor) + root evaluation + one Newton-Raphson derivative
 pass — i.e. everything the SPR search dispatches per move, fused.
 
-Sharding: all site-indexed arrays carry the sites axis last-but-one
-(CLV [rows, C, W, S]) or last (wgt [W], scaler [rows, C, W]); pjit over a
+Sharding: all site-indexed arrays carry the sites axis last
+(CLV [rows, C, S, W], wgt [W], scaler [rows, C, W]); pjit over a
 1-D 'sites' mesh axis shards W, and the final jnp.sum reductions become
 psums over ICI — the analogue of the reference's per-evaluation
 MPI_Allreduce (evaluateGenericSpecial.c:966-973).

@@ -8,10 +8,11 @@ batched einsums over the site dimension. They define the numerics that the
 Pallas kernels must reproduce and serve as the f64 parity path.
 
 Conventions:
-  CLVs are mode-basis arrays [C, W, S] (C rate categories, W padded sites,
-  S states). P-matrices are [C, S, S] with P[c, l, k] = the contribution of
-  mode k to state row l: P = EI * exp(EIGN * r_c * lz) (column 0 exactly 1).
-  Combining children: x3 = ((x1 @ P_lᵀ) ∘ (x2 @ P_rᵀ)) @ EV.
+  CLVs are mode-basis arrays [C, S, W] — sites LAST so that the site axis
+  maps onto TPU vector lanes (C rate categories, S states, W padded
+  sites). P-matrices are [C, S, S] with P[c, l, k] = the contribution of
+  mode k to state row l: P = EI * exp(EIGN * r_c * lz) (column 0 exactly
+  1). Combining children per category: x3 = EVᵀ @ ((P_l @ x1) ∘ (P_r @ x2)).
 """
 from __future__ import annotations
 
@@ -53,14 +54,14 @@ def newview_kernel(x1, x2, s1, s2, p_left, p_right, EV, tip_tip,
     every block in range at identical cost (power-of-two multiplies are
     exact, so f64 results agree to rounding). TIP_TIP updates never scale,
     like the reference's TIP_TIP branches."""
-    a = jnp.einsum('cws,cls->cwl', x1, p_left)
-    b = jnp.einsum('cws,cls->cwl', x2, p_right)
-    x3 = jnp.einsum('cwl,clk->cwk', a * b, EV)
+    a = jnp.einsum('cls,csw->clw', p_left, x1)
+    b = jnp.einsum('cls,csw->clw', p_right, x2)
+    x3 = jnp.einsum('clk,clw->ckw', EV, a * b)
 
-    cat_max = jnp.max(jnp.abs(x3), axis=2)                      # [C, W]
+    cat_max = jnp.max(jnp.abs(x3), axis=1)                      # [C, W]
     do_scale = jnp.logical_and(cat_max < min_scale,
                                jnp.logical_not(tip_tip))        # [C, W]
-    x3 = jnp.where(do_scale[:, :, None], x3 * inv_min_scale, x3)
+    x3 = jnp.where(do_scale[:, None, :], x3 * inv_min_scale, x3)
     s3 = s1 + s2 + do_scale.astype(s1.dtype)
     return x3, s3
 
@@ -75,7 +76,7 @@ def evaluate_kernel(x1, x2, s1, s2, diag, rate_weights, wgt, log_min_scale):
     is min_scale^-1 times the true value, undone here per category before
     the cross-category sum (log-sum with the per-site minimum count pulled
     out of the log)."""
-    per_cat = jnp.einsum('cws,cs->cw', x1 * x2, diag)           # [C, W]
+    per_cat = jnp.einsum('csw,cs->cw', x1 * x2, diag)           # [C, W]
     s = s1 + s2                                                 # [C, W]
     smin = jnp.min(s, axis=0)                                   # [W]
     rel = (s - smin[None, :]).astype(per_cat.dtype)
@@ -106,11 +107,11 @@ def nr_core_kernel(sumtable, srel, lz, gamma_rates, EIGN, wgt,
     d = jnp.exp(lam * lz)                                       # [C, S]
     if rate_weights is not None:
         d = d * rate_weights[:, None]
-    tmp = d[:, None, :] * sumtable                              # [C, W, S]
-    tmp = tmp * srel[:, :, None]
-    inv_li = jnp.sum(tmp, axis=(0, 2))                          # [W]
-    dln = jnp.einsum('cws,cs->w', tmp, lam)
-    d2ln = jnp.einsum('cws,cs->w', tmp, lam * lam)
+    tmp = d[:, :, None] * sumtable                              # [C, S, W]
+    tmp = tmp * srel[:, None, :]
+    inv_li = jnp.sum(tmp, axis=(0, 1))                          # [W]
+    dln = jnp.einsum('csw,cs->w', tmp, lam)
+    d2ln = jnp.einsum('csw,cs->w', tmp, lam * lam)
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
     d2ln = d2ln * inv_li
@@ -125,7 +126,7 @@ def nr_core_kernel(sumtable, srel, lz, gamma_rates, EIGN, wgt,
 # PSR/CAT (per-site rate) kernels: every site carries its own rate category,
 # so P matrices and diagonals are gathered per site (reference:
 # newviewCAT_FLEX :217, evaluateCAT_FLEX :233, coreCAT_FLEX :368-520).
-# CLVs are [1, W, S] (a single storage category); scale counters [1, W].
+# CLVs are [1, S, W] (a single storage category); scale counters [1, W].
 
 def make_p_cat(lz, rates, EIGN, EI):
     """P(z) for all (padded) per-site rate categories -> [K, S, S]."""
@@ -135,18 +136,18 @@ def make_p_cat(lz, rates, EIGN, EI):
 
 def newview_kernel_cat(x1, x2, s1, s2, p_left, p_right, cat_idx, EV, tip_tip,
                        min_scale, inv_min_scale):
-    """CLV update with per-site category P gather; x1/x2 [1, W, S],
+    """CLV update with per-site category P gather; x1/x2 [1, S, W],
     p_left/p_right [K, S, S], cat_idx [W]."""
     pl = p_left[cat_idx]                            # [W, S, S]
     pr = p_right[cat_idx]
-    a = jnp.einsum('ws,wls->wl', x1[0], pl)
-    b = jnp.einsum('ws,wls->wl', x2[0], pr)
-    x3 = jnp.einsum('wl,lk->wk', a * b, EV)[None]   # [1, W, S]
+    a = jnp.einsum('sw,wls->lw', x1[0], pl)
+    b = jnp.einsum('sw,wls->lw', x2[0], pr)
+    x3 = jnp.einsum('lw,lk->kw', a * b, EV)[None]   # [1, S, W]
 
-    cat_max = jnp.max(jnp.abs(x3), axis=2)          # [1, W]
+    cat_max = jnp.max(jnp.abs(x3), axis=1)          # [1, W]
     do_scale = jnp.logical_and(cat_max < min_scale,
                                jnp.logical_not(tip_tip))
-    x3 = jnp.where(do_scale[:, :, None], x3 * inv_min_scale, x3)
+    x3 = jnp.where(do_scale[:, None, :], x3 * inv_min_scale, x3)
     s3 = s1 + s2 + do_scale.astype(s1.dtype)
     return x3, s3
 
@@ -155,8 +156,8 @@ def evaluate_kernel_cat(x1, x2, s1, s2, site_rates, EIGN, lz, wgt,
                         log_min_scale):
     """Root log likelihood under PSR; site_rates [W] are the concrete
     per-site rates (perSiteRates[rateCategory[i]])."""
-    diag = jnp.exp(EIGN[None, :] * site_rates[:, None] * lz)   # [W, S]
-    term = jnp.einsum('ws,ws->w', x1[0] * x2[0], diag)
+    diag = jnp.exp(EIGN[:, None] * site_rates[None, :] * lz)   # [S, W]
+    term = jnp.einsum('sw,sw->w', x1[0] * x2[0], diag)
     s = (s1 + s2)[0]
     site_log = jnp.log(jnp.abs(term)) + s.astype(term.dtype) * log_min_scale
     return jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
@@ -167,12 +168,12 @@ def nr_core_kernel_cat(sumtable, site_rates, lz, EIGN, wgt):
     multiplies the eigenvalues. sumtable [1, W, S]. No scale-relative
     factor is needed: with one category per site the counts cancel in the
     per-site ratio."""
-    lam = EIGN[None, :] * site_rates[:, None]                  # [W, S]
+    lam = EIGN[:, None] * site_rates[None, :]                  # [S, W]
     d = jnp.exp(lam * lz)
-    tmp = d * sumtable[0]                                      # [W, S]
-    inv_li = jnp.sum(tmp, axis=1)
-    dln = jnp.sum(tmp * lam, axis=1)
-    d2ln = jnp.sum(tmp * lam * lam, axis=1)
+    tmp = d * sumtable[0]                                      # [S, W]
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam, axis=0)
+    d2ln = jnp.sum(tmp * lam * lam, axis=0)
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
     d2ln = d2ln * inv_li

@@ -26,6 +26,19 @@ class RunResult:
     log: List  # [(seconds, lnL), ...]
 
 
+def result_newick(engine: LikelihoodEngine) -> str:
+    """Final-tree Newick with the reference's branch-length convention:
+    under -M the printed length is the partition-weight-average of the
+    per-class lengths (treeIO.c getBranchLength SUMMARIZE_LH :196)."""
+    contributions = None
+    if engine.num_branches > 1:
+        weights = [pm.partition_weight for pm in engine.partitions]
+        total = sum(weights)
+        contributions = [w / total for w in weights]
+    return write_newick(engine.tree,
+                        partition_contributions=contributions)
+
+
 def _setup(alignment: Alignment, tree_newick: str, **engine_kwargs):
     num_branches = engine_kwargs.get('num_branches', 1)
     tree = Tree(alignment.taxon_names, num_branches=num_branches)
@@ -43,7 +56,7 @@ def run_tree_evaluation(alignment: Alignment, tree_newick: str,
     engine.evaluate(tr.start, full_traversal_=True)
     engine.tree_evaluate(1.0)
     ModelOptimizer(engine).mod_opt(likelihood_epsilon)
-    return RunResult(engine.likelihood, write_newick(tr), engine, [])
+    return RunResult(engine.likelihood, result_newick(engine), engine, [])
 
 
 def run_search(alignment: Alignment, tree_newick: str,
@@ -76,4 +89,4 @@ def run_search(alignment: Alignment, tree_newick: str,
                        log_fn=log_fn)
     lnl = search.compute_big_rapid(mod_opt_fn=optimizer.mod_opt,
                                    estimate_model=estimate_model)
-    return RunResult(lnl, write_newick(tr), engine, log)
+    return RunResult(lnl, result_newick(engine), engine, log)
