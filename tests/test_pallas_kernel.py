@@ -1,0 +1,51 @@
+"""The fused Pallas newview kernel must reproduce the jnp reference kernel
+bit-for-bit in f32 (interpret mode on CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from examl_tpu.kernels import reference_jnp as K
+from examl_tpu.kernels.pallas_newview import (make_p_batch,
+                                              newview_level_pallas)
+
+
+@pytest.mark.parametrize('n_states', [4, 20])
+def test_pallas_matches_reference(n_states):
+    rng = np.random.default_rng(0)
+    rows, C, S, W = 12, 4, n_states, 256
+    clv = jnp.asarray(rng.uniform(0.1, 1.0, (rows, C, S, W)), jnp.float32)
+    scaler = jnp.asarray(rng.integers(0, 3, (rows, C, W)), jnp.int32)
+    p_idx = jnp.asarray([8, 9, 10], jnp.int32)
+    q_idx = jnp.asarray([1, 2, 5], jnp.int32)
+    r_idx = jnp.asarray([3, 4, 6], jnp.int32)
+    tip_tip = jnp.asarray([1, 0, 0], jnp.int32)
+    qz = jnp.asarray(rng.uniform(0.2, 0.95, 3), jnp.float32)
+    rz = jnp.asarray(rng.uniform(0.2, 0.95, 3), jnp.float32)
+    eign = jnp.asarray(np.sort(np.abs(rng.normal(1, 1, (C, S)))), jnp.float32)
+    eign = eign.at[:, 0].set(0.0)
+    ei = jnp.asarray(rng.normal(0, 1, (C, S, S)), jnp.float32)
+    ei = ei.at[:, :, 0].set(1.0)
+    ev = jnp.asarray(rng.normal(0, 1, (C, S, S)), jnp.float32)
+    gamma = jnp.asarray([0.2, 0.6, 1.1, 2.1], jnp.float32)
+    ms, ims = 2.0 ** -30, 2.0 ** 30
+
+    pls, prs = make_p_batch(qz, rz, gamma, eign, ei)
+
+    clv_ref = np.asarray(clv).copy()
+    sc_ref = np.asarray(scaler).copy()
+    for i in range(3):
+        x3, s3 = K.newview_kernel(
+            jnp.asarray(clv_ref[int(q_idx[i])]),
+            jnp.asarray(clv_ref[int(r_idx[i])]),
+            jnp.asarray(sc_ref[int(q_idx[i])]),
+            jnp.asarray(sc_ref[int(r_idx[i])]),
+            pls[i], prs[i], ev, bool(int(tip_tip[i])), ms, ims)
+        clv_ref[int(p_idx[i])] = np.asarray(x3)
+        sc_ref[int(p_idx[i])] = np.asarray(s3)
+
+    clv2, sc2 = newview_level_pallas(
+        clv, scaler, p_idx, q_idx, r_idx, tip_tip, pls, prs, ev,
+        block_w=128, min_scale=ms, inv_min_scale=ims, interpret=True)
+    np.testing.assert_allclose(np.asarray(clv2), clv_ref, rtol=1e-6)
+    assert np.array_equal(np.asarray(sc2), sc_ref)
