@@ -64,10 +64,27 @@ def run_search(alignment: Alignment, tree_newick: str,
                initial_radius: Optional[int] = None,
                search_convergence: bool = False,
                step_width: int = 5, max_rearrange: int = 21,
+               constraint_newick: Optional[str] = None,
+               random_seed: int = 12345,
                verbose: bool = False,
                **engine_kwargs) -> RunResult:
-    """Full ML search (reference BIG_RAPID_MODE path, axml.c:2730-2772)."""
-    engine = _setup(alignment, tree_newick, **engine_kwargs)
+    """Full ML search (reference BIG_RAPID_MODE path, axml.c:2730-2772).
+    With constraint_newick set, the starting tree is a random resolution
+    of the multifurcating constraint and SPR moves are restricted to it
+    (-g mode)."""
+    constraint = None
+    if constraint_newick is not None:
+        from .io.constraint import read_constraint_tree
+        from .engine import LikelihoodEngine
+        num_branches = engine_kwargs.get('num_branches', 1)
+        tree = Tree(alignment.taxon_names, num_branches=num_branches)
+        constraint = read_constraint_tree(constraint_newick, tree,
+                                          random_seed)
+        # only tip groups are trusted; inner nodes renumber during search
+        constraint[alignment.n_taxa + 1:] = -9
+        engine = LikelihoodEngine(alignment, tree, **engine_kwargs)
+    else:
+        engine = _setup(alignment, tree_newick, **engine_kwargs)
     tr = engine.tree
 
     t0 = time.time()
@@ -86,6 +103,7 @@ def run_search(alignment: Alignment, tree_newick: str,
                        max_rearrange=max_rearrange,
                        initial_radius=initial_radius,
                        search_convergence=search_convergence,
+                       constraint=constraint,
                        log_fn=log_fn)
     lnl = search.compute_big_rapid(mod_opt_fn=optimizer.mod_opt,
                                    estimate_model=estimate_model)

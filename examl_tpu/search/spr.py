@@ -76,6 +76,7 @@ class SprSearch:
                  do_cutoff: bool = True, big_cutoff: bool = False,
                  initial_radius: Optional[int] = None,
                  search_convergence: bool = False,
+                 constraint=None,
                  log_fn=None, checkpointer=None):
         self.eng = engine
         self.tr = engine.tree
@@ -88,6 +89,9 @@ class SprSearch:
         self.search_convergence = search_convergence
         self.log_fn = log_fn or (lambda *a: None)
         self.checkpointer = checkpointer
+        # constraint vector (tip group ids); inner entries are resolved by
+        # recursion to the first tip (searchAlgo.c checker :69)
+        self.constraint = constraint
 
         self.ilist = InfoList()
         # per-cycle SPR bookkeeping (tree struct fields in the reference)
@@ -195,12 +199,31 @@ class SprSearch:
             tr.hookup(p.next.next, r, z)
         self.eng.newview(p)
 
+    def _subtree_group(self, p: Node) -> int:
+        tr = self.tr
+        if tr.is_tip(p.number):
+            return int(self.constraint[p.number])
+        g = self._subtree_group(p.next.back)
+        if g != -9:
+            return g
+        return self._subtree_group(p.next.next.back)
+
     def test_insert_big(self, p: Node, q: Node) -> bool:
         tr = self.tr
         r = q.back
         qz = list(q.z)
         pz = list(p.z)
         start_lh = self.end_lh
+
+        if self.constraint is not None:
+            # reject insertions that would move the pruned subtree into a
+            # different constraint group (testInsertBIG :690-715)
+            p_group = self._subtree_group(p.back)
+            if p_group != -9:
+                q_group = self._subtree_group(q)
+                r_group = self._subtree_group(r)
+                if p_group != q_group and p_group != r_group:
+                    return True
 
         self.insert_big(p, q)
         lh = self.eng.evaluate(p.next.next)
@@ -505,7 +528,17 @@ class SprSearch:
     # ------------------------------------------------------------------
     # the full hill-climbing search (computeBIGRAPID :1914)
 
-    def compute_big_rapid(self, mod_opt_fn=None, estimate_model: bool = True):
+    def _write_checkpoint(self, phase: str, **vars_):
+        if self.checkpointer is None:
+            return
+        self.checkpointer(phase, self, vars_)
+
+    def compute_big_rapid(self, mod_opt_fn=None, estimate_model: bool = True,
+                          resume=None):
+        """The full hill-climbing search; `resume` is an optional dict
+        {'phase': 'FAST_SPRS'|'SLOW_SPRS', ...loop variables} saved by the
+        checkpointer (the analogue of the reference's goto START_FAST_SPRS /
+        START_SLOW_SPRS re-entry, searchAlgo.c:2066-2070)."""
         tr = self.tr
         eng = self.eng
 
@@ -517,72 +550,111 @@ class SprSearch:
         epsilon = 0.01
         self.thorough = False
 
-        if estimate_model:
-            mod_opt_fn(10.0)
-        else:
-            eng.tree_evaluate(2.0)
-        self.log_fn(eng.likelihood)
-
-        best_t.save(tr, eng.likelihood, keep_identical=True)
-
-        if self.initial_radius is not None:
-            best_trav = self.initial_radius
-        else:
-            best_trav = self.determine_rearrangement_setting(best_t, bt)
-
-        if estimate_model:
-            mod_opt_fn(5.0)
-        else:
-            eng.tree_evaluate(1.0)
-
-        best_t.save(tr, eng.likelihood, keep_identical=True)
-
-        impr = True
-        if self.do_cutoff:
-            self.it_count = 0
-
         fast_iterations = 0
-        lh = previous_lh = C.UNLIKELY
-
-        while impr:
-            self._recall(best_t, 1)
-            if self._rf_converged(fast_iterations):
-                break
-            fast_iterations += 1
-            eng.tree_evaluate(1.0)
-            best_t.save(tr, eng.likelihood, keep_identical=True)
-            self.log_fn(eng.likelihood)
-            lh = previous_lh = eng.likelihood
-
-            self.tree_optimize_rapid(1, best_trav, bt)
-
-            impr = False
-            for i in range(1, bt.nvalid + 1):
-                self._recall(bt, i)
-                eng.tree_evaluate(0.25)
-                difference = abs(eng.likelihood - previous_lh)
-                if eng.likelihood > lh and difference > epsilon:
-                    impr = True
-                    lh = eng.likelihood
-                    best_t.save(tr, eng.likelihood, keep_identical=True)
-
-        # ---------------- thorough (slow) SPR phase ----------------
-        self.rf_slots = [None, None]
-        self.thorough = True
-        impr = True
-        self._recall(best_t, 1)
-        eng.evaluate(tr.start, full_traversal_=True)
-        if estimate_model:
-            mod_opt_fn(1.0)
-        else:
-            eng.tree_evaluate(1.0)
-
         thorough_iterations = 0
+        lh = previous_lh = C.UNLIKELY
+        best_trav = self.initial_radius or 5
+        impr = True
+
+        if resume is None:
+            if estimate_model:
+                mod_opt_fn(10.0)
+            else:
+                eng.tree_evaluate(2.0)
+            self.log_fn(eng.likelihood)
+
+            best_t.save(tr, eng.likelihood, keep_identical=True)
+
+            if self.initial_radius is not None:
+                best_trav = self.initial_radius
+            else:
+                best_trav = self.determine_rearrangement_setting(best_t, bt)
+
+            if estimate_model:
+                mod_opt_fn(5.0)
+            else:
+                eng.tree_evaluate(1.0)
+
+            best_t.save(tr, eng.likelihood, keep_identical=True)
+
+            if self.do_cutoff:
+                self.it_count = 0
+        else:
+            # the checkpointed tree is already restored in `tr`
+            eng.evaluate(tr.start, full_traversal_=True)
+            best_t.save(tr, eng.likelihood, keep_identical=True)
+            best_trav = resume.get('best_trav', best_trav)
+            fast_iterations = resume.get('fast_iterations', 0)
+            thorough_iterations = resume.get('thorough_iterations', 0)
+            lh = previous_lh = resume.get('lh', eng.likelihood)
+            impr = resume.get('impr', True)
+            self.lh_cutoff = resume.get('lh_cutoff', 0.0)
+            self.lh_avg = resume.get('lh_avg', 0.0)
+            self.lh_dec = resume.get('lh_dec', 0)
+            self.it_count = resume.get('it_count', 0)
+
+        if resume is None or resume['phase'] == 'FAST_SPRS':
+            while impr:
+                self._recall(best_t, 1)
+                self._write_checkpoint(
+                    'FAST_SPRS', impr=impr, best_trav=best_trav,
+                    fast_iterations=fast_iterations, lh=lh,
+                    lh_cutoff=self.lh_cutoff, lh_avg=self.lh_avg,
+                    lh_dec=self.lh_dec, it_count=self.it_count)
+                if self._rf_converged(fast_iterations):
+                    break
+                fast_iterations += 1
+                eng.tree_evaluate(1.0)
+                best_t.save(tr, eng.likelihood, keep_identical=True)
+                self.log_fn(eng.likelihood)
+                lh = previous_lh = eng.likelihood
+
+                self.tree_optimize_rapid(1, best_trav, bt)
+
+                impr = False
+                for i in range(1, bt.nvalid + 1):
+                    self._recall(bt, i)
+                    eng.tree_evaluate(0.25)
+                    difference = abs(eng.likelihood - previous_lh)
+                    if eng.likelihood > lh and difference > epsilon:
+                        impr = True
+                        lh = eng.likelihood
+                        best_t.save(tr, eng.likelihood, keep_identical=True)
+
+            # ------------- thorough (slow) SPR phase setup -------------
+            self.rf_slots = [None, None]
+            self.thorough = True
+            impr = True
+            self._recall(best_t, 1)
+            eng.evaluate(tr.start, full_traversal_=True)
+            if estimate_model:
+                mod_opt_fn(1.0)
+            else:
+                eng.tree_evaluate(1.0)
+            thorough_iterations = 0
+
+        self.thorough = True
         rearrangements_min = 1
         rearrangements_max = self.step_width
+        if resume is not None and resume['phase'] == 'SLOW_SPRS':
+            rearrangements_min = resume.get('rearrangements_min', 1)
+            rearrangements_max = resume.get('rearrangements_max',
+                                            self.step_width)
 
+        first = True
         while True:
-            self._recall(best_t, 1)
+            if not (first and resume is not None
+                    and resume['phase'] == 'SLOW_SPRS'):
+                self._recall(best_t, 1)
+            first = False
+            self._write_checkpoint(
+                'SLOW_SPRS', impr=impr, best_trav=best_trav,
+                fast_iterations=fast_iterations,
+                thorough_iterations=thorough_iterations,
+                rearrangements_min=rearrangements_min,
+                rearrangements_max=rearrangements_max, lh=lh,
+                lh_cutoff=self.lh_cutoff, lh_avg=self.lh_avg,
+                lh_dec=self.lh_dec, it_count=self.it_count)
             if impr:
                 rearrangements_min = 1
                 rearrangements_max = self.step_width
