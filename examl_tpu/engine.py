@@ -121,7 +121,7 @@ class LikelihoodEngine:
     def __init__(self, alignment: Alignment, tree: Tree, *,
                  dtype=None, rate_het: str = 'GAMMA', pad: int = 8,
                  num_branches: int = 1, use_median: bool = False,
-                 sharding=None):
+                 use_pallas: Optional[bool] = None, sharding=None):
         assert rate_het in ('GAMMA', 'PSR')
         self.aln = alignment
         self.tree = tree
@@ -138,6 +138,12 @@ class LikelihoodEngine:
         self.min_scale = 2.0 ** -scale_exp
         self.inv_min_scale = 2.0 ** scale_exp
         self.log_min_scale = math.log(self.min_scale)
+
+        if use_pallas is None:
+            use_pallas = (self.dtype == jnp.float32
+                          and jax.default_backend() not in ('cpu',)
+                          and rate_het == 'GAMMA')
+        self.use_pallas = use_pallas and rate_het == 'GAMMA'
 
         self.mxtips = tree.mxtips
         self.rows = 2 * self.mxtips          # CLV rows incl. scratch row
@@ -574,9 +580,70 @@ class LikelihoodEngine:
     # ------------------------------------------------------------------
     # generic operations (host API mirroring the reference entry points)
 
+    def _run_traversal_pallas(self, entries, exec_mask):
+        """Level-batched traversal through the fused Pallas newview kernel
+        (one in-place gather/compute/scatter pass per level per
+        partition). Level node counts are padded to powers of two (dummy
+        updates land in the scratch row) to bound the number of compiled
+        programs."""
+        from .kernels.pallas_newview import (make_p_batch,
+                                             newview_level_pallas)
+        from .traversal import levelize
+        tr = self.tree
+        dummy = 2 * self.mxtips - 1
+        levels = levelize(tr, entries)
+        interpret = jax.default_backend() == 'cpu'
+        fn = self._jit_cache.get('pallas_nv')
+        if fn is None:
+            fn = jax.jit(newview_level_pallas,
+                         static_argnames=('block_w', 'min_scale',
+                                          'inv_min_scale', 'interpret'),
+                         donate_argnums=(0, 1))
+            self._jit_cache['pallas_nv'] = fn
+
+        for lv in levels.levels:
+            n = lv.p_idx.shape[0]
+            L = 1
+            while L < n:
+                L *= 2
+            pad_n = L - n
+            p_idx = np.concatenate([lv.p_idx,
+                                    np.full(pad_n, dummy, np.int32)])
+            q_idx = np.concatenate([lv.q_idx, np.zeros(pad_n, np.int32)])
+            r_idx = np.concatenate([lv.r_idx, np.zeros(pad_n, np.int32)])
+            tt = np.concatenate([lv.tip_tip.astype(np.int32),
+                                 np.ones(pad_n, np.int32)])
+            qz = np.concatenate([lv.qz,
+                                 np.full((pad_n, tr.num_branches),
+                                         C.DEFAULTZ)])
+            rz = np.concatenate([lv.rz,
+                                 np.full((pad_n, tr.num_branches),
+                                         C.DEFAULTZ)])
+            jp = jnp.asarray(p_idx)
+            jq = jnp.asarray(q_idx)
+            jr = jnp.asarray(r_idx)
+            jt = jnp.asarray(tt)
+            for m in range(self.n_models):
+                if exec_mask is not None and not exec_mask[m]:
+                    continue
+                col = self._branch_col(m)
+                zq = jnp.asarray(qz[:, col], dtype=self.dtype)
+                zr = jnp.asarray(rz[:, col], dtype=self.dtype)
+                pls, prs = make_p_batch(zq, zr, self.d_gamma[m],
+                                        self.d_EIGN[m], self.d_EI[m])
+                self.clv[m], self.scaler[m] = fn(
+                    self.clv[m], self.scaler[m], jp, jq, jr, jt, pls, prs,
+                    self.d_EV[m], block_w=min(8192, self.widths[m]),
+                    min_scale=self.min_scale,
+                    inv_min_scale=self.inv_min_scale,
+                    interpret=interpret)
+
     def _run_traversal(self, entries: List[TraversalEntry],
                        exec_mask: Optional[np.ndarray] = None):
         if not entries:
+            return
+        if self.use_pallas:
+            self._run_traversal_pallas(entries, exec_mask)
             return
         packed = pack_traversal(self.tree, entries)
         if exec_mask is None:
