@@ -108,3 +108,28 @@ def run_search(alignment: Alignment, tree_newick: str,
     lnl = search.compute_big_rapid(mod_opt_fn=optimizer.mod_opt,
                                    estimate_model=estimate_model)
     return RunResult(lnl, result_newick(engine), engine, log)
+
+
+def run_quartets(alignment: Alignment, tree_newick: str,
+                 n_random: Optional[int] = None,
+                 grouping_file: Optional[str] = None,
+                 random_seed: int = 12345,
+                 likelihood_epsilon: float = 0.1,
+                 out_path: Optional[str] = None,
+                 **engine_kwargs):
+    """Quartet evaluation mode (-f q): optimize the model on the
+    comprehensive starting tree, then evaluate quartet topologies
+    (reference quartets.c computeQuartets :349)."""
+    from .search.quartets import compute_quartets, parse_grouping_file
+
+    engine = _setup(alignment, tree_newick, **engine_kwargs)
+    tr = engine.tree
+    engine.evaluate(tr.start, full_traversal_=True)
+    engine.tree_evaluate(1.0)
+    ModelOptimizer(engine).mod_opt(likelihood_epsilon)
+
+    groups = None
+    if grouping_file is not None:
+        groups = parse_grouping_file(grouping_file, tr.name_to_number)
+    return compute_quartets(engine, n_random=n_random, groups=groups,
+                            seed=random_seed, out_path=out_path)
