@@ -128,8 +128,12 @@ class LikelihoodEngine:
         self.rate_het = rate_het
         self.use_median = use_median
         self.num_branches = num_branches
+        self.mesh = sharding            # optional jax Mesh over axis 'sites'
+        if self.mesh is not None:
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            pad = max(pad, n_dev)
+            pad = pad * n_dev // math.gcd(pad, n_dev)
         self.pad = pad
-        self.sharding = sharding
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = jnp.dtype(dtype)
@@ -189,9 +193,11 @@ class LikelihoodEngine:
             wgt[:w] = self.aln.weights[meta.lower:meta.upper]
             self.widths.append(W)
             self.real_widths.append(w)
-            self.tip_codes.append(jnp.asarray(codes))
-            self.wgts.append(jnp.asarray(wgt, dtype=self.dtype))
-            self.wgts_i.append(jnp.asarray(wgt, dtype=jnp.int32))
+            self.tip_codes.append(self._put(jnp.asarray(codes), 'codes'))
+            self.wgts.append(self._put(jnp.asarray(wgt, dtype=self.dtype),
+                                       'sites'))
+            self.wgts_i.append(self._put(jnp.asarray(wgt, dtype=jnp.int32),
+                                         'sites'))
             self.partitions[m].partition_weight = float(wgt.sum())
 
         # device model tensors (filled by update_eigen)
@@ -225,10 +231,27 @@ class LikelihoodEngine:
         self.scaler = []
         for m in range(self.n_models):
             S = self.partitions[m].states
-            self.clv.append(jnp.zeros(
-                (self.rows, self.n_cats, S, self.widths[m]), dtype=self.dtype))
-            self.scaler.append(jnp.zeros(
-                (self.rows, self.n_cats, self.widths[m]), dtype=jnp.int32))
+            self.clv.append(self._put(jnp.zeros(
+                (self.rows, self.n_cats, S, self.widths[m]),
+                dtype=self.dtype), 'clv'))
+            self.scaler.append(self._put(jnp.zeros(
+                (self.rows, self.n_cats, self.widths[m]), dtype=jnp.int32),
+                'scaler'))
+
+    def _put(self, arr, kind):
+        """Place an array on the device mesh with the sites axis sharded
+        (the analogue of the reference's per-rank site slices,
+        examl/partitionAssignment.c + byteFile.c readMyData)."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = {
+            'clv': P(None, None, None, 'sites'),
+            'scaler': P(None, None, 'sites'),
+            'sites': P('sites'),
+            'codes': P(None, 'sites'),
+        }[kind]
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _resolve_model(self, pm: PartitionModel):
         """Refresh rates/frequencies of empirical-matrix AA partitions
@@ -695,18 +718,74 @@ class LikelihoodEngine:
                 entries += partial_traversal(tr, q)
         self._run_traversal(entries)
 
-        fn = self._get_jit('evaluate', 0)
-        lhs = fn(tuple(self.clv), tuple(self.scaler), tuple(self.d_EIGN),
-                 tuple(self.d_gamma), tuple(self.d_rate_weights),
-                 tuple(self.wgts), tuple(self.d_site_rates),
-                 p.number, q.number,
-                 jnp.asarray(qz, dtype=self.dtype))
+        if self.use_pallas:
+            lhs = self._evaluate_pallas(p.number, q.number, qz)
+        else:
+            fn = self._get_jit('evaluate', 0)
+            lhs = fn(tuple(self.clv), tuple(self.scaler), tuple(self.d_EIGN),
+                     tuple(self.d_gamma), tuple(self.d_rate_weights),
+                     tuple(self.wgts), tuple(self.d_site_rates),
+                     p.number, q.number,
+                     jnp.asarray(qz, dtype=self.dtype))
         lhs = np.asarray(lhs, dtype=np.float64)
         # per-partition execute mask: keep stored values for masked entries
         lhs = np.where(self.execute_model, lhs, self.per_partition_lh)
         self.per_partition_lh = lhs
         self.likelihood = float(lhs.sum())
         return self.likelihood
+
+    def _evaluate_pallas(self, p_row, q_row, qz):
+        from .kernels.pallas_newview import evaluate_pallas
+        interpret = jax.default_backend() == 'cpu'
+        fn = self._jit_cache.get('pallas_eval')
+        if fn is None:
+            fn = jax.jit(evaluate_pallas,
+                         static_argnames=('block_w', 'log_min_scale',
+                                          'interpret'))
+            self._jit_cache['pallas_eval'] = fn
+        jp = jnp.asarray([p_row], dtype=jnp.int32)
+        jq = jnp.asarray([q_row], dtype=jnp.int32)
+        out = []
+        for m in range(self.n_models):
+            col = self._branch_col(m)
+            lz = math.log(max(qz[col], C.ZMIN))
+            diag = jnp.exp(self.d_EIGN[m] * self.d_gamma[m][:, None] * lz)
+            out.append(fn(self.clv[m], self.scaler[m], jp, jq,
+                          diag.astype(jnp.float32),
+                          self.d_rate_weights[m].astype(jnp.float32),
+                          self.wgts[m].astype(jnp.float32),
+                          block_w=min(8192, self.widths[m]),
+                          log_min_scale=self.log_min_scale,
+                          interpret=interpret))
+        return np.array([float(o) for o in out])
+
+    def _nr_pallas(self, p_row, q_row, core_lz):
+        from .kernels.pallas_newview import nr_derivatives_pallas
+        interpret = jax.default_backend() == 'cpu'
+        fn = self._jit_cache.get('pallas_nrd')
+        if fn is None:
+            fn = jax.jit(nr_derivatives_pallas,
+                         static_argnames=('block_w', 'log_min_scale',
+                                          'interpret'))
+            self._jit_cache['pallas_nrd'] = fn
+        jp = jnp.asarray([p_row], dtype=jnp.int32)
+        jq = jnp.asarray([q_row], dtype=jnp.int32)
+        d1s = np.zeros(self.n_models)
+        d2s = np.zeros(self.n_models)
+        for m in range(self.n_models):
+            col = self._branch_col(m)
+            lam = self.d_EIGN[m] * self.d_gamma[m][:, None]
+            d = (self.d_rate_weights[m][:, None]
+                 * jnp.exp(lam * core_lz[col])).astype(jnp.float32)
+            d1, d2 = fn(self.clv[m], self.scaler[m], jp, jq,
+                        lam.astype(jnp.float32), d,
+                        self.wgts[m].astype(jnp.float32),
+                        block_w=min(8192, self.widths[m]),
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret)
+            d1s[m] = float(d1)
+            d2s[m] = float(d2)
+        return d1s, d2s
 
     # ------------------------------------------------------------------
     # Newton-Raphson branch-length optimization
@@ -728,10 +807,11 @@ class LikelihoodEngine:
             entries += partial_traversal(tr, q)
         self._run_traversal(entries, self.execute_model if mask else None)
 
-        sum_fn = self._get_jit('sumtable', 0)
-        sumtables, srels = sum_fn(tuple(self.clv), tuple(self.scaler),
-                                  p.number, q.number)
-        nr_fn = self._get_jit('nr_core', 0)
+        if not self.use_pallas:
+            sum_fn = self._get_jit('sumtable', 0)
+            sumtables, srels = sum_fn(tuple(self.clv), tuple(self.scaler),
+                                      p.number, q.number)
+            nr_fn = self._get_jit('nr_core', 0)
 
         # --- the NR loop state machine (topLevelMakenewz :1133-1349) ---
         z = z0.copy()
@@ -753,10 +833,14 @@ class LikelihoodEngine:
             z[active] = zc
             core_lz[active] = np.log(zc)
 
-            d1, d2 = nr_fn(sumtables, srels, tuple(self.d_EIGN),
-                           tuple(self.d_gamma), tuple(self.d_rate_weights),
-                           tuple(self.wgts), tuple(self.d_site_rates),
-                           jnp.asarray(core_lz, dtype=self.dtype))
+            if self.use_pallas:
+                d1, d2 = self._nr_pallas(p.number, q.number, core_lz)
+            else:
+                d1, d2 = nr_fn(sumtables, srels, tuple(self.d_EIGN),
+                               tuple(self.d_gamma),
+                               tuple(self.d_rate_weights),
+                               tuple(self.wgts), tuple(self.d_site_rates),
+                               jnp.asarray(core_lz, dtype=self.dtype))
             d1 = np.asarray(d1, dtype=np.float64)
             d2 = np.asarray(d2, dtype=np.float64)
             if B == 1:

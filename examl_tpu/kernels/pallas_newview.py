@@ -152,3 +152,189 @@ def make_p_batch(qz, rz, gamma, eign, ei):
     pls = dq[:, :, None, :] * ei[None]              # [N, C, S, S]
     prs = dr[:, :, None, :] * ei[None]
     return pls, prs
+
+
+# ---------------------------------------------------------------------------
+# Root log-likelihood and Newton-Raphson derivative kernels. On this stack
+# XLA programs that touch the big CLV buffers compile pathologically slowly
+# through the remote-compile path, while Mosaic kernels compile in seconds —
+# so the whole per-move hot path (newview/evaluate/derivatives) is Pallas.
+
+def _evaluate_kernel(p_row, q_row,                       # scalar prefetch
+                     clv_hbm, scaler_hbm, diag_ref, rw_ref, wgt_ref,
+                     out_ref,
+                     x1_s, x2_s, s1_s, s2_s, sems,
+                     *, n_cats, n_states, bw, log_min_scale):
+    wb = pl.program_id(0)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    diag = diag_ref[...]                       # [C, S]
+    rw = rw_ref[...]                           # [C]
+    s = s1_s[...] + s2_s[...]                  # [C, BW]
+    smin = jnp.min(s, axis=0)                  # [BW]
+    rel = (s - smin[None, :]).astype(jnp.float32)
+
+    term = jnp.zeros((bw,), jnp.float32)
+    for c in range(n_cats):
+        pc = jnp.zeros((bw,), jnp.float32)
+        for k in range(n_states):
+            pc = pc + x1_s[c, k] * x2_s[c, k] * diag[c, k]
+        term = term + rw[c] * pc * jnp.exp(rel[c] * log_min_scale)
+
+    wgt = wgt_ref[...]
+    site_log = (jnp.log(jnp.abs(term))
+                + smin.astype(jnp.float32) * log_min_scale)
+    out_ref[0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def evaluate_pallas(clv, scaler, p_row, q_row, diag, rate_weights, wgt,
+                    *, block_w=8192, log_min_scale=float(np.log(2.0 ** -30)),
+                    interpret=False):
+    """Per-partition root log likelihood (GAMMA/LG4). Returns a scalar."""
+    rows, n_cats, n_states, W = clv.shape
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+
+    kernel = functools.partial(_evaluate_kernel, n_cats=n_cats,
+                               n_states=n_states, bw=bw,
+                               log_min_scale=log_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((n_cats, n_states), lambda w, p, q: (0, 0)),
+            pl.BlockSpec((n_cats,), lambda w, p, q: (0,)),
+            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+        ],
+        out_specs=pl.BlockSpec((1,), lambda w, p, q: (w,)),
+        scratch_shapes=[
+            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb,), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, diag, rate_weights, wgt)
+    return jnp.sum(partials)
+
+
+def _nr_kernel(p_row, q_row,
+               clv_hbm, scaler_hbm, lam_ref, d_ref, wgt_ref,
+               out_ref,
+               x1_s, x2_s, s1_s, s2_s, sems,
+               *, n_cats, n_states, bw, log_min_scale):
+    wb = pl.program_id(0)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    lam = lam_ref[...]                         # [C, S] = EIGN * r_c
+    d = d_ref[...]                             # [C, S] = w_c * exp(lam lz)
+    s = s1_s[...] + s2_s[...]
+    smin = jnp.min(s, axis=0)
+    rel = (s - smin[None, :]).astype(jnp.float32)
+
+    inv_li = jnp.zeros((bw,), jnp.float32)
+    dln = jnp.zeros((bw,), jnp.float32)
+    d2ln = jnp.zeros((bw,), jnp.float32)
+    for c in range(n_cats):
+        srel = jnp.exp(rel[c] * log_min_scale)
+        for k in range(n_states):
+            tmp = d[c, k] * x1_s[c, k] * x2_s[c, k] * srel
+            inv_li = inv_li + tmp
+            dln = dln + tmp * lam[c, k]
+            d2ln = d2ln + tmp * (lam[c, k] * lam[c, k])
+
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    wgt = wgt_ref[...]
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    out_ref[0, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[0, 1] = jnp.sum(
+        w * jnp.where(live, d2ln - dln * dln, 0.0))
+
+
+def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
+                          *, block_w=8192,
+                          log_min_scale=float(np.log(2.0 ** -30)),
+                          interpret=False):
+    """(dlnLdlz, d2lnLdlz2) for the branch between rows p and q.
+    lam [C, S] = EIGN*r_c; d [C, S] = rate_weight_c * exp(lam * lz)."""
+    rows, n_cats, n_states, W = clv.shape
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+
+    kernel = functools.partial(_nr_kernel, n_cats=n_cats,
+                               n_states=n_states, bw=bw,
+                               log_min_scale=log_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((n_cats, n_states), lambda w, p, q: (0, 0)),
+            pl.BlockSpec((n_cats, n_states), lambda w, p, q: (0, 0)),
+            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda w, p, q: (w, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 2), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, lam, d, wgt)
+    sums = jnp.sum(partials, axis=0)
+    return sums[0], sums[1]
