@@ -618,7 +618,16 @@ class LikelihoodEngine:
         interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_nv')
         if fn is None:
-            fn = jax.jit(newview_level_pallas,
+            def level_update(clv, scaler, jp, jq, jr, jt, zq, zr, gamma,
+                             eign, ei, ev, *, block_w, min_scale,
+                             inv_min_scale, interpret):
+                pls, prs = make_p_batch(zq, zr, gamma, eign, ei)
+                return newview_level_pallas(
+                    clv, scaler, jp, jq, jr, jt, pls, prs, ev,
+                    block_w=block_w, min_scale=min_scale,
+                    inv_min_scale=inv_min_scale, interpret=interpret)
+
+            fn = jax.jit(level_update,
                          static_argnames=('block_w', 'min_scale',
                                           'inv_min_scale', 'interpret'),
                          donate_argnums=(0, 1))
@@ -652,10 +661,9 @@ class LikelihoodEngine:
                 col = self._branch_col(m)
                 zq = jnp.asarray(qz[:, col], dtype=self.dtype)
                 zr = jnp.asarray(rz[:, col], dtype=self.dtype)
-                pls, prs = make_p_batch(zq, zr, self.d_gamma[m],
-                                        self.d_EIGN[m], self.d_EI[m])
                 self.clv[m], self.scaler[m] = fn(
-                    self.clv[m], self.scaler[m], jp, jq, jr, jt, pls, prs,
+                    self.clv[m], self.scaler[m], jp, jq, jr, jt, zq, zr,
+                    self.d_gamma[m], self.d_EIGN[m], self.d_EI[m],
                     self.d_EV[m], block_w=min(8192, self.widths[m]),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,
