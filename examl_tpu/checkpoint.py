@@ -136,6 +136,20 @@ class Checkpointer:
             payload[f'p{m}_alpha'] = pm.alpha
             payload[f'p{m}_auto_model'] = int(pm.auto_prot_model)
             payload[f'p{m}_prot_freqs'] = int(pm.prot_freqs)
+            payload[f'p{m}_gamma_rates'] = pm.gamma_rates
+            payload[f'p{m}_lg4x_weights'] = pm.lg4x_weights
+            payload[f'p{m}_weight_exp'] = pm.weight_exponents
+        if engine.is_psr:
+            # per-site arrays in global (partition-major) site order, so a
+            # run can resume on any device count (searchAlgo.c:1586-1648)
+            payload['psr_invocations'] = \
+                engine.optimize_rate_category_invocations
+            for m in range(engine.n_models):
+                w = engine.real_widths[m]
+                payload[f'p{m}_num_categories'] = engine.num_categories[m]
+                payload[f'p{m}_psr_rates'] = engine.psr_rates[m]
+                payload[f'p{m}_rate_category'] = engine.rate_category[m][:w]
+                payload[f'p{m}_patrat'] = engine.patrat[m][:w]
         if extra:
             for k, v in extra.items():
                 payload[f'extra_{k}'] = v
@@ -172,7 +186,24 @@ class Checkpointer:
             from .datatypes import ProtModel
             pm.auto_prot_model = ProtModel(int(data[f'p{m}_auto_model']))
             pm.prot_freqs = bool(int(data[f'p{m}_prot_freqs']))
+            if f'p{m}_gamma_rates' in data:
+                pm.gamma_rates = data[f'p{m}_gamma_rates']
+                pm.lg4x_weights = data[f'p{m}_lg4x_weights']
+                pm.weight_exponents = data[f'p{m}_weight_exp']
         engine.update_eigen(range(engine.n_models))
+        if engine.is_psr and 'psr_invocations' in data:
+            engine.optimize_rate_category_invocations = int(
+                data['psr_invocations'])
+            for m in range(engine.n_models):
+                w = engine.real_widths[m]
+                cats = np.zeros(engine.widths[m], dtype=np.int32)
+                cats[:w] = data[f'p{m}_rate_category']
+                engine.patrat[m][:w] = data[f'p{m}_patrat']
+                nc = int(data[f'p{m}_num_categories'])
+                engine.set_psr_state(
+                    m, num_categories=nc,
+                    per_site_rates=data[f'p{m}_psr_rates'][:nc],
+                    rate_category=cats)
 
         table_to_tree(tr, data['tree_table'], int(data['start_number']))
         engine.per_partition_lh = data['per_partition_lh']
@@ -181,7 +212,14 @@ class Checkpointer:
         for key in dataclasses.asdict(state):
             val = data[f'state_{key}']
             setattr(state, key, type(getattr(state, key))(val.item()))
+        extras = {}
+        for key, val in data.items():
+            if key.startswith('extra_'):
+                v = val.item() if val.shape == () else val
+                if isinstance(v, bytes):
+                    v = v.decode()
+                extras[key[len('extra_'):]] = v
         # verify by recomputation, like the reference's readTree :1372-1375
         lnl = engine.evaluate(tr.start, full_traversal_=True)
         assert abs(lnl - state.likelihood) < 0.1, (lnl, state.likelihood)
-        return state
+        return state, extras

@@ -66,6 +66,9 @@ def run_search(alignment: Alignment, tree_newick: str,
                step_width: int = 5, max_rearrange: int = 21,
                constraint_newick: Optional[str] = None,
                random_seed: int = 12345,
+               checkpoint_run_id: Optional[str] = None,
+               checkpoint_workdir: str = '.',
+               resume_from_checkpoint: bool = False,
                verbose: bool = False,
                **engine_kwargs) -> RunResult:
     """Full ML search (reference BIG_RAPID_MODE path, axml.c:2730-2772).
@@ -95,8 +98,28 @@ def run_search(alignment: Alignment, tree_newick: str,
         if verbose:
             print(f'[{time.time() - t0:9.2f}s] lnL {lnl:.6f}', flush=True)
 
+    resume = None
+    checkpointer_cb = None
+    if checkpoint_run_id is not None:
+        from .checkpoint import Checkpointer, SearchState, FAST_SPRS, SLOW_SPRS
+        ckper = Checkpointer(checkpoint_run_id, workdir=checkpoint_workdir)
+        latest = Checkpointer.latest(checkpoint_run_id, checkpoint_workdir)
+        if resume_from_checkpoint and latest is not None:
+            state, extras = Checkpointer.read(latest, engine)
+            resume = dict(extras)
+            resume['phase'] = ('FAST_SPRS'
+                               if state.state == FAST_SPRS else 'SLOW_SPRS')
+            resume.setdefault('lh', state.likelihood)
+
+        def checkpointer_cb(phase, search, vars_):
+            st = SearchState(
+                state=(FAST_SPRS if phase == 'FAST_SPRS' else SLOW_SPRS),
+                likelihood=engine.likelihood)
+            ckper.write(engine, st, extra=vars_)
+
     engine.evaluate(tr.start, full_traversal_=True)
-    engine.tree_evaluate(1.0)
+    if resume is None:
+        engine.tree_evaluate(1.0)
 
     optimizer = ModelOptimizer(engine)
     search = SprSearch(engine, step_width=step_width,
@@ -104,9 +127,10 @@ def run_search(alignment: Alignment, tree_newick: str,
                        initial_radius=initial_radius,
                        search_convergence=search_convergence,
                        constraint=constraint,
-                       log_fn=log_fn)
+                       log_fn=log_fn, checkpointer=checkpointer_cb)
     lnl = search.compute_big_rapid(mod_opt_fn=optimizer.mod_opt,
-                                   estimate_model=estimate_model)
+                                   estimate_model=estimate_model,
+                                   resume=resume)
     return RunResult(lnl, result_newick(engine), engine, log)
 
 

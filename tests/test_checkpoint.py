@@ -34,10 +34,49 @@ def test_checkpoint_roundtrip(tmp_path):
     tree2 = Tree(aln2.taxon_names)
     parse_newick((REF / '49.tree').read_text(), tree2)
     eng2 = LikelihoodEngine(aln2, tree2)
-    state2 = Checkpointer.read(path, eng2)
+    state2, _extras = Checkpointer.read(path, eng2)
 
     assert state2.fast_iterations == 3
     assert eng2.partitions[0].alpha == pytest.approx(0.31)
     lnl2 = eng2.evaluate(tree2.start, full_traversal_=True)
     assert lnl2 == pytest.approx(lnl, abs=1e-9)
     assert Checkpointer.latest('t', str(tmp_path)) == path
+
+
+@pytest.mark.slow
+def test_search_resume(tmp_path):
+    """Interrupt a search mid-way and resume from the latest checkpoint;
+    the resumed search must reach the golden likelihood."""
+    from examl_tpu.run import run_search
+
+    aln = read_bytefile(str(DATA / '49.binary'))
+    nwk = (REF / '49.tree').read_text()
+
+    class Stop(Exception):
+        pass
+
+    calls = {'n': 0}
+    orig = None
+
+    # run with checkpointing, aborting after a few checkpoints
+    import examl_tpu.search.spr as spr_mod
+    orig_write = spr_mod.SprSearch._write_checkpoint
+
+    def limited(self, phase, **vars_):
+        orig_write(self, phase, **vars_)
+        calls['n'] += 1
+        if calls['n'] >= 2:
+            raise Stop
+
+    spr_mod.SprSearch._write_checkpoint = limited
+    try:
+        with pytest.raises(Stop):
+            run_search(aln, nwk, checkpoint_run_id='resume49',
+                       checkpoint_workdir=str(tmp_path))
+    finally:
+        spr_mod.SprSearch._write_checkpoint = orig_write
+
+    res = run_search(aln, nwk, checkpoint_run_id='resume49',
+                     checkpoint_workdir=str(tmp_path),
+                     resume_from_checkpoint=True)
+    assert res.likelihood >= -16194.105
