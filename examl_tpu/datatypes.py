@@ -103,10 +103,24 @@ def _binary_info() -> DataTypeInfo:
     return DataTypeInfo(DataType.BINARY, 2, 4, 3, bit_vectors, chars, '_01-')
 
 
+def _generic32_info() -> DataTypeInfo:
+    # 32-state data, one character per state 0-9A-V, '-'/'?' undetermined
+    # (parser/axml.c genericChars32 :609, globalVariables.h bitVector32)
+    chars32 = '0123456789ABCDEFGHIJKLMNOPQRSTUV'
+    chars = {c: i for i, c in enumerate(chars32)}
+    chars.update({'-': 32, '?': 32})
+    bit_vectors = np.zeros(33, dtype=np.uint64)
+    bit_vectors[:32] = np.uint64(1) << np.arange(32, dtype=np.uint64)
+    bit_vectors[32] = np.uint64(2 ** 32 - 1)
+    return DataTypeInfo(DataType.GENERIC_32, 32, 33, 32, bit_vectors, chars,
+                        chars32 + '-')
+
+
 DATA_TYPE_INFO = {
     DataType.DNA: _dna_info(),
     DataType.AA: _aa_info(),
     DataType.BINARY: _binary_info(),
+    DataType.GENERIC_32: _generic32_info(),
 }
 
 

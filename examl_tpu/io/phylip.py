@@ -102,6 +102,8 @@ def parse_partition_file(path: str, n_sites: int) -> List[PartitionSpec]:
             elif mu in ('BIN', 'BINX'):
                 data_type = DataType.BINARY
                 optimize_bf = mu.endswith('X')
+            elif mu == 'MULTI':
+                data_type = DataType.GENERIC_32
             else:
                 data_type = DataType.AA
                 base, suffix = mu, ''

@@ -70,3 +70,16 @@ def test_per_partition_branch_lengths():
     res = run_tree_evaluation(aln, (REF / '49.tree').read_text(),
                               num_branches=len(aln.partitions))
     assert res.likelihood == pytest.approx(-16035.202133, abs=5e-3)
+
+
+def test_binary_data_initial_lnl():
+    eng = _engine(DATA / 'bin12.binary', DATA / 'bin12.tree')
+    lnl = eng.evaluate(eng.tree.start, full_traversal_=True)
+    assert lnl == pytest.approx(-1048.751089406380, abs=1e-6)
+
+
+@pytest.mark.slow
+def test_binary_data_mod_opt():
+    aln = read_bytefile(str(DATA / 'bin12.binary'))
+    res = run_tree_evaluation(aln, (DATA / 'bin12.tree').read_text())
+    assert res.likelihood == pytest.approx(-890.753413, abs=2e-3)
