@@ -366,9 +366,17 @@ class LikelihoodEngine:
             self.psr_rates[m][self.rate_category[m]], dtype=self.dtype)
 
     def _refresh_tip_rows(self, m):
-        """Materialize tip CLVs = tipVector[code] broadcast over categories."""
-        fn = self._get_jit('tip_rows', m)
-        self.clv[m] = fn(self.clv[m], self.d_tipvec[m], self.tip_codes[m])
+        """Materialize tip CLVs = tipVector[code] per category. The gather
+        runs on the host (numpy) and only a plain slice-set touches the
+        device buffer — no XLA gather program."""
+        tipvec = np.asarray(self.d_tipvec[m])           # [C, codes, S]
+        codes = np.asarray(self.tip_codes[m])           # [T+1, W]
+        tips = tipvec[:, codes, :]                      # [C, T+1, W, S]
+        tips = np.ascontiguousarray(tips.transpose(1, 0, 3, 2))
+        fn = self._get_jit('tip_set', m)
+        self.clv[m] = fn(self.clv[m],
+                         self._put(jnp.asarray(tips, dtype=self.dtype),
+                                   'clv'))
 
     # ------------------------------------------------------------------
     # jitted kernels (built per partition / per signature, cached)
@@ -378,14 +386,10 @@ class LikelihoodEngine:
         if ck in self._jit_cache:
             return self._jit_cache[ck]
 
-        if kind == 'tip_rows':
+        if kind == 'tip_set':
             @partial(jax.jit, donate_argnums=(0,))
-            def fn(clv, tipvec, codes):
-                # rows 1..mxtips; row 0 stays zero. tipvec [C, codes, S]
-                # (distinct per category only for LG4 models)
-                tips = tipvec[:, codes, :]              # [C, T+1, W, S]
-                tips = jnp.transpose(tips, (1, 0, 3, 2))  # [T+1, C, S, W]
-                return clv.at[:self.mxtips + 1].set(tips.astype(clv.dtype))
+            def fn(clv, tips):
+                return clv.at[:self.mxtips + 1].set(tips)
             self._jit_cache[ck] = fn
             return fn
 

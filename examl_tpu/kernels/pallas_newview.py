@@ -201,7 +201,7 @@ def _evaluate_kernel(p_row, q_row,                       # scalar prefetch
     wgt = wgt_ref[...]
     site_log = (jnp.log(jnp.abs(term))
                 + smin.astype(jnp.float32) * log_min_scale)
-    out_ref[0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
 def evaluate_pallas(clv, scaler, p_row, q_row, diag, rate_weights, wgt,
@@ -227,7 +227,8 @@ def evaluate_pallas(clv, scaler, p_row, q_row, diag, rate_weights, wgt,
             pl.BlockSpec((n_cats,), lambda w, p, q: (0,)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
         ],
-        out_specs=pl.BlockSpec((1,), lambda w, p, q: (w,)),
+        out_specs=pl.BlockSpec((1, 1), lambda w, p, q: (w, 0),
+                               memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
             pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
@@ -238,7 +239,7 @@ def evaluate_pallas(clv, scaler, p_row, q_row, diag, rate_weights, wgt,
     )
     partials = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 1), jnp.float32),
         interpret=interpret,
     )(p_row, q_row, clv, scaler, diag, rate_weights, wgt)
     return jnp.sum(partials)
@@ -322,7 +323,8 @@ def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
             pl.BlockSpec((n_cats, n_states), lambda w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
         ],
-        out_specs=pl.BlockSpec((1, 2), lambda w, p, q: (w, 0)),
+        out_specs=pl.BlockSpec((1, 2), lambda w, p, q: (w, 0),
+                               memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
             pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
