@@ -615,10 +615,11 @@ class LikelihoodEngine:
         programs."""
         from .kernels.pallas_newview import (make_p_batch,
                                              newview_level_pallas)
-        from .traversal import levelize
+        from .traversal import chunk_entries
         tr = self.tree
-        dummy = 2 * self.mxtips - 1
-        levels = levelize(tr, entries)
+        # fixed chunk size => one compiled kernel shape for every traversal
+        chunk = 16 if len(entries) > 4 else 4
+        levels = chunk_entries(tr, entries, chunk)
         interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_nv')
         if fn is None:
@@ -637,28 +638,13 @@ class LikelihoodEngine:
                          donate_argnums=(0, 1))
             self._jit_cache['pallas_nv'] = fn
 
-        for lv in levels.levels:
-            n = lv.p_idx.shape[0]
-            L = 1
-            while L < n:
-                L *= 2
-            pad_n = L - n
-            p_idx = np.concatenate([lv.p_idx,
-                                    np.full(pad_n, dummy, np.int32)])
-            q_idx = np.concatenate([lv.q_idx, np.zeros(pad_n, np.int32)])
-            r_idx = np.concatenate([lv.r_idx, np.zeros(pad_n, np.int32)])
-            tt = np.concatenate([lv.tip_tip.astype(np.int32),
-                                 np.ones(pad_n, np.int32)])
-            qz = np.concatenate([lv.qz,
-                                 np.full((pad_n, tr.num_branches),
-                                         C.DEFAULTZ)])
-            rz = np.concatenate([lv.rz,
-                                 np.full((pad_n, tr.num_branches),
-                                         C.DEFAULTZ)])
-            jp = jnp.asarray(p_idx)
-            jq = jnp.asarray(q_idx)
-            jr = jnp.asarray(r_idx)
-            jt = jnp.asarray(tt)
+        for lv in levels:
+            qz = lv.qz
+            rz = lv.rz
+            jp = jnp.asarray(lv.p_idx)
+            jq = jnp.asarray(lv.q_idx)
+            jr = jnp.asarray(lv.r_idx)
+            jt = jnp.asarray(lv.tip_tip.astype(np.int32))
             for m in range(self.n_models):
                 if exec_mask is not None and not exec_mask[m]:
                     continue

@@ -178,3 +178,53 @@ def _pack_exact(tr: Tree, entries: List[TraversalEntry]) -> PackedTraversal:
         rz[i] = e.rz
     return PackedTraversal(count=n, p_idx=p_idx, q_idx=q_idx, r_idx=r_idx,
                            tip_tip=tip_tip, qz=qz, rz=rz)
+
+
+def chunk_entries(tr: Tree, entries: List[TraversalEntry],
+                  chunk: int) -> List[PackedTraversal]:
+    """Pack traversal entries into fixed-size dependency-safe chunks: a
+    chunk never contains a node together with one of its (transitive)
+    same-chunk dependencies, so each chunk is one batched update. Fixed
+    chunk size means a single compiled kernel shape serves every
+    traversal. Chunks are padded with scratch-row dummy updates."""
+    dummy = 2 * tr.mxtips - 1
+    B = tr.num_branches
+    pending = list(entries)
+    chunks: List[PackedTraversal] = []
+    while pending:
+        batch: List[TraversalEntry] = []
+        batch_dsts = set()
+        rest: List[TraversalEntry] = []
+        blocked = set()
+        for e in pending:
+            if (len(batch) < chunk
+                    and e.q_number not in batch_dsts
+                    and e.r_number not in batch_dsts
+                    and e.q_number not in blocked
+                    and e.r_number not in blocked):
+                batch.append(e)
+                batch_dsts.add(e.p_number)
+            else:
+                rest.append(e)
+                # anything depending on a deferred node must also defer
+                blocked.add(e.p_number)
+        pending = rest
+
+        n = len(batch)
+        p_idx = np.full(chunk, dummy, dtype=np.int32)
+        q_idx = np.zeros(chunk, dtype=np.int32)
+        r_idx = np.zeros(chunk, dtype=np.int32)
+        tip_tip = np.ones(chunk, dtype=bool)
+        qz = np.full((chunk, B), DEFAULTZ)
+        rz = np.full((chunk, B), DEFAULTZ)
+        for i, e in enumerate(batch):
+            p_idx[i] = e.p_number
+            q_idx[i] = e.q_number
+            r_idx[i] = e.r_number
+            tip_tip[i] = e.tip_case == TIP_TIP
+            qz[i] = e.qz
+            rz[i] = e.rz
+        chunks.append(PackedTraversal(count=n, p_idx=p_idx, q_idx=q_idx,
+                                      r_idx=r_idx, tip_tip=tip_tip,
+                                      qz=qz, rz=rz))
+    return chunks
