@@ -92,7 +92,8 @@ def cmd_run(args):
 
     t0 = time.time()
     kwargs = dict(num_branches=(len(aln.partitions) if args.M else 1),
-                  use_median=args.a)
+                  use_median=args.a,
+                  rate_het=('PSR' if args.m == 'PSR' else 'GAMMA'))
 
     if args.f in ('e', 'E'):
         res = run_tree_evaluation(aln, tree_newick,
@@ -101,7 +102,17 @@ def cmd_run(args):
         res = run_search(aln, tree_newick,
                          initial_radius=args.i,
                          search_convergence=args.D,
+                         save_best_trees=args.B,
+                         checkpoint_run_id=(args.n if args.R else None),
+                         resume_from_checkpoint=args.R,
+                         checkpoint_workdir=workdir,
                          verbose=True, **kwargs)
+        if res.best_trees:
+            good_path = os.path.join(workdir,
+                                     f'ExaML_goodTrees.{args.n}')
+            with open(good_path, 'w') as fh:
+                for lnl, nwk in res.best_trees:
+                    fh.write(nwk + '\n')
         with open(log_path, 'w') as fh:
             for sec, lnl in res.log:
                 fh.write(f'{sec:f} {lnl:f}\n')
@@ -140,6 +151,8 @@ def main(argv=None):
                    help='d = ML search, e/E = evaluate fixed trees')
     r.add_argument('-e', type=float, default=0.1,
                    help='likelihood epsilon')
+    r.add_argument('-c', type=int, default=25,
+                   help='number of PSR rate categories')
     r.add_argument('-i', type=int, default=None,
                    help='initial rearrangement radius')
     r.add_argument('-D', action='store_true',
@@ -148,6 +161,8 @@ def main(argv=None):
                    help='per-partition branch lengths')
     r.add_argument('-a', action='store_true', help='median gamma')
     r.add_argument('-B', type=int, default=0, help='save N best ML trees')
+    r.add_argument('-R', action='store_true',
+                   help='resume from the latest checkpoint for this run name')
     r.add_argument('-w', default=None, help='output directory')
     r.add_argument('--auto-prot', default='ml',
                    choices=['ml', 'bic', 'aic', 'aicc'])

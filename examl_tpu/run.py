@@ -24,6 +24,7 @@ class RunResult:
     tree_newick: str
     engine: LikelihoodEngine
     log: List  # [(seconds, lnL), ...]
+    best_trees: List = dataclasses.field(default_factory=list)  # -B output
 
 
 def result_newick(engine: LikelihoodEngine) -> str:
@@ -69,6 +70,7 @@ def run_search(alignment: Alignment, tree_newick: str,
                checkpoint_run_id: Optional[str] = None,
                checkpoint_workdir: str = '.',
                resume_from_checkpoint: bool = False,
+               save_best_trees: int = 0,
                verbose: bool = False,
                **engine_kwargs) -> RunResult:
     """Full ML search (reference BIG_RAPID_MODE path, axml.c:2730-2772).
@@ -127,11 +129,22 @@ def run_search(alignment: Alignment, tree_newick: str,
                        initial_radius=initial_radius,
                        search_convergence=search_convergence,
                        constraint=constraint,
+                       save_best_trees=save_best_trees,
                        log_fn=log_fn, checkpointer=checkpointer_cb)
     lnl = search.compute_big_rapid(mod_opt_fn=optimizer.mod_opt,
                                    estimate_model=estimate_model,
                                    resume=resume)
-    return RunResult(lnl, result_newick(engine), engine, log)
+    result = RunResult(lnl, result_newick(engine), engine, log)
+    if search.best_ml is not None:
+        good = []
+        for rank in range(1, search.best_ml.nvalid + 1):
+            snap = search.best_ml.recall(rank, tr)
+            engine.evaluate(tr.start, full_traversal_=True)
+            good.append((engine.likelihood, result_newick(engine)))
+        result.best_trees = good
+        search.best_ml.recall(1, tr)
+        engine.evaluate(tr.start, full_traversal_=True)
+    return result
 
 
 def run_quartets(alignment: Alignment, tree_newick: str,

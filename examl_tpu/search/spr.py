@@ -76,7 +76,7 @@ class SprSearch:
                  do_cutoff: bool = True, big_cutoff: bool = False,
                  initial_radius: Optional[int] = None,
                  search_convergence: bool = False,
-                 constraint=None,
+                 constraint=None, save_best_trees: int = 0,
                  log_fn=None, checkpointer=None):
         self.eng = engine
         self.tr = engine.tree
@@ -92,6 +92,8 @@ class SprSearch:
         # constraint vector (tip group ids); inner entries are resolved by
         # recursion to the first tip (searchAlgo.c checker :69)
         self.constraint = constraint
+        # -B: additional cache of the N best distinct ML trees
+        self.best_ml = BestList(save_best_trees) if save_best_trees else None
 
         self.ilist = InfoList()
         # per-cycle SPR bookkeeping (tree struct fields in the reference)
@@ -364,6 +366,8 @@ class SprSearch:
             tr.hookup(p.next.next, r, z)
 
         bt.save(tr, self.best_of_node, keep_identical=True)
+        if self.best_ml is not None:
+            self.best_ml.save(tr, self.best_of_node, keep_identical=False)
 
         tr.hookup(q, r, qz)
         p.next.back = p.next.next.back = None
@@ -405,6 +409,9 @@ class SprSearch:
                         self.restore_tree_fast()
                         self.start_lh = self.end_lh = eng.likelihood
                         bt.save(tr, eng.likelihood, keep_identical=True)
+                        if self.best_ml is not None:
+                            self.best_ml.save(tr, eng.likelihood,
+                                              keep_identical=False)
                     elif self.best_of_node != C.UNLIKELY:
                         self.restore_topology_only(bt)
                 else:
