@@ -143,6 +143,10 @@ class LikelihoodEngine:
         self.inv_min_scale = 2.0 ** scale_exp
         self.log_min_scale = math.log(self.min_scale)
 
+        # default matmul precision on TPU truncates f32 operands to bf16;
+        # likelihood kernels need true f32 contractions
+        jax.config.update('jax_default_matmul_precision', 'highest')
+
         if use_pallas is None:
             use_pallas = (self.dtype == jnp.float32
                           and jax.default_backend() not in ('cpu',)

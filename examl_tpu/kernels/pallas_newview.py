@@ -65,11 +65,19 @@ def _newview_kernel(p_idx, q_idx, r_idx, tip_tip,       # scalar prefetch
 
     outs = []
     scs = []
+    # Precision.HIGHEST: the MXU multiplies bf16 natively; the default
+    # single-pass truncation costs ~1e-3 relative error per contraction,
+    # which compounds over tree depth into whole log-likelihood units.
+    # The 3-pass f32 mode keeps the kernel bit-comparable to f32 math.
+    hi = jax.lax.Precision.HIGHEST
     for c in range(n_cats):
-        a = jnp.dot(pls[c], x1_s[c], preferred_element_type=jnp.float32)
-        b = jnp.dot(prs[c], x2_s[c], preferred_element_type=jnp.float32)
+        a = jnp.dot(pls[c], x1_s[c], preferred_element_type=jnp.float32,
+                    precision=hi)
+        b = jnp.dot(prs[c], x2_s[c], preferred_element_type=jnp.float32,
+                    precision=hi)
         ab = a * b                                       # [S, BW]
-        x3c = jnp.dot(ev[c].T, ab, preferred_element_type=jnp.float32)
+        x3c = jnp.dot(ev[c].T, ab, preferred_element_type=jnp.float32,
+                      precision=hi)
         m = jnp.max(jnp.abs(x3c), axis=0)                # [BW]
         scale = jnp.logical_and(m < min_scale,
                                 jnp.logical_not(is_tip_tip))
