@@ -95,6 +95,19 @@ def cmd_run(args):
                   use_median=args.a,
                   rate_het=('PSR' if args.m == 'PSR' else 'GAMMA'))
 
+    import contextlib
+    profile_cm = (jax.profiler.trace(args.profile)
+                  if args.profile else contextlib.nullcontext())
+    with profile_cm:
+        return _run_analysis(args, aln, tree_newick, kwargs, workdir,
+                             info_path, result_path, log_path, model_path,
+                             t0)
+
+
+def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
+                  result_path, log_path, model_path, t0):
+    from .run import run_search, run_tree_evaluation
+
     if args.f in ('e', 'E'):
         res = run_tree_evaluation(aln, tree_newick,
                                   likelihood_epsilon=args.e, **kwargs)
@@ -170,6 +183,8 @@ def main(argv=None):
                    help='jax platform override (cpu|axon|tpu)')
     r.add_argument('--f64', action='store_true',
                    help='double-precision likelihood arithmetic')
+    r.add_argument('--profile', default=None, metavar='DIR',
+                   help='write a JAX profiler trace to DIR')
     r.set_defaults(fn=cmd_run)
 
     args = parser.parse_args(argv)
