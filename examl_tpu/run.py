@@ -50,14 +50,31 @@ def _setup(alignment: Alignment, tree_newick: str, **engine_kwargs):
 
 def run_tree_evaluation(alignment: Alignment, tree_newick: str,
                         likelihood_epsilon: float = 0.1,
+                        fast: bool = False,
                         **engine_kwargs) -> RunResult:
-    """Evaluate/optimize a fixed topology (reference optimizeTrees :2251)."""
-    engine = _setup(alignment, tree_newick, **engine_kwargs)
+    """Evaluate/optimize fixed topologies (reference optimizeTrees :2251).
+    tree_newick may contain several ';'-terminated trees (-f e evaluates
+    each; -f E = fast only optimizes branch lengths after the first).
+    RunResult carries the last tree; .best_trees lists all (lnL, newick)."""
+    trees = [t.strip() + ';' for t in tree_newick.split(';') if t.strip()]
+    engine = _setup(alignment, trees[0], **engine_kwargs)
     tr = engine.tree
-    engine.evaluate(tr.start, full_traversal_=True)
-    engine.tree_evaluate(1.0)
-    ModelOptimizer(engine).mod_opt(likelihood_epsilon)
-    return RunResult(engine.likelihood, result_newick(engine), engine, [])
+    results = []
+    optimizer = ModelOptimizer(engine)
+    for i, nwk in enumerate(trees):
+        if i > 0:
+            parse_newick(nwk, tr)
+            engine.reset_branches()
+        engine.evaluate(tr.start, full_traversal_=True)
+        if fast and i > 0:
+            engine.tree_evaluate(2.0)
+        else:
+            engine.tree_evaluate(1.0)
+            optimizer.mod_opt(likelihood_epsilon)
+        results.append((engine.likelihood, result_newick(engine)))
+    out = RunResult(engine.likelihood, result_newick(engine), engine, [])
+    out.best_trees = results
+    return out
 
 
 def run_search(alignment: Alignment, tree_newick: str,
