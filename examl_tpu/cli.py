@@ -108,14 +108,35 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
                   result_path, log_path, model_path, t0):
     from .run import run_search, run_tree_evaluation
 
+    if args.f == 'q':
+        from .run import run_quartets
+        quart_path = os.path.join(workdir, f'ExaML_quartets.{args.n}')
+        results = run_quartets(
+            aln, tree_newick,
+            n_random=(args.r or None), grouping_file=args.Y,
+            random_seed=args.p, likelihood_epsilon=args.e,
+            out_path=quart_path, **kwargs)
+        _info(info_path, f'\n{len(results)} quartet trees evaluated, '
+                         f'written to {quart_path}\n')
+        return 0
+
     if args.f in ('e', 'E'):
         res = run_tree_evaluation(aln, tree_newick,
-                                  likelihood_epsilon=args.e, **kwargs)
+                                  likelihood_epsilon=args.e,
+                                  fast=(args.f == 'E'), **kwargs)
+        with open(os.path.join(workdir, f'ExaML_TreeFile.{args.n}'),
+                  'w') as fh:
+            for lnl, nwk in res.best_trees:
+                _info(info_path, f'Likelihood tree: {lnl:f}\n')
+                fh.write(nwk + '\n')
     else:
+        constraint_newick = open(args.g).read() if args.g else None
         res = run_search(aln, tree_newick,
                          initial_radius=args.i,
                          search_convergence=args.D,
                          save_best_trees=args.B,
+                         constraint_newick=constraint_newick,
+                         random_seed=args.p,
                          checkpoint_run_id=(args.n if args.R else None),
                          resume_from_checkpoint=args.R,
                          checkpoint_workdir=workdir,
@@ -160,8 +181,19 @@ def main(argv=None):
     r.add_argument('-n', required=True, help='run name')
     r.add_argument('-m', default='GAMMA', choices=['GAMMA', 'PSR'],
                    help='rate heterogeneity model')
-    r.add_argument('-f', default='d', choices=['d', 'e', 'E', 'o'],
-                   help='d = ML search, e/E = evaluate fixed trees')
+    r.add_argument('-f', default='d', choices=['d', 'e', 'E', 'o', 'q'],
+                   help='d = ML search, e/E = evaluate fixed trees, '
+                        'q = quartets')
+    r.add_argument('-r', type=int, default=0,
+                   help='number of random quartets (-f q)')
+    r.add_argument('-Y', default=None,
+                   help='quartet grouping file (-f q)')
+    r.add_argument('-I', type=int, default=1000,
+                   help='quartet checkpoint interval')
+    r.add_argument('-p', type=int, default=12345,
+                   help='random number seed (-g / -f q)')
+    r.add_argument('-g', default=None,
+                   help='multifurcating constraint tree file')
     r.add_argument('-e', type=float, default=0.1,
                    help='likelihood epsilon')
     r.add_argument('-c', type=int, default=25,
