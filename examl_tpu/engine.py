@@ -149,9 +149,8 @@ class LikelihoodEngine:
 
         if use_pallas is None:
             use_pallas = (self.dtype == jnp.float32
-                          and jax.default_backend() not in ('cpu',)
-                          and rate_het == 'GAMMA')
-        self.use_pallas = use_pallas and rate_het == 'GAMMA'
+                          and jax.default_backend() not in ('cpu',))
+        self.use_pallas = bool(use_pallas)
 
         self.mxtips = tree.mxtips
         self.rows = 2 * self.mxtips          # CLV rows incl. scratch row
@@ -618,7 +617,8 @@ class LikelihoodEngine:
         updates land in the scratch row) to bound the number of compiled
         programs."""
         from .kernels.pallas_newview import (make_p_batch,
-                                             newview_level_pallas)
+                                             newview_level_pallas,
+                                             newview_level_pallas_psr)
         from .traversal import chunk_entries
         tr = self.tree
         # fixed chunk size => one compiled kernel shape for every traversal
@@ -627,14 +627,27 @@ class LikelihoodEngine:
         interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_nv')
         if fn is None:
-            def level_update(clv, scaler, jp, jq, jr, jt, zq, zr, gamma,
-                             eign, ei, ev, *, block_w, min_scale,
-                             inv_min_scale, interpret):
-                pls, prs = make_p_batch(zq, zr, gamma, eign, ei)
-                return newview_level_pallas(
-                    clv, scaler, jp, jq, jr, jt, pls, prs, ev,
-                    block_w=block_w, min_scale=min_scale,
-                    inv_min_scale=inv_min_scale, interpret=interpret)
+            if self.is_psr:
+                def level_update(clv, scaler, jp, jq, jr, jt, zq, zr,
+                                 site_rates, eign, ei, ev, *, block_w,
+                                 min_scale, inv_min_scale, interpret):
+                    lamq = eign[0][None, :] * K.log_z(zq)[:, None]
+                    lamr = eign[0][None, :] * K.log_z(zr)[:, None]
+                    return newview_level_pallas_psr(
+                        clv, scaler, jp, jq, jr, jt,
+                        lamq.astype(jnp.float32),
+                        lamr.astype(jnp.float32), ei[0], ev[0], site_rates,
+                        block_w=block_w, min_scale=min_scale,
+                        inv_min_scale=inv_min_scale, interpret=interpret)
+            else:
+                def level_update(clv, scaler, jp, jq, jr, jt, zq, zr,
+                                 gamma, eign, ei, ev, *, block_w, min_scale,
+                                 inv_min_scale, interpret):
+                    pls, prs = make_p_batch(zq, zr, gamma, eign, ei)
+                    return newview_level_pallas(
+                        clv, scaler, jp, jq, jr, jt, pls, prs, ev,
+                        block_w=block_w, min_scale=min_scale,
+                        inv_min_scale=inv_min_scale, interpret=interpret)
 
             fn = jax.jit(level_update,
                          static_argnames=('block_w', 'min_scale',
@@ -655,9 +668,11 @@ class LikelihoodEngine:
                 col = self._branch_col(m)
                 zq = jnp.asarray(qz[:, col], dtype=self.dtype)
                 zr = jnp.asarray(rz[:, col], dtype=self.dtype)
+                third = (self.d_site_rates[m] if self.is_psr
+                         else self.d_gamma[m])
                 self.clv[m], self.scaler[m] = fn(
                     self.clv[m], self.scaler[m], jp, jq, jr, jt, zq, zr,
-                    self.d_gamma[m], self.d_EIGN[m], self.d_EI[m],
+                    third, self.d_EIGN[m], self.d_EI[m],
                     self.d_EV[m], block_w=min(8192, self.widths[m]),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,
@@ -737,11 +752,13 @@ class LikelihoodEngine:
         return self.likelihood
 
     def _evaluate_pallas(self, p_row, q_row, qz):
-        from .kernels.pallas_newview import evaluate_pallas
+        from .kernels.pallas_newview import (evaluate_pallas,
+                                             evaluate_pallas_psr)
         interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_eval')
         if fn is None:
-            fn = jax.jit(evaluate_pallas,
+            fn = jax.jit(evaluate_pallas_psr if self.is_psr
+                         else evaluate_pallas,
                          static_argnames=('block_w', 'log_min_scale',
                                           'interpret'))
             self._jit_cache['pallas_eval'] = fn
@@ -751,24 +768,38 @@ class LikelihoodEngine:
         for m in range(self.n_models):
             col = self._branch_col(m)
             lz = math.log(max(qz[col], C.ZMIN))
-            diag = jnp.exp(self.d_EIGN[m] * self.d_gamma[m][:, None] * lz)
-            out.append(fn(self.clv[m], self.scaler[m], jp, jq,
-                          diag.astype(jnp.float32),
-                          self.d_rate_weights[m].astype(jnp.float32),
-                          self.wgts[m].astype(jnp.float32),
-                          block_w=min(8192, self.widths[m]),
-                          log_min_scale=self.log_min_scale,
-                          interpret=interpret))
+            if self.is_psr:
+                lam = (self.d_EIGN[m][0] * lz)[None, :]
+                out.append(fn(self.clv[m], self.scaler[m], jp, jq,
+                              lam.astype(jnp.float32),
+                              self.wgts[m].astype(jnp.float32),
+                              self.d_site_rates[m].astype(jnp.float32),
+                              block_w=min(8192, self.widths[m]),
+                              log_min_scale=self.log_min_scale,
+                              interpret=interpret))
+            else:
+                diag = jnp.exp(self.d_EIGN[m] * self.d_gamma[m][:, None]
+                               * lz)
+                out.append(fn(self.clv[m], self.scaler[m], jp, jq,
+                              diag.astype(jnp.float32),
+                              self.d_rate_weights[m].astype(jnp.float32),
+                              self.wgts[m].astype(jnp.float32),
+                              block_w=min(8192, self.widths[m]),
+                              log_min_scale=self.log_min_scale,
+                              interpret=interpret))
         return np.array([float(o) for o in out])
 
     def _nr_pallas(self, p_row, q_row, core_lz):
-        from .kernels.pallas_newview import nr_derivatives_pallas
+        from .kernels.pallas_newview import (nr_derivatives_pallas,
+                                             nr_derivatives_pallas_psr)
         interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_nrd')
         if fn is None:
-            fn = jax.jit(nr_derivatives_pallas,
-                         static_argnames=('block_w', 'log_min_scale',
-                                          'interpret'))
+            statics = (('block_w', 'interpret') if self.is_psr
+                       else ('block_w', 'log_min_scale', 'interpret'))
+            fn = jax.jit(nr_derivatives_pallas_psr if self.is_psr
+                         else nr_derivatives_pallas,
+                         static_argnames=statics)
             self._jit_cache['pallas_nrd'] = fn
         jp = jnp.asarray([p_row], dtype=jnp.int32)
         jq = jnp.asarray([q_row], dtype=jnp.int32)
@@ -776,15 +807,24 @@ class LikelihoodEngine:
         d2s = np.zeros(self.n_models)
         for m in range(self.n_models):
             col = self._branch_col(m)
-            lam = self.d_EIGN[m] * self.d_gamma[m][:, None]
-            d = (self.d_rate_weights[m][:, None]
-                 * jnp.exp(lam * core_lz[col])).astype(jnp.float32)
-            d1, d2 = fn(self.clv[m], self.scaler[m], jp, jq,
-                        lam.astype(jnp.float32), d,
-                        self.wgts[m].astype(jnp.float32),
-                        block_w=min(8192, self.widths[m]),
-                        log_min_scale=self.log_min_scale,
-                        interpret=interpret)
+            if self.is_psr:
+                d1, d2 = fn(self.clv[m], self.scaler[m], jp, jq,
+                            self.d_EIGN[m][0][None, :].astype(jnp.float32),
+                            self.wgts[m].astype(jnp.float32),
+                            self.d_site_rates[m].astype(jnp.float32),
+                            jnp.asarray([core_lz[col]], dtype=jnp.float32),
+                            block_w=min(8192, self.widths[m]),
+                            interpret=interpret)
+            else:
+                lam = self.d_EIGN[m] * self.d_gamma[m][:, None]
+                d = (self.d_rate_weights[m][:, None]
+                     * jnp.exp(lam * core_lz[col])).astype(jnp.float32)
+                d1, d2 = fn(self.clv[m], self.scaler[m], jp, jq,
+                            lam.astype(jnp.float32), d,
+                            self.wgts[m].astype(jnp.float32),
+                            block_w=min(8192, self.widths[m]),
+                            log_min_scale=self.log_min_scale,
+                            interpret=interpret)
             d1s[m] = float(d1)
             d2s[m] = float(d2)
         return d1s, d2s

@@ -348,3 +348,279 @@ def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
     )(p_row, q_row, clv, scaler, lam, d, wgt)
     sums = jnp.sum(partials, axis=0)
     return sums[0], sums[1]
+
+
+# ---------------------------------------------------------------------------
+# PSR (per-site rate) kernels. Instead of gathering per-site P matrices
+# (the reference's cptr lookup, newviewCAT_FLEX :217), the per-site rates
+# enter the exponent directly: d[s, w] = exp(EIGN[s] * r_w * lz), an
+# elementwise VPU computation with the site axis on the lanes — the
+# natural TPU shape of the CAT model. CLVs are [1, S, W].
+
+def _newview_psr_kernel(p_idx, q_idx, r_idx, tip_tip,
+                        clv_hbm, scaler_hbm, lamq_ref, lamr_ref, ei_ref,
+                        ev_ref, rates_ref,
+                        x3_ref, s3_ref,
+                        x1_s, x2_s, s1_s, s2_s, sems,
+                        *, n_states, bw, min_scale, inv_min_scale):
+    n = pl.program_id(0)
+    wb = pl.program_id(1)
+    q = q_idx[n]
+    r = r_idx[n]
+    col = wb * bw
+
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[r, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[r, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    rates = rates_ref[...]                     # [BW]
+    lamq = lamq_ref[0]                         # [S] = EIGN * lzq of node n
+    lamr = lamr_ref[0]
+    dq = jnp.exp(lamq[:, None] * rates[None, :])    # [S, BW]
+    dr = jnp.exp(lamr[:, None] * rates[None, :])
+    ei = ei_ref[...]                           # [S, S]
+    ev = ev_ref[...]
+    hi = jax.lax.Precision.HIGHEST
+
+    a = jnp.dot(ei, x1_s[0] * dq, preferred_element_type=jnp.float32,
+                precision=hi)
+    b = jnp.dot(ei, x2_s[0] * dr, preferred_element_type=jnp.float32,
+                precision=hi)
+    ab = a * b
+    x3 = jnp.dot(ev.T, ab, preferred_element_type=jnp.float32, precision=hi)
+
+    m = jnp.max(jnp.abs(x3), axis=0)
+    is_tip_tip = tip_tip[n] != 0
+    scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tip_tip))
+    x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
+    x3_ref[0, 0] = x3
+    s3_ref[0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
+
+
+def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
+                             lamq, lamr, ei, ev, site_rates, *,
+                             block_w=8192, min_scale=2.0 ** -30,
+                             inv_min_scale=2.0 ** 30, interpret=False):
+    """One level of PSR newview updates in place. clv [rows, 1, S, W];
+    lamq/lamr [N, S] = EIGN * log(z) per node; site_rates [W] = the
+    concrete per-site rates (perSiteRates[rateCategory])."""
+    rows, one, n_states, W = clv.shape
+    assert one == 1
+    N = p_idx.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+
+    kernel = functools.partial(_newview_psr_kernel, n_states=n_states,
+                               bw=bw, min_scale=min_scale,
+                               inv_min_scale=inv_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(N, W // bw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n_states), lambda n, w, p, q, r, t: (n, 0)),
+            pl.BlockSpec((1, n_states), lambda n, w, p, q, r, t: (n, 0)),
+            pl.BlockSpec((n_states, n_states),
+                         lambda n, w, p, q, r, t: (0, 0)),
+            pl.BlockSpec((n_states, n_states),
+                         lambda n, w, p, q, r, t: (0, 0)),
+            pl.BlockSpec((bw,), lambda n, w, p, q, r, t: (w,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n_states, bw),
+                         lambda n, w, p, q, r, t: (p[n], 0, 0, w)),
+            pl.BlockSpec((1, 1, bw),
+                         lambda n, w, p, q, r, t: (p[n], 0, w)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    clv_out, scaler_out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(p_idx, q_idx, r_idx, tip_tip, clv, scaler, lamq, lamr, ei, ev,
+      site_rates)
+    return clv_out, scaler_out
+
+
+def _evaluate_psr_kernel(p_row, q_row,
+                         clv_hbm, scaler_hbm, lam_ref, wgt_ref, rates_ref,
+                         out_ref,
+                         x1_s, x2_s, s1_s, s2_s, sems,
+                         *, n_states, bw, log_min_scale):
+    wb = pl.program_id(0)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    lam = lam_ref[...]                         # [1, S] = EIGN * lz
+    rates = rates_ref[...]                     # [BW]
+    term = jnp.zeros((bw,), jnp.float32)
+    for k in range(n_states):
+        d = jnp.exp(lam[0, k] * rates)
+        term = term + x1_s[0, k] * x2_s[0, k] * d
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
+    wgt = wgt_ref[...]
+    site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
+    out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
+                        *, block_w=8192,
+                        log_min_scale=float(np.log(2.0 ** -30)),
+                        interpret=False):
+    """PSR root log likelihood; lam [1, S] = EIGN * log(z)."""
+    rows, one, n_states, W = clv.shape
+    bw = min(block_w, W)
+    nb = W // bw
+    kernel = functools.partial(_evaluate_psr_kernel, n_states=n_states,
+                               bw=bw, log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
+            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda w, p, q: (w, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, lam, wgt, site_rates)
+    return jnp.sum(partials)
+
+
+def _nr_psr_kernel(p_row, q_row,
+                   clv_hbm, scaler_hbm, eign_ref, wgt_ref, rates_ref,
+                   lz_ref,
+                   out_ref,
+                   x1_s, x2_s, s1_s, s2_s, sems,
+                   *, n_states, bw):
+    wb = pl.program_id(0)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    eign = eign_ref[...]                       # [1, S]
+    rates = rates_ref[...]                     # [BW]
+    lz = lz_ref[0]
+    inv_li = jnp.zeros((bw,), jnp.float32)
+    dln = jnp.zeros((bw,), jnp.float32)
+    d2ln = jnp.zeros((bw,), jnp.float32)
+    for k in range(n_states):
+        lamk = eign[0, k] * rates               # [BW]
+        tmp = x1_s[0, k] * x2_s[0, k] * jnp.exp(lamk * lz)
+        inv_li = inv_li + tmp
+        dln = dln + tmp * lamk
+        d2ln = d2ln + tmp * lamk * lamk
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    wgt = wgt_ref[...]
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    out_ref[0, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[0, 1] = jnp.sum(w * jnp.where(live, d2ln - dln * dln, 0.0))
+
+
+def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
+                              site_rates, lz, *, block_w=8192,
+                              interpret=False):
+    """PSR NR derivatives; eign [1, S]; lz scalar array [1]."""
+    rows, one, n_states, W = clv.shape
+    bw = min(block_w, W)
+    nb = W // bw
+    kernel = functools.partial(_nr_psr_kernel, n_states=n_states, bw=bw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
+            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((1,), lambda w, p, q: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda w, p, q: (w, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 2), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, eign, wgt, site_rates, lz)
+    sums = jnp.sum(partials, axis=0)
+    return sums[0], sums[1]
