@@ -590,6 +590,8 @@ class LikelihoodEngine:
         """Per-site pattern log likelihoods with per-site rates rates_list
         (numpy [W] per partition), evaluated at tr.start like the PSR
         optimizer does."""
+        if self.use_pallas:
+            return self._psr_per_site_lnl_pallas(rates_list)
         tr = self.tree
         p = tr.start
         q = p.back
@@ -606,6 +608,57 @@ class LikelihoodEngine:
                  jnp.asarray(packed.rz, dtype=self.dtype),
                  p.number, q.number)
         return [np.asarray(o, dtype=np.float64) for o in out]
+
+    def _psr_per_site_lnl_pallas(self, rates_list):
+        """Pallas path for the PSR rate scan: run the traversal wave on
+        scratch copies of the CLV buffers with the proposed per-site rates,
+        then read per-site lnls at the root."""
+        from .kernels.pallas_newview import per_site_lnl_pallas
+        from .traversal import chunk_entries
+        tr = self.tree
+        p = tr.start
+        q = p.back
+        entries = full_traversal(tr, q)
+        chunks = chunk_entries(tr, entries, 16)
+        interpret = jax.default_backend() == 'cpu'
+
+        fn = self._jit_cache.get('pallas_nv')
+        assert fn is not None or True
+        # reuse the PSR level_update jit; temporarily swap site rates in
+        saved_clv = self.clv
+        saved_scaler = self.scaler
+        saved_rates = self.d_site_rates
+        self.clv = [jnp.array(c) for c in self.clv]     # scratch copies
+        self.scaler = [jnp.array(s) for s in self.scaler]
+        self.d_site_rates = [jnp.asarray(r, dtype=self.dtype)
+                             for r in rates_list]
+        try:
+            self._run_traversal_pallas(entries, None)
+            lfn = self._jit_cache.get('pallas_pslnl')
+            if lfn is None:
+                lfn = jax.jit(per_site_lnl_pallas,
+                              static_argnames=('block_w', 'log_min_scale',
+                                               'interpret'))
+                self._jit_cache['pallas_pslnl'] = lfn
+            jp = jnp.asarray([p.number], dtype=jnp.int32)
+            jq = jnp.asarray([q.number], dtype=jnp.int32)
+            out = []
+            for m in range(self.n_models):
+                col = self._branch_col(m)
+                lz = math.log(max(q.z[col], C.ZMIN))
+                out.append(np.asarray(lfn(
+                    self.clv[m], self.scaler[m], jp, jq,
+                    self.d_EIGN[m][0][None, :].astype(jnp.float32),
+                    self.d_site_rates[m].astype(jnp.float32),
+                    jnp.asarray([lz], dtype=jnp.float32),
+                    block_w=min(8192, self.widths[m]),
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret), dtype=np.float64))
+        finally:
+            self.clv = saved_clv
+            self.scaler = saved_scaler
+            self.d_site_rates = saved_rates
+        return out
 
     # ------------------------------------------------------------------
     # generic operations (host API mirroring the reference entry points)

@@ -624,3 +624,75 @@ def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
     )(p_row, q_row, clv, scaler, eign, wgt, site_rates, lz)
     sums = jnp.sum(partials, axis=0)
     return sums[0], sums[1]
+
+
+def _per_site_lnl_kernel(p_row, q_row,
+                         clv_hbm, scaler_hbm, eign_ref, rates_ref, lz_ref,
+                         out_ref,
+                         x1_s, x2_s, s1_s, s2_s, sems,
+                         *, n_states, bw, log_min_scale):
+    wb = pl.program_id(0)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    eign = eign_ref[...]                       # [1, S]
+    rates = rates_ref[...]                     # [BW]
+    lz = lz_ref[0]
+    term = jnp.zeros((bw,), jnp.float32)
+    for k in range(n_states):
+        term = term + (x1_s[0, k] * x2_s[0, k]
+                       * jnp.exp(eign[0, k] * rates * lz))
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
+    out_ref[...] = jnp.log(jnp.abs(term)) + s * log_min_scale
+
+
+def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
+                        *, block_w=8192,
+                        log_min_scale=float(np.log(2.0 ** -30)),
+                        interpret=False):
+    """Per-site pattern log likelihoods under PSR -> [W]."""
+    rows, one, n_states, W = clv.shape
+    bw = min(block_w, W)
+    nb = W // bw
+    kernel = functools.partial(_per_site_lnl_kernel, n_states=n_states,
+                               bw=bw, log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
+            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((1,), lambda w, p, q: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+        scratch_shapes=[
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((W,), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, eign, site_rates, lz)
