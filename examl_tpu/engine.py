@@ -885,6 +885,114 @@ class LikelihoodEngine:
     # ------------------------------------------------------------------
     # Newton-Raphson branch-length optimization
 
+    def _build_nr_loop_fn(self):
+        """The entire topLevelMakenewz state machine as one on-device
+        lax.while_loop around the Pallas derivative kernel — one dispatch
+        per branch optimization instead of one per NR iteration (the
+        reference pays an MPI allreduce per iteration here,
+        makenewzGenericSpecial.c:1241-1248)."""
+        from .kernels.pallas_newview import (nr_derivatives_pallas,
+                                             nr_derivatives_pallas_psr)
+        n_models = self.n_models
+        B = self.num_branches
+        interpret = jax.default_backend() == 'cpu'
+
+        def derivatives(clvs, scalers, jp, jq, eign, gamma, rate_weights,
+                        wgts, site_rates, core_lz):
+            d1s, d2s = [], []
+            for m in range(n_models):
+                col = self._branch_col(m)
+                if self.is_psr:
+                    d1, d2 = nr_derivatives_pallas_psr(
+                        clvs[m], scalers[m], jp, jq,
+                        eign[m][0][None, :].astype(jnp.float32),
+                        wgts[m].astype(jnp.float32),
+                        site_rates[m].astype(jnp.float32),
+                        core_lz[col][None].astype(jnp.float32),
+                        block_w=min(8192, self.widths[m]),
+                        interpret=interpret)
+                else:
+                    lam = eign[m] * gamma[m][:, None]
+                    d = (rate_weights[m][:, None]
+                         * jnp.exp(lam * core_lz[col])).astype(jnp.float32)
+                    d1, d2 = nr_derivatives_pallas(
+                        clvs[m], scalers[m], jp, jq,
+                        lam.astype(jnp.float32), d,
+                        wgts[m].astype(jnp.float32),
+                        block_w=min(8192, self.widths[m]),
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret)
+                d1s.append(d1)
+                d2s.append(d2)
+            return jnp.stack(d1s), jnp.stack(d2s)
+
+        def nr_loop(clvs, scalers, jp, jq, eign, gamma, rate_weights, wgts,
+                    site_rates, z0, exec_mask, maxiter):
+            z = z0
+            zprev = z0
+            zstep = jnp.zeros(B, z0.dtype)
+            maxi = jnp.full(B, maxiter, jnp.int32)
+            outer = jnp.zeros(B, bool)
+            curvat = jnp.ones(B, bool)
+
+            def cond(state):
+                return ~jnp.all(state[4])
+
+            def body(state):
+                z, zprev, zstep, maxi, outer, curvat = state
+                fresh = ~outer & curvat
+                zprev = jnp.where(fresh, z, zprev)
+                zstep = jnp.where(fresh,
+                                  (1.0 - C.ZMAX) * z + C.ZMIN, zstep)
+                curvat = curvat & ~fresh
+                active = ~outer & ~curvat
+                zc = jnp.clip(z, C.ZMIN, C.ZMAX)
+                z = jnp.where(active, zc, z)
+                core_lz = jnp.log(jnp.clip(z, C.ZMIN, C.ZMAX))
+
+                d1m, d2m = derivatives(clvs, scalers, jp, jq, eign, gamma,
+                                       rate_weights, wgts, site_rates,
+                                       core_lz)
+                if B == 1:
+                    ex = exec_mask.astype(d1m.dtype)
+                    d1 = jnp.sum(d1m * ex)[None]
+                    d2 = jnp.sum(d2m * ex)[None]
+                else:
+                    d1 = d1m
+                    d2 = d2m
+
+                shorten = active & (d2 >= 0.0) & (z < C.ZMAX)
+                zshort = 0.37 * z + 0.63
+                z = jnp.where(shorten, zshort, z)
+                zprev = jnp.where(shorten, zshort, zprev)
+                curvat = curvat | (active & ~shorten)
+
+                do_nr = active & ~shorten
+                tantmp = -d1 / d2
+                small = tantmp < 100.0
+                zexp = z * jnp.exp(tantmp)
+                zexp = jnp.maximum(zexp, C.ZMIN)
+                cap = 0.25 * zprev + 0.75
+                zexp = jnp.minimum(zexp, cap)
+                znr = jnp.where((d2 < 0.0) & small, zexp,
+                                jnp.where(d2 < 0.0, cap, z))
+                znr = jnp.minimum(znr, C.ZMAX)
+                z = jnp.where(do_nr, znr, z)
+                maxi = jnp.where(do_nr, maxi - 1, maxi)
+                moved = jnp.abs(z - zprev) > zstep
+                give_up = do_nr & moved & (maxi < -20)
+                z = jnp.where(give_up, z0, z)
+                outer = jnp.where(do_nr,
+                                  jnp.where(moved, give_up, True), outer)
+                return (z, zprev, zstep, maxi, outer, curvat)
+
+            state = (z, zprev, zstep, maxi, outer, curvat)
+            state = jax.lax.while_loop(cond, body, state)
+            return state[0]
+
+        return jax.jit(nr_loop, static_argnames=())
+
+
     def makenewz(self, p: Node, q: Node, z0, maxiter: int,
                  mask: bool = False):
         """Optimize the branch (p, q) starting from z0
@@ -902,11 +1010,28 @@ class LikelihoodEngine:
             entries += partial_traversal(tr, q)
         self._run_traversal(entries, self.execute_model if mask else None)
 
-        if not self.use_pallas:
-            sum_fn = self._get_jit('sumtable', 0)
-            sumtables, srels = sum_fn(tuple(self.clv), tuple(self.scaler),
-                                      p.number, q.number)
-            nr_fn = self._get_jit('nr_core', 0)
+        if self.use_pallas:
+            fn = self._jit_cache.get('pallas_nr_loop')
+            if fn is None:
+                fn = self._build_nr_loop_fn()
+                self._jit_cache['pallas_nr_loop'] = fn
+            ex = (self.execute_model if mask
+                  else np.ones(self.n_models, dtype=bool))
+            z = fn(tuple(self.clv), tuple(self.scaler),
+                   jnp.asarray([p.number], dtype=jnp.int32),
+                   jnp.asarray([q.number], dtype=jnp.int32),
+                   tuple(self.d_EIGN), tuple(self.d_gamma),
+                   tuple(self.d_rate_weights), tuple(self.wgts),
+                   tuple(self.d_site_rates),
+                   jnp.asarray(z0, dtype=self.dtype),
+                   jnp.asarray(ex), maxiter)
+            self.execute_model[:] = True
+            return np.asarray(z, dtype=np.float64)
+
+        sum_fn = self._get_jit('sumtable', 0)
+        sumtables, srels = sum_fn(tuple(self.clv), tuple(self.scaler),
+                                  p.number, q.number)
+        nr_fn = self._get_jit('nr_core', 0)
 
         # --- the NR loop state machine (topLevelMakenewz :1133-1349) ---
         z = z0.copy()
