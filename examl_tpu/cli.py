@@ -94,6 +94,7 @@ def cmd_run(args):
     kwargs = dict(num_branches=(len(aln.partitions) if args.M else 1),
                   use_median=args.a,
                   rate_het=('PSR' if args.m == 'PSR' else 'GAMMA'))
+    run_extra = dict(auto_prot_selection=args.auto_prot)
 
     import contextlib
     profile_cm = (jax.profiler.trace(args.profile)
@@ -123,7 +124,8 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
     if args.f in ('e', 'E'):
         res = run_tree_evaluation(aln, tree_newick,
                                   likelihood_epsilon=args.e,
-                                  fast=(args.f == 'E'), **kwargs)
+                                  fast=(args.f == 'E'), **run_extra,
+                                  **kwargs)
         with open(os.path.join(workdir, f'ExaML_TreeFile.{args.n}'),
                   'w') as fh:
             for lnl, nwk in res.best_trees:
@@ -131,7 +133,7 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
                 fh.write(nwk + '\n')
     else:
         constraint_newick = open(args.g).read() if args.g else None
-        res = run_search(aln, tree_newick,
+        res = run_search(aln, tree_newick, **run_extra,
                          initial_radius=args.i,
                          search_convergence=args.D,
                          save_best_trees=args.B,

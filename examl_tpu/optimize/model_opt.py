@@ -82,8 +82,10 @@ def init_linkage_list_gtr(engine: LikelihoodEngine) -> LinkageList:
 
 
 class ModelOptimizer:
-    def __init__(self, engine: LikelihoodEngine):
+    def __init__(self, engine: LikelihoodEngine,
+                 auto_prot_selection: str = 'ml'):
         self.engine = engine
+        self.auto_prot_selection = auto_prot_selection
         self._cat_opt = 0   # PSR categorization passes (max 3 per modOpt)
 
     # ------------------------------------------------------------------
@@ -605,7 +607,7 @@ class ModelOptimizer:
             self.opt_rates_generic(model_epsilon, rate_list)
             eng.evaluate(eng.tree.start, full_traversal_=True)
 
-            self.auto_protein()
+            self.auto_protein(self.auto_prot_selection)
 
             eng.tree_evaluate(0.0625)
             eng.evaluate(eng.tree.start, full_traversal_=True)

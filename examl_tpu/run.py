@@ -51,6 +51,7 @@ def _setup(alignment: Alignment, tree_newick: str, **engine_kwargs):
 def run_tree_evaluation(alignment: Alignment, tree_newick: str,
                         likelihood_epsilon: float = 0.1,
                         fast: bool = False,
+                        auto_prot_selection: str = 'ml',
                         **engine_kwargs) -> RunResult:
     """Evaluate/optimize fixed topologies (reference optimizeTrees :2251).
     tree_newick may contain several ';'-terminated trees (-f e evaluates
@@ -60,7 +61,7 @@ def run_tree_evaluation(alignment: Alignment, tree_newick: str,
     engine = _setup(alignment, trees[0], **engine_kwargs)
     tr = engine.tree
     results = []
-    optimizer = ModelOptimizer(engine)
+    optimizer = ModelOptimizer(engine, auto_prot_selection)
     for i, nwk in enumerate(trees):
         if i > 0:
             parse_newick(nwk, tr)
@@ -88,6 +89,7 @@ def run_search(alignment: Alignment, tree_newick: str,
                checkpoint_workdir: str = '.',
                resume_from_checkpoint: bool = False,
                save_best_trees: int = 0,
+               auto_prot_selection: str = 'ml',
                verbose: bool = False,
                **engine_kwargs) -> RunResult:
     """Full ML search (reference BIG_RAPID_MODE path, axml.c:2730-2772).
@@ -140,7 +142,7 @@ def run_search(alignment: Alignment, tree_newick: str,
     if resume is None:
         engine.tree_evaluate(1.0)
 
-    optimizer = ModelOptimizer(engine)
+    optimizer = ModelOptimizer(engine, auto_prot_selection)
     search = SprSearch(engine, step_width=step_width,
                        max_rearrange=max_rearrange,
                        initial_radius=initial_radius,
