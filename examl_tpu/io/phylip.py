@@ -145,8 +145,9 @@ def _empirical_frequencies(codes: np.ndarray, states: int, bit_vectors,
                            weights: np.ndarray, smooth: bool) -> np.ndarray:
     """8-step EM over ambiguity codes (parser/axml.c
     genericBaseFrequencies :2420)."""
-    bits = np.asarray(bit_vectors)[codes]            # [taxa, width]
-    masks = ((bits[:, :, None] >> np.arange(states)[None, None, :]) & 1
+    bits = np.asarray(bit_vectors).astype(np.uint64)[codes]  # [taxa, width]
+    shifts = np.arange(states, dtype=np.uint64)[None, None, :]
+    masks = ((bits[:, :, None] >> shifts) & np.uint64(1)
              ).astype(np.float64)                    # [taxa, width, states]
     w = weights.astype(np.float64)
 

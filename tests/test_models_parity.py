@@ -83,3 +83,33 @@ def test_binary_data_mod_opt():
     aln = read_bytefile(str(DATA / 'bin12.binary'))
     res = run_tree_evaluation(aln, (DATA / 'bin12.tree').read_text())
     assert res.likelihood == pytest.approx(-890.753413, abs=2e-3)
+
+
+def test_multistate_generic32():
+    """GENERIC_32 (MULTI) runs end to end (the reference parser accepts
+    MULTI but its engine asserts on 32-state evaluation, so there is no
+    reference golden; we check internal consistency instead)."""
+    from examl_tpu.io.phylip import parse_phylip
+    aln = parse_phylip(str(DATA / 'multi8.phy'), str(DATA / 'multi8.model'))
+    assert aln.partitions[0].states == 32
+    tree = Tree(aln.taxon_names)
+    parse_newick((DATA / 'multi8.tree').read_text(), tree)
+    eng = LikelihoodEngine(aln, tree)
+    lnl0 = eng.evaluate(eng.tree.start, full_traversal_=True)
+    assert lnl0 < 0 and lnl0 > -1e8
+    lnl1 = eng.tree_evaluate(1.0)
+    assert lnl1 > lnl0
+
+
+@pytest.mark.slow
+def test_aa140_auto_protein_full():
+    """Full -f e on testData/140 (WAG + 2x AUTO): ~1.5 h on CPU.
+    Reference: lnL -121288.814123, AUTO selects LG/empirical for p1 and
+    LG/fixed for p2, alphas 0.887369/0.845018/0.690469."""
+    aln = read_bytefile(str(DATA / '140.binary'))
+    res = run_tree_evaluation(
+        aln, pathlib.Path('/root/reference/testData/140.tree').read_text())
+    assert res.likelihood == pytest.approx(-121288.814123, abs=5e-3)
+    pms = res.engine.partitions
+    assert pms[1].auto_prot_model.name == 'LG' and not pms[1].prot_freqs
+    assert pms[2].auto_prot_model.name == 'LG' and pms[2].prot_freqs
