@@ -13,13 +13,17 @@ jax.config.update('jax_enable_x64', True)
 
 def pytest_addoption(parser):
     parser.addoption('--runslow', action='store_true', default=False)
+    parser.addoption('--runveryslow', action='store_true', default=False)
 
 
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
-    if config.getoption('--runslow'):
-        return
-    skip = _pytest.mark.skip(reason='slow; use --runslow')
+    run_slow = config.getoption('--runslow')
+    run_very = config.getoption('--runveryslow')
+    skip_slow = _pytest.mark.skip(reason='slow; use --runslow')
+    skip_very = _pytest.mark.skip(reason='1h+; use --runveryslow')
     for item in items:
-        if 'slow' in item.keywords:
-            item.add_marker(skip)
+        if 'veryslow' in item.keywords and not run_very:
+            item.add_marker(skip_very)
+        elif 'slow' in item.keywords and not (run_slow or run_very):
+            item.add_marker(skip_slow)

@@ -101,7 +101,7 @@ def test_multistate_generic32():
     assert lnl1 > lnl0
 
 
-@pytest.mark.slow
+@pytest.mark.veryslow
 def test_aa140_auto_protein_full():
     """Full -f e on testData/140 (WAG + 2x AUTO): ~1.5 h on CPU.
     Reference: lnL -121288.814123, AUTO selects LG/empirical for p1 and
