@@ -36,6 +36,17 @@ def cmd_parse(args):
     write_bytefile(out, aln)
     print(f'Alignment has {aln.n_patterns} unique patterns')
     print(f'gappyness: {aln.gappyness:f}')
+
+    # CLV memory estimate (the reference parser prints the same numbers,
+    # parser/axml.c:2846-2884); under GAMMA it is 4x the CAT figure
+    clv_cat = sum(p.states * p.width for p in aln.partitions) \
+        * aln.n_taxa * 8
+    tips = aln.n_taxa * aln.n_patterns
+    print(f'CLV memory (CAT, f64): {clv_cat + tips:,} bytes; '
+          f'GAMMA: {4 * clv_cat + tips:,} bytes '
+          f'({(4 * clv_cat + tips) / 2**30:.2f} GiB); '
+          f'f32 engine halves this. Site-shard across a device mesh '
+          f'when it exceeds per-chip HBM.')
     print(f'Binary and compressed alignment file written to file {out}')
     return 0
 
