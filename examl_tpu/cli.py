@@ -119,6 +119,7 @@ def cmd_run(args):
 def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
                   result_path, log_path, model_path, t0):
     from .run import run_search, run_tree_evaluation
+    run_extra = dict(auto_prot_selection=args.auto_prot)
 
     if args.f == 'q':
         from .run import run_quartets

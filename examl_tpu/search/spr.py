@@ -202,13 +202,18 @@ class SprSearch:
         self.eng.newview(p)
 
     def _subtree_group(self, p: Node) -> int:
+        """Group id of the subtree behind p: the common group if all tips
+        below belong to one constraint group, else 0 (= the backbone tag
+        the reference assigns to nodes above the multifurcation groups,
+        treeIO.c addElementLenMULT :928). A pure-group subtree may only be
+        inserted next to its own group; a backbone/mixed subtree only at
+        backbone edges — exactly the reference's checker gate."""
         tr = self.tr
         if tr.is_tip(p.number):
             return int(self.constraint[p.number])
-        g = self._subtree_group(p.next.back)
-        if g != -9:
-            return g
-        return self._subtree_group(p.next.next.back)
+        g1 = self._subtree_group(p.next.back)
+        g2 = self._subtree_group(p.next.next.back)
+        return g1 if g1 == g2 else 0
 
     def test_insert_big(self, p: Node, q: Node) -> bool:
         tr = self.tr
@@ -221,11 +226,10 @@ class SprSearch:
             # reject insertions that would move the pruned subtree into a
             # different constraint group (testInsertBIG :690-715)
             p_group = self._subtree_group(p.back)
-            if p_group != -9:
-                q_group = self._subtree_group(q)
-                r_group = self._subtree_group(r)
-                if p_group != q_group and p_group != r_group:
-                    return True
+            q_group = self._subtree_group(q)
+            r_group = self._subtree_group(r)
+            if p_group != q_group and p_group != r_group:
+                return True
 
         self.insert_big(p, q)
         lh = self.eng.evaluate(p.next.next)
@@ -391,11 +395,15 @@ class SprSearch:
         self.start_lh = self.end_lh = eng.likelihood
 
         if self.do_cutoff:
+            factor = 0.5 if self.big_cutoff else 1.0
             if self.it_count == 0:
-                factor = 0.5 if self.big_cutoff else 1.0
                 self.lh_cutoff = factor * (eng.likelihood / -1000.0)
+            elif self.lh_dec == 0:
+                # no candidate decreased the likelihood last cycle; the
+                # reference's 0/0 yields NaN whose comparisons are false,
+                # i.e. the cutoff never fires — +inf reproduces that
+                self.lh_cutoff = math.inf
             else:
-                factor = 0.5 if self.big_cutoff else 1.0
                 self.lh_cutoff = factor * (self.lh_avg / self.lh_dec)
             self.it_count += 1
             self.lh_avg = 0.0
@@ -480,7 +488,8 @@ class SprSearch:
                 impr = False
 
             if self.do_cutoff:
-                self.lh_cutoff = self.lh_avg / self.lh_dec
+                self.lh_cutoff = (self.lh_avg / self.lh_dec
+                                  if self.lh_dec else math.inf)
                 self.it_count += 1
                 self.lh_avg = 0.0
                 self.lh_dec = 0

@@ -80,3 +80,32 @@ def test_search_resume(tmp_path):
                      checkpoint_workdir=str(tmp_path),
                      resume_from_checkpoint=True)
     assert res.likelihood >= -16194.105
+
+
+@pytest.mark.slow
+def test_constraint_search_respects_groups():
+    """-g: the search must keep every constraint group monophyletic."""
+    from examl_tpu.run import run_search
+
+    aln = read_bytefile(str(DATA / 'bin12.binary'))
+    res = run_search(
+        aln, (DATA / 'bin12.tree').read_text(),
+        constraint_newick='((b0,b1,b2,b3),(b4,b5,b6,b7),(b8,b9,b10,b11));',
+        random_seed=7)
+
+    tr = Tree(aln.taxon_names)
+    parse_newick(res.tree_newick, tr, read_branches=True)
+    bips = set()
+
+    def rec(p):
+        if tr.is_tip(p.number):
+            return frozenset((p.number,))
+        b = rec(p.next.back) | rec(p.next.next.back)
+        bips.add(b)
+        return b
+
+    rec(tr.nodep[1].back)
+    full = frozenset(range(1, 13))
+    for g in (frozenset(range(1, 5)), frozenset(range(5, 9)),
+              frozenset(range(9, 13))):
+        assert g in bips or (full - g) in bips
