@@ -151,6 +151,9 @@ class LikelihoodEngine:
             use_pallas = (self.dtype == jnp.float32
                           and jax.default_backend() not in ('cpu',))
         self.use_pallas = bool(use_pallas)
+        if self.use_pallas and jax.default_backend() != 'cpu':
+            # Mosaic DMA slices must be lane-tile aligned
+            self.pad = max(self.pad, 128)
 
         self.mxtips = tree.mxtips
         self.rows = 2 * self.mxtips          # CLV rows incl. scratch row
