@@ -789,7 +789,11 @@ class LikelihoodEngine:
                 entries += partial_traversal(tr, p)
             if not q.x:
                 entries += partial_traversal(tr, q)
-        self._run_traversal(entries)
+        # masked partitions keep their stale CLVs (evaluateChange
+        # semantics, optimizeModel.c:464-534)
+        mask = (None if self.execute_model.all()
+                else self.execute_model.copy())
+        self._run_traversal(entries, mask)
 
         if self.use_pallas:
             lhs = self._evaluate_pallas(p.number, q.number, qz)
