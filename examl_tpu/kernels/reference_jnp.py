@@ -189,9 +189,10 @@ def per_site_lnl_kernel(x1, x2, s1, s2, site_rates, EIGN, lz,
     """Per-site (pattern) log likelihoods at arbitrary per-site rates —
     the vectorized replacement for evaluatePartialGeneric
     (evaluatePartialGenericSpecial.c :190): one traversal evaluates every
-    site's rate proposal simultaneously."""
-    diag = jnp.exp(EIGN[None, :] * site_rates[:, None] * lz)
-    term = jnp.einsum('ws,ws->w', x1[0] * x2[0], diag)
+    site's rate proposal simultaneously. x1/x2 [1, S, W] (the engine's
+    sites-last layout), site_rates [W]."""
+    diag = jnp.exp(EIGN[:, None] * site_rates[None, :] * lz)    # [S, W]
+    term = jnp.einsum('sw,sw->w', x1[0] * x2[0], diag)
     s = (s1 + s2)[0]
     return jnp.log(jnp.abs(term)) + s.astype(term.dtype) * log_min_scale
 
@@ -200,16 +201,17 @@ def newview_kernel_persite(x1, x2, s1, s2, rates, lzq, lzr, EIGN, EI, EV,
                            tip_tip, min_scale, inv_min_scale):
     """CLV update where every site has its own continuous rate (used by the
     vectorized per-site rate hill climb, replacing evaluatePartialGeneric's
-    one-site-at-a-time traversals). x1/x2 [1, W, S], rates [W]."""
-    dq = jnp.exp(EIGN[None, :] * (rates * lzq)[:, None])   # [W, S]
-    dr = jnp.exp(EIGN[None, :] * (rates * lzr)[:, None])
-    a = jnp.einsum('wk,lk->wl', x1[0] * dq, EI)
-    b = jnp.einsum('wk,lk->wl', x2[0] * dr, EI)
-    x3 = jnp.einsum('wl,lk->wk', a * b, EV)[None]
+    one-site-at-a-time traversals). x1/x2 [1, S, W] (the engine's
+    sites-last layout), rates [W]."""
+    dq = jnp.exp(EIGN[:, None] * (rates * lzq)[None, :])   # [S, W]
+    dr = jnp.exp(EIGN[:, None] * (rates * lzr)[None, :])
+    a = jnp.einsum('kw,lk->lw', x1[0] * dq, EI)
+    b = jnp.einsum('kw,lk->lw', x2[0] * dr, EI)
+    x3 = jnp.einsum('lw,lk->kw', a * b, EV)[None]          # [1, S, W]
 
-    cat_max = jnp.max(jnp.abs(x3), axis=2)
+    cat_max = jnp.max(jnp.abs(x3), axis=1)                 # [1, W]
     do_scale = jnp.logical_and(cat_max < min_scale,
                                jnp.logical_not(tip_tip))
-    x3 = jnp.where(do_scale[:, :, None], x3 * inv_min_scale, x3)
+    x3 = jnp.where(do_scale[:, None, :], x3 * inv_min_scale, x3)
     s3 = s1 + s2 + do_scale.astype(s1.dtype)
     return x3, s3

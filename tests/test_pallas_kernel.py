@@ -7,7 +7,9 @@ import jax.numpy as jnp
 
 from examl_tpu.kernels import reference_jnp as K
 from examl_tpu.kernels.pallas_newview import (make_p_batch,
-                                              newview_level_pallas)
+                                              newview_level_pallas,
+                                              newview_level_pallas_psr,
+                                              per_site_lnl_pallas)
 
 
 @pytest.mark.parametrize('n_states', [4, 20])
@@ -49,3 +51,74 @@ def test_pallas_matches_reference(n_states):
         block_w=128, min_scale=ms, inv_min_scale=ims, interpret=True)
     np.testing.assert_allclose(np.asarray(clv2), clv_ref, rtol=1e-6)
     assert np.array_equal(np.asarray(sc2), sc_ref)
+
+
+@pytest.mark.parametrize('n_states', [4, 20])
+def test_pallas_psr_matches_reference(n_states):
+    """PSR per-site-rate path: the fused Pallas newview/per-site-lnl kernels
+    must agree with the jnp reference kernels (newview_kernel_persite /
+    per_site_lnl_kernel) on the engine's [rows, 1, S, W] layout.
+
+    This is the cross-check the round-1 layout bug (jnp kernels written for
+    [1, W, S]) would have caught."""
+    rng = np.random.default_rng(1)
+    rows, S, W = 12, n_states, 256
+    clv = jnp.asarray(rng.uniform(0.1, 1.0, (rows, 1, S, W)), jnp.float32)
+    scaler = jnp.asarray(rng.integers(0, 3, (rows, 1, W)), jnp.int32)
+    p_idx = jnp.asarray([8, 9, 10], jnp.int32)
+    q_idx = jnp.asarray([1, 2, 5], jnp.int32)
+    r_idx = jnp.asarray([3, 4, 6], jnp.int32)
+    tip_tip = jnp.asarray([1, 0, 0], jnp.int32)
+    qz = rng.uniform(0.2, 0.95, 3)
+    rz = rng.uniform(0.2, 0.95, 3)
+    eign = np.sort(np.abs(rng.normal(1, 1, S)))
+    eign[0] = 0.0
+    eign = jnp.asarray(eign, jnp.float32)
+    ei = jnp.asarray(rng.normal(0, 1, (S, S)), jnp.float32)
+    ei = ei.at[:, 0].set(1.0)
+    ev = jnp.asarray(rng.normal(0, 1, (S, S)), jnp.float32)
+    site_rates = jnp.asarray(rng.uniform(0.1, 3.0, W), jnp.float32)
+    ms, ims = 2.0 ** -30, 2.0 ** 30
+    lms = float(np.log(ms))
+
+    # jnp reference walk
+    clv_ref = np.asarray(clv).copy()
+    sc_ref = np.asarray(scaler).copy()
+    for i in range(3):
+        lzq = jnp.asarray(np.log(max(qz[i], 1e-15)), jnp.float32)
+        lzr = jnp.asarray(np.log(max(rz[i], 1e-15)), jnp.float32)
+        x3, s3 = K.newview_kernel_persite(
+            jnp.asarray(clv_ref[int(q_idx[i])]),
+            jnp.asarray(clv_ref[int(r_idx[i])]),
+            jnp.asarray(sc_ref[int(q_idx[i])]),
+            jnp.asarray(sc_ref[int(r_idx[i])]),
+            site_rates, lzq, lzr, eign, ei, ev,
+            bool(int(tip_tip[i])), ms, ims)
+        clv_ref[int(p_idx[i])] = np.asarray(x3)
+        sc_ref[int(p_idx[i])] = np.asarray(s3)
+    root_lz = jnp.asarray(np.log(0.7), jnp.float32)
+    lnl_ref = K.per_site_lnl_kernel(
+        jnp.asarray(clv_ref[8]), jnp.asarray(clv_ref[9]),
+        jnp.asarray(sc_ref[8]), jnp.asarray(sc_ref[9]),
+        site_rates, eign, root_lz, lms)
+
+    # Pallas walk (interpret mode)
+    lzq_all = jnp.asarray(np.log(np.maximum(qz, 1e-15)), jnp.float32)
+    lzr_all = jnp.asarray(np.log(np.maximum(rz, 1e-15)), jnp.float32)
+    lamq = eign[None, :] * lzq_all[:, None]
+    lamr = eign[None, :] * lzr_all[:, None]
+    clv2, sc2 = newview_level_pallas_psr(
+        clv, scaler, p_idx, q_idx, r_idx, tip_tip, lamq, lamr, ei, ev,
+        site_rates, block_w=128, min_scale=ms, inv_min_scale=ims,
+        interpret=True)
+    # f32 dot-vs-einsum accumulation order differs; bound the drift tightly
+    np.testing.assert_allclose(np.asarray(clv2), clv_ref,
+                               rtol=5e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(sc2), sc_ref)
+
+    lnl2 = per_site_lnl_pallas(
+        clv2, sc2, jnp.asarray([8], jnp.int32), jnp.asarray([9], jnp.int32),
+        eign[None, :], site_rates, jnp.asarray([root_lz]),
+        block_w=128, log_min_scale=lms, interpret=True)
+    np.testing.assert_allclose(np.asarray(lnl2), np.asarray(lnl_ref),
+                               rtol=1e-5)
