@@ -28,6 +28,30 @@ FORMAT_VERSION = 1
 # search state machine (axml.h:655-659)
 REARR_SETTING, FAST_SPRS, SLOW_SPRS, MOD_OPT, QUARTETS = range(5)
 
+PHASE_NAMES = {REARR_SETTING: 'REARR_SETTING', FAST_SPRS: 'FAST_SPRS',
+               SLOW_SPRS: 'SLOW_SPRS', MOD_OPT: 'MOD_OPT',
+               QUARTETS: 'QUARTETS'}
+PHASE_IDS = {v: k for k, v in PHASE_NAMES.items()}
+
+
+def check_cmd_compatibility(saved_json: Optional[str], current: dict):
+    """Restart command-line consistency check (the analogue of
+    checkCommandLineArguments, searchAlgo.c:1383-1500): a run may only be
+    resumed with the same analysis settings it was started with."""
+    import json
+    if not saved_json:
+        return
+    saved = json.loads(saved_json)
+    bad = {k: (saved.get(k), v) for k, v in current.items()
+           if k in saved and saved[k] != v}
+    if bad:
+        detail = ', '.join(f'{k}: checkpoint={a!r} now={b!r}'
+                           for k, (a, b) in bad.items())
+        raise ValueError(
+            'checkpoint was written with different command-line settings '
+            f'({detail}); restart with the original settings '
+            '(reference searchAlgo.c:1383-1500)')
+
 
 def _ring_index(tr: Tree, p: Node) -> int:
     """Encode a ring record as 3*number + position-in-ring."""
@@ -219,7 +243,11 @@ class Checkpointer:
                 if isinstance(v, bytes):
                     v = v.decode()
                 extras[key[len('extra_'):]] = v
-        # verify by recomputation, like the reference's readTree :1372-1375
-        lnl = engine.evaluate(tr.start, full_traversal_=True)
-        assert abs(lnl - state.likelihood) < 0.1, (lnl, state.likelihood)
+        # verify by recomputation, like the reference's readTree :1372-1375.
+        # QUARTETS checkpoints capture the tree mid-quartet-mutation (the
+        # comprehensive topology is destroyed by the 4-taxon hookups), so
+        # the reference skips the verification there too (searchAlgo.c:1374)
+        if state.state != QUARTETS:
+            lnl = engine.evaluate(tr.start, full_traversal_=True)
+            assert abs(lnl - state.likelihood) < 0.1, (lnl, state.likelihood)
         return state, extras

@@ -51,30 +51,114 @@ def cmd_parse(args):
     return 0
 
 
+_AA_NAMES = ['A', 'R', 'N', 'D', 'C', 'Q', 'E', 'G', 'H', 'I', 'L', 'K',
+             'M', 'F', 'P', 'S', 'T', 'W', 'Y', 'V']
+
+
+def _rate_lines(names, rates):
+    """Pairwise exchangeability lines (axml.c printRatesDNA_BIN /
+    printRatesRest :1650-1700)."""
+    lines = []
+    k = 0
+    n = len(names)
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            lines.append(f'rate {names[i]} <-> {names[j]}: {rates[k]:f}\n')
+            k += 1
+    return lines
+
+
+def _tree_length(engine, col):
+    """Sum of branch lengths in expected substitutions per site
+    (treeIO.c treeLength; EIGN is fracchange-normalized so the length of a
+    branch is -log(z))."""
+    from .constants import ZMIN
+    total = 0.0
+    for p in engine.tree.branches():
+        total += -math.log(max(p.z[col], ZMIN))
+    return total
+
+
 def _print_model_params(engine, path):
+    """ExaML_modelFile content (reference printModelParams,
+    axml.c:1733-1835): per partition the alpha, tree length,
+    exchangeability rates and frequencies; LG4M/LG4X additionally dump the
+    four per-category matrices, and LG4X its fitted rates/weights."""
     from .datatypes import DataType, ProtModel
+    from .models.protein import prot_rates_freqs
     lines = []
     for m, pm in enumerate(engine.partitions):
+        col = m if engine.num_branches > 1 else 0
+        lines.append('\n\n')
         lines.append(f'Model Parameters of Partition {m}, Name: {pm.name}, '
                      f'Type of Data: {pm.data_type.name}\n')
-        lines.append(f'alpha: {pm.alpha:f}\n')
-        if pm.data_type == DataType.DNA:
-            labels = ['A <-> C', 'A <-> G', 'A <-> T', 'C <-> G', 'C <-> T',
-                      'G <-> T']
-            for lab, r in zip(labels, pm.subst_rates):
-                lines.append(f'rate {lab}: {r:f}\n')
-            lines.append('\n')
-            for base, f in zip('ACGT', pm.frequencies):
-                lines.append(f'freq pi({base}): {f:f}\n')
-        elif pm.data_type == DataType.AA:
+        if not engine.is_psr:
+            lines.append(f'alpha: {pm.alpha:f}\n')
+        lines.append(f'Tree-Length: {_tree_length(engine, col):f}\n')
+
+        if pm.data_type == DataType.AA:
             model = (pm.auto_prot_model if pm.prot_model == ProtModel.AUTO
                      else pm.prot_model)
             lines.append(f'Substitution Matrix: {model.name}\n')
-            for i, f in enumerate(pm.frequencies):
-                lines.append(f'freq pi({i}): {f:f}\n')
-        lines.append('\n\n')
+            if pm.prot_model in (ProtModel.LG4M, ProtModel.LG4X):
+                if pm.prot_model == ProtModel.LG4X:
+                    for k in range(4):
+                        lines.append(f'LG4X rate {k}: '
+                                     f'{pm.gamma_rates[k]:f} weight {k}: '
+                                     f'{pm.lg4x_weights[k]:f}\n')
+                for k in range(4):
+                    rates_k, freqs_k = prot_rates_freqs(pm.prot_model, k)
+                    lines.append(f'LGM {k}\n')
+                    lines += _rate_lines(_AA_NAMES, rates_k)
+                    lines.append('\n')
+                    for nm, f in zip(_AA_NAMES, freqs_k):
+                        lines.append(f'freq pi({nm}): {f:f}\n')
+            lines += _rate_lines(_AA_NAMES, pm.subst_rates)
+            lines.append('\n')
+            for nm, f in zip(_AA_NAMES, pm.frequencies):
+                lines.append(f'freq pi({nm}): {f:f}\n')
+        elif pm.data_type == DataType.DNA:
+            lines += _rate_lines('ACGT', pm.subst_rates)
+            lines.append('\n')
+            for base, f in zip('ACGT', pm.frequencies):
+                lines.append(f'freq pi({base}): {f:f}\n')
+        else:                                   # binary / multi-state
+            names = [str(i) for i in range(pm.states)]
+            lines += _rate_lines(names, pm.subst_rates)
+            lines.append('\n')
+            for nm, f in zip(names, pm.frequencies):
+                lines.append(f'freq pi({nm}): {f:f}\n')
+        lines.append('\n')
+    lines.append('\n')
     with open(path, 'w') as fh:
         fh.writelines(lines)
+
+
+def _print_aa_gtr_matrix(engine, workdir, run_id, epsilon):
+    """Intermediate AA-GTR matrix dump (optimizeModel.c printAAmatrix
+    :2533-2600): full symmetric 20x20 Q + frequencies, one file per
+    optimization epsilon."""
+    from .datatypes import DataType, ProtModel
+    import numpy as np
+    for pm in engine.partitions:
+        if (pm.data_type == DataType.AA
+                and pm.prot_model == ProtModel.GTR):
+            q = np.zeros((20, 20))
+            k = 0
+            for i in range(19):
+                for j in range(i + 1, 20):
+                    q[i, j] = q[j, i] = pm.subst_rates[k]
+                    k += 1
+            path = os.path.join(
+                workdir, f'ExaML_proteinGTRmodel.{run_id}_{epsilon:f}')
+            with open(path, 'w') as fh:
+                for i in range(20):
+                    fh.write(' '.join(f'{q[i, j]:1.80f}'
+                                      for j in range(20)) + ' \n')
+                fh.write(' '.join(f'{f:1.80f}'
+                                  for f in pm.frequencies) + ' \n')
+            return path
+    return None
 
 
 def cmd_run(args):
@@ -100,11 +184,19 @@ def cmd_run(args):
     _info(info_path, f'examl-tpu analysis name: {args.n}\n')
     _info(info_path, f'{aln.n_taxa} taxa, {aln.n_patterns} patterns, '
                      f'{len(aln.partitions)} partitions\n\n')
+    # startup data-distribution table (partitionAssignment.c
+    # printAssignments/printLoad :461-502): Kassian layout at process
+    # granularity; on-device the site axes are sharded uniformly (see
+    # parallel/distributed.py for the rationale)
+    from .parallel.distributed import load_balance_table
+    n_procs = max(jax.process_count(), 1)
+    _info(info_path, load_balance_table(aln, n_procs) + '\n')
 
     t0 = time.time()
     kwargs = dict(num_branches=(len(aln.partitions) if args.M else 1),
                   use_median=args.a,
-                  rate_het=('PSR' if args.m == 'PSR' else 'GAMMA'))
+                  rate_het=('PSR' if args.m == 'PSR' else 'GAMMA'),
+                  max_categories=args.c)
     run_extra = dict(auto_prot_selection=args.auto_prot)
 
     import contextlib
@@ -121,6 +213,10 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
     from .run import run_search, run_tree_evaluation
     run_extra = dict(auto_prot_selection=args.auto_prot)
 
+    ckp_common = dict(checkpoint_run_id=(args.n if args.R else None),
+                      resume_from_checkpoint=args.R,
+                      checkpoint_workdir=workdir)
+
     if args.f == 'q':
         from .run import run_quartets
         quart_path = os.path.join(workdir, f'ExaML_quartets.{args.n}')
@@ -128,7 +224,8 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
             aln, tree_newick,
             n_random=(args.r or None), grouping_file=args.Y,
             random_seed=args.p, likelihood_epsilon=args.e,
-            out_path=quart_path, **kwargs)
+            out_path=quart_path, checkpoint_interval=args.I,
+            **ckp_common, **kwargs)
         _info(info_path, f'\n{len(results)} quartet trees evaluated, '
                          f'written to {quart_path}\n')
         return 0
@@ -137,7 +234,7 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
         res = run_tree_evaluation(aln, tree_newick,
                                   likelihood_epsilon=args.e,
                                   fast=(args.f == 'E'), **run_extra,
-                                  **kwargs)
+                                  **ckp_common, **kwargs)
         with open(os.path.join(workdir, f'ExaML_TreeFile.{args.n}'),
                   'w') as fh:
             for lnl, nwk in res.best_trees:
@@ -151,10 +248,10 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
                          save_best_trees=args.B,
                          constraint_newick=constraint_newick,
                          random_seed=args.p,
-                         checkpoint_run_id=(args.n if args.R else None),
-                         resume_from_checkpoint=args.R,
-                         checkpoint_workdir=workdir,
-                         verbose=True, **kwargs)
+                         # -f o: same search without the lnL cutoff
+                         # heuristic (axml.c:1143-1145 doCutoff = FALSE)
+                         do_cutoff=(args.f != 'o'),
+                         verbose=True, **ckp_common, **kwargs)
         if res.best_trees:
             good_path = os.path.join(workdir,
                                      f'ExaML_goodTrees.{args.n}')
@@ -168,6 +265,10 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
     with open(result_path, 'w') as fh:
         fh.write(res.tree_newick + '\n')
     _print_model_params(res.engine, model_path)
+    gtr_path = _print_aa_gtr_matrix(res.engine, workdir, args.n, args.e)
+    if gtr_path:
+        _info(info_path, '\nPrinted intermediate AA substitution matrix '
+                         f'to file {gtr_path}\n')
 
     _info(info_path,
           f'\nLikelihood of best tree: {res.likelihood:f}\n'
@@ -178,6 +279,10 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog='examl-tpu')
+    # -v/--version (reference axml.c case 'v' -> printVersionInfo :900)
+    parser.add_argument('-v', '--version', action='version',
+                        version='examl-tpu 0.2 (feature parity target: '
+                                'ExaML 3.0.22)')
     sub = parser.add_subparsers(dest='cmd', required=True)
 
     p = sub.add_parser('parse', help='compile PHYLIP alignment to byte file')

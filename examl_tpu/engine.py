@@ -121,7 +121,8 @@ class LikelihoodEngine:
     def __init__(self, alignment: Alignment, tree: Tree, *,
                  dtype=None, rate_het: str = 'GAMMA', pad: int = 8,
                  num_branches: int = 1, use_median: bool = False,
-                 use_pallas: Optional[bool] = None, sharding=None):
+                 use_pallas: Optional[bool] = None, sharding=None,
+                 max_categories: int = 25):
         assert rate_het in ('GAMMA', 'PSR')
         self.aln = alignment
         self.tree = tree
@@ -156,10 +157,19 @@ class LikelihoodEngine:
             self.pad = max(self.pad, 128)
 
         self.mxtips = tree.mxtips
-        self.rows = 2 * self.mxtips          # CLV rows incl. scratch row
+        # CLV rows: [0..2*mxtips-1] node rows (2*mxtips-1 is the traversal
+        # dummy-padding row) + a scratch pool for batched SPR scoring
+        # (proximal/junction CLVs of a candidate wave; searchAlgo.c pays one
+        # evaluateGeneric dispatch per insertion candidate instead,
+        # searchAlgo.c:682-777)
+        self.scratch_base = 2 * self.mxtips
+        self.n_scratch = min(256, max(64, 2 * self.mxtips))
+        self.rows = self.scratch_base + self.n_scratch
         self.is_psr = rate_het == 'PSR'
         self.n_cats = 1 if self.is_psr else 4
-        self.max_categories = 25
+        # -c: number of PSR rate categories (reference axml.c case 'c' ->
+        # tr->categories, default 25)
+        self.max_categories = int(max_categories)
         self.optimize_rate_category_invocations = 1
 
         self.partitions: List[PartitionModel] = [
@@ -186,6 +196,7 @@ class LikelihoodEngine:
         self.widths = []        # padded widths
         self.real_widths = []
         self.tip_codes = []     # [mxtips+1, W] int32 per partition
+        self.host_tip_codes = []    # host copies (multi-process safe)
         self.wgts = []          # [W] dtype
         self.wgts_i = []        # [W] int32
         for m, meta in enumerate(self.aln.partitions):
@@ -199,6 +210,7 @@ class LikelihoodEngine:
             wgt[:w] = self.aln.weights[meta.lower:meta.upper]
             self.widths.append(W)
             self.real_widths.append(w)
+            self.host_tip_codes.append(codes)
             self.tip_codes.append(self._put(jnp.asarray(codes), 'codes'))
             self.wgts.append(self._put(jnp.asarray(wgt, dtype=self.dtype),
                                        'sites'))
@@ -247,17 +259,28 @@ class LikelihoodEngine:
     def _put(self, arr, kind):
         """Place an array on the device mesh with the sites axis sharded
         (the analogue of the reference's per-rank site slices,
-        examl/partitionAssignment.c + byteFile.c readMyData)."""
+        examl/partitionAssignment.c + byteFile.c readMyData). When the
+        mesh spans multiple processes, each process materializes only its
+        addressable shards."""
         if self.mesh is None:
             return arr
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.distributed import put_global
         spec = {
             'clv': P(None, None, None, 'sites'),
             'scaler': P(None, None, 'sites'),
             'sites': P('sites'),
             'codes': P(None, 'sites'),
         }[kind]
-        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+        return put_global(arr, NamedSharding(self.mesh, spec))
+
+    def host_sites(self, arr) -> np.ndarray:
+        """Materialize a per-site device array on the host in global site
+        order (process_allgather over DCN when multi-process — replacing
+        the reference's Gatherv + master reorder, communication.c:120-182)."""
+        from .parallel.distributed import host_gather
+        return host_gather(arr)
 
     def _resolve_model(self, pm: PartitionModel):
         """Refresh rates/frequencies of empirical-matrix AA partitions
@@ -376,7 +399,7 @@ class LikelihoodEngine:
         runs on the host (numpy) and only a plain slice-set touches the
         device buffer — no XLA gather program."""
         tipvec = np.asarray(self.d_tipvec[m])           # [C, codes, S]
-        codes = np.asarray(self.tip_codes[m])           # [T+1, W]
+        codes = self.host_tip_codes[m]                  # [T+1, W]
         tips = tipvec[:, codes, :]                      # [C, T+1, W, S]
         tips = np.ascontiguousarray(tips.transpose(1, 0, 3, 2))
         fn = self._get_jit('tip_set', m)
@@ -406,6 +429,11 @@ class LikelihoodEngine:
 
         if kind == 'evaluate':
             fn = self._build_evaluate_fn()
+            self._jit_cache[ck] = fn
+            return fn
+
+        if kind == 'evaluate_batch':
+            fn = self._build_evaluate_batch_fn()
             self._jit_cache[ck] = fn
             return fn
 
@@ -504,6 +532,111 @@ class LikelihoodEngine:
             return jnp.stack(out)
 
         return run
+
+    def _build_evaluate_batch_fn(self):
+        """Batched evaluate: N (row-pair, branch-length) triples scored in
+        one dispatch — the kernel form of one SPR candidate wave (the
+        reference instead pays one evaluateGeneric + MPI reduction per
+        insertion candidate, searchAlgo.c testInsertBIG :682-777)."""
+        n_models = self.n_models
+
+        @jax.jit
+        def run(clv_list, scaler_list, eign, gamma, rate_weights, wgts,
+                site_rates, p_rows, q_rows, qzs):
+            out = []
+            for m in range(n_models):
+                col = self._branch_col(m)
+                lzs = jnp.log(jnp.maximum(qzs[:, col], C.ZMIN))
+                if self.is_psr:
+                    def one(pr, qr, lz, m=m):
+                        return K.evaluate_kernel_cat(
+                            clv_list[m][qr], clv_list[m][pr],
+                            scaler_list[m][qr], scaler_list[m][pr],
+                            site_rates[m], eign[m][0], lz, wgts[m],
+                            self.log_min_scale)
+                    lh = jax.vmap(one)(p_rows, q_rows, lzs)
+                else:
+                    diag = jnp.exp(eign[m][None] * gamma[m][None, :, None]
+                                   * lzs[:, None, None])      # [N, C, S]
+
+                    def one(pr, qr, dg, m=m):
+                        return K.evaluate_kernel(
+                            clv_list[m][qr], clv_list[m][pr],
+                            scaler_list[m][qr], scaler_list[m][pr],
+                            dg, rate_weights[m], wgts[m],
+                            self.log_min_scale)
+                    lh = jax.vmap(one)(p_rows, q_rows, diag)
+                out.append(lh)
+            return jnp.stack(out)                              # [M, N]
+
+        return run
+
+    def evaluate_batch(self, p_rows, q_rows, zs) -> np.ndarray:
+        """Log likelihood of N branches in one wave: candidate i is the
+        branch of length zs[i] (per branch class) between the CLVs in
+        buffer rows p_rows[i] and q_rows[i]. Returns [N] summed over
+        partitions. Rows may be scratch rows written by a synthetic
+        traversal (see SprSearch batched scoring)."""
+        N = len(p_rows)
+        L = 4
+        while L < N:
+            L *= 2
+        dummy = self.scratch_base - 1
+        jp = np.full(L, dummy, dtype=np.int32)
+        jp[:N] = p_rows
+        jq = np.full(L, dummy, dtype=np.int32)
+        jq[:N] = q_rows
+        z = np.full((L, self.num_branches), C.DEFAULTZ)
+        z[:N] = zs
+        if self.use_pallas:
+            lhs = self._evaluate_batch_pallas(jp, jq, z)
+        else:
+            fn = self._get_jit('evaluate_batch', L)
+            lhs = fn(tuple(self.clv), tuple(self.scaler),
+                     tuple(self.d_EIGN), tuple(self.d_gamma),
+                     tuple(self.d_rate_weights), tuple(self.wgts),
+                     tuple(self.d_site_rates),
+                     jnp.asarray(jp), jnp.asarray(jq),
+                     jnp.asarray(z, dtype=self.dtype))
+        lhs = np.asarray(lhs, dtype=np.float64)
+        return lhs[:, :N].sum(axis=0)
+
+    def _evaluate_batch_pallas(self, jp, jq, zs):
+        from .kernels.pallas_newview import (evaluate_batch_gamma,
+                                             evaluate_batch_psr)
+        interpret = jax.default_backend() == 'cpu'
+        fn = self._jit_cache.get('pallas_eval_batch')
+        if fn is None:
+            fn = jax.jit(evaluate_batch_psr if self.is_psr
+                         else evaluate_batch_gamma,
+                         static_argnames=('block_w', 'log_min_scale',
+                                          'interpret'))
+            self._jit_cache['pallas_eval_batch'] = fn
+        jpd = jnp.asarray(jp)
+        jqd = jnp.asarray(jq)
+        out = []
+        for m in range(self.n_models):
+            col = self._branch_col(m)
+            lzs = jnp.asarray(np.log(np.maximum(zs[:, col], C.ZMIN)),
+                              dtype=jnp.float32)
+            if self.is_psr:
+                out.append(fn(self.clv[m], self.scaler[m], jpd, jqd, lzs,
+                              self.d_EIGN[m][0].astype(jnp.float32),
+                              self.wgts[m].astype(jnp.float32),
+                              self.d_site_rates[m].astype(jnp.float32),
+                              block_w=min(8192, self.widths[m]),
+                              log_min_scale=self.log_min_scale,
+                              interpret=interpret))
+            else:
+                out.append(fn(self.clv[m], self.scaler[m], jpd, jqd, lzs,
+                              self.d_EIGN[m].astype(jnp.float32),
+                              self.d_gamma[m].astype(jnp.float32),
+                              self.d_rate_weights[m].astype(jnp.float32),
+                              self.wgts[m].astype(jnp.float32),
+                              block_w=min(8192, self.widths[m]),
+                              log_min_scale=self.log_min_scale,
+                              interpret=interpret))
+        return np.stack([np.asarray(o) for o in out])
 
     def _build_sumtable_fn(self):
         n_models = self.n_models
@@ -610,7 +743,7 @@ class LikelihoodEngine:
                  jnp.asarray(packed.qz, dtype=self.dtype),
                  jnp.asarray(packed.rz, dtype=self.dtype),
                  p.number, q.number)
-        return [np.asarray(o, dtype=np.float64) for o in out]
+        return [self.host_sites(o).astype(np.float64) for o in out]
 
     def _psr_per_site_lnl_pallas(self, rates_list):
         """Pallas path for the PSR rate scan: run the traversal wave on

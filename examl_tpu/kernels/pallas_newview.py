@@ -253,6 +253,191 @@ def evaluate_pallas(clv, scaler, p_row, q_row, diag, rate_weights, wgt,
     return jnp.sum(partials)
 
 
+def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
+                           clv_hbm, scaler_hbm, diag_ref, rw_ref, wgt_ref,
+                           out_ref,
+                           x1_s, x2_s, s1_s, s2_s, sems,
+                           *, n_cats, n_states, bw, log_min_scale):
+    """Batched root-likelihood kernel: grid (candidate, site-block); each
+    candidate evaluates the branch between buffer rows p_rows[n] and
+    q_rows[n] with its own diagonal table diag_ref[n] (the SPR candidate
+    wave replacing one evaluateGeneric dispatch per insertion,
+    searchAlgo.c:682-777)."""
+    n = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_rows[n]
+    q = q_rows[n]
+
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    diag = diag_ref[0]                         # [C, S]
+    rw = rw_ref[...]                           # [C]
+    s = s1_s[...] + s2_s[...]                  # [C, BW]
+    smin = jnp.min(s, axis=0)
+    rel = (s - smin[None, :]).astype(jnp.float32)
+
+    term = jnp.zeros((bw,), jnp.float32)
+    for c in range(n_cats):
+        pc = jnp.zeros((bw,), jnp.float32)
+        for k in range(n_states):
+            pc = pc + x1_s[c, k] * x2_s[c, k] * diag[c, k]
+        term = term + rw[c] * pc * jnp.exp(rel[c] * log_min_scale)
+
+    wgt = wgt_ref[...]
+    site_log = (jnp.log(jnp.abs(term))
+                + smin.astype(jnp.float32) * log_min_scale)
+    out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, diags, rate_weights,
+                          wgt, *, block_w=8192,
+                          log_min_scale=float(np.log(2.0 ** -30)),
+                          interpret=False):
+    """Batched per-partition root log likelihoods -> [N]."""
+    rows, n_cats, n_states, W = clv.shape
+    N = p_rows.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+
+    kernel = functools.partial(_evaluate_batch_kernel, n_cats=n_cats,
+                               n_states=n_states, bw=bw,
+                               log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n_cats, n_states),
+                         lambda n, w, p, q: (n, 0, 0)),
+            pl.BlockSpec((n_cats,), lambda n, w, p, q: (0,)),
+            pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda n, w, p, q: (n, w),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, nb), jnp.float32),
+        interpret=interpret,
+    )(p_rows, q_rows, clv, scaler, diags, rate_weights, wgt)
+    return jnp.sum(partials, axis=1)
+
+
+def evaluate_batch_gamma(clv, scaler, p_rows, q_rows, lzs, eign, gamma,
+                         rate_weights, wgt, *, block_w=8192,
+                         log_min_scale=float(np.log(2.0 ** -30)),
+                         interpret=False):
+    """GAMMA batched evaluate: builds per-candidate diagonals on device
+    (diag[n] = exp(EIGN r_c lzs[n])) then runs the batched kernel."""
+    diags = jnp.exp(eign[None] * gamma[None, :, None]
+                    * lzs[:, None, None]).astype(jnp.float32)
+    return evaluate_batch_pallas(clv, scaler, p_rows, q_rows, diags,
+                                 rate_weights, wgt, block_w=block_w,
+                                 log_min_scale=log_min_scale,
+                                 interpret=interpret)
+
+
+def _evaluate_batch_psr_kernel(p_rows, q_rows,
+                               clv_hbm, scaler_hbm, lam_ref, wgt_ref,
+                               rates_ref,
+                               out_ref,
+                               x1_s, x2_s, s1_s, s2_s, sems,
+                               *, n_states, bw, log_min_scale):
+    n = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_rows[n]
+    q = q_rows[n]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    lam = lam_ref[0]                           # [S] = EIGN * lz of cand n
+    rates = rates_ref[...]                     # [BW]
+    term = jnp.zeros((bw,), jnp.float32)
+    for k in range(n_states):
+        term = term + x1_s[0, k] * x2_s[0, k] * jnp.exp(lam[k] * rates)
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
+    wgt = wgt_ref[...]
+    site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
+    out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
+                       site_rates, *, block_w=8192,
+                       log_min_scale=float(np.log(2.0 ** -30)),
+                       interpret=False):
+    """PSR batched evaluate -> [N]; eign [S], lzs [N]."""
+    rows, one, n_states, W = clv.shape
+    N = p_rows.shape[0]
+    bw = min(block_w, W)
+    nb = W // bw
+    lams = (eign[None, :] * lzs[:, None]).astype(jnp.float32)   # [N, S]
+    kernel = functools.partial(_evaluate_batch_psr_kernel,
+                               n_states=n_states, bw=bw,
+                               log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n_states), lambda n, w, p, q: (n, 0)),
+            pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
+            pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda n, w, p, q: (n, w),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, nb), jnp.float32),
+        interpret=interpret,
+    )(p_rows, q_rows, clv, scaler, lams, wgt, site_rates)
+    return jnp.sum(partials, axis=1)
+
+
 def _nr_kernel(p_row, q_row,
                clv_hbm, scaler_hbm, lam_ref, d_ref, wgt_ref,
                out_ref,

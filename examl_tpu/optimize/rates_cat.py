@@ -25,7 +25,7 @@ def _vectorized_rate_climb(eng: LikelihoodEngine, lower_spacing,
     :249) — the weight matters for the convergence epsilon here and for
     the category ranking later."""
     epsilon = 0.00001
-    wgts = [np.asarray(eng.wgts_i[m]).astype(np.float64)
+    wgts = [eng.host_sites(eng.wgts_i[m]).astype(np.float64)
             for m in range(eng.n_models)]
 
     def weighted_lnl(rates):
@@ -126,7 +126,7 @@ def update_per_site_rates(eng: LikelihoodEngine):
     wrate = np.zeros(eng.n_models)
     for m in range(eng.n_models):
         w = eng.real_widths[m]
-        wgt = np.asarray(eng.wgts_i[m])[:w].astype(np.float64)
+        wgt = eng.host_sites(eng.wgts_i[m])[:w].astype(np.float64)
         rates = eng.psr_rates[m][eng.rate_category[m][:w]]
         wsum[m] = wgt.sum()
         wrate[m] = (wgt * rates).sum()
@@ -151,7 +151,7 @@ def check_per_site_rates(eng: LikelihoodEngine):
     per_part = []
     for m in range(eng.n_models):
         w = eng.real_widths[m]
-        wgt = np.asarray(eng.wgts_i[m])[:w].astype(np.float64)
+        wgt = eng.host_sites(eng.wgts_i[m])[:w].astype(np.float64)
         rates = eng.psr_rates[m][eng.rate_category[m][:w]]
         per_part.append((wgt * rates).sum() / wgt.sum())
         acc_rat += (wgt * rates).sum()

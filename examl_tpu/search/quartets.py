@@ -61,10 +61,18 @@ def compute_quartets(eng: LikelihoodEngine, *,
                      seed: int = 12345,
                      out_path: Optional[str] = None,
                      checkpoint_interval: int = 1000,
-                     checkpoint_fn=None) -> List[Tuple]:
+                     checkpoint_fn=None,
+                     skip: int = 0,
+                     append: bool = False) -> List[Tuple]:
     """Evaluate quartets; returns [(t1, t2, t3, t4, lnL), ...] covering the
     three topologies per 4-taxon set in the reference's order and output
-    format."""
+    format.
+
+    checkpoint_fn(n_done, out_offset) fires every checkpoint_interval
+    quartet sets (-I); skip/append resume a checkpointed run — the first
+    `skip` emitted sets are not re-evaluated (the enumeration, including
+    the RANDOM flavor's seeded draws, is deterministic, so replaying it
+    and skipping reproduces the interrupted run; quartets.c:329-342)."""
     tr = eng.tree
     n = tr.mxtips
     q1 = tr.nodep[n + 1]
@@ -78,9 +86,14 @@ def compute_quartets(eng: LikelihoodEngine, *,
         flavor = ALL_QUARTETS
 
     results = []
-    out = open(out_path, 'w') if out_path else None
+    out = open(out_path, 'a' if append else 'w') if out_path else None
+    n_sets = 0
 
     def emit(t1, t2, t3, t4):
+        nonlocal n_sets
+        n_sets += 1
+        if n_sets <= skip:
+            return
         p1, p2, p3, p4 = (tr.nodep[t] for t in (t1, t2, t3, t4))
         for a, b, c, d in ((p1, p2, p3, p4), (p1, p3, p2, p4),
                            (p1, p4, p2, p3)):
@@ -89,8 +102,12 @@ def compute_quartets(eng: LikelihoodEngine, *,
             if out:
                 out.write(f'{a.number} {b.number} | {c.number} {d.number}: '
                           f'{lnl:f}\n')
-        if checkpoint_fn and len(results) % (3 * checkpoint_interval) == 0:
-            checkpoint_fn(len(results) // 3)
+        if checkpoint_fn and n_sets % checkpoint_interval == 0:
+            offset = 0
+            if out:
+                out.flush()
+                offset = out.tell()
+            checkpoint_fn(n_sets, offset)
 
     if flavor == ALL_QUARTETS:
         for t1, t2, t3, t4 in itertools.combinations(range(1, n + 1), 4):

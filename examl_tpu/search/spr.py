@@ -17,6 +17,8 @@ import numpy as np
 
 from .. import constants as C
 from ..engine import LikelihoodEngine
+from ..traversal import (TIP_TIP, INNER_INNER, TraversalEntry,
+                         partial_traversal)
 from ..tree import Node, Tree
 from .topologies import BestList, canonical_key
 
@@ -77,7 +79,8 @@ class SprSearch:
                  initial_radius: Optional[int] = None,
                  search_convergence: bool = False,
                  constraint=None, save_best_trees: int = 0,
-                 log_fn=None, checkpointer=None):
+                 log_fn=None, checkpointer=None,
+                 batch_lazy: Optional[bool] = None):
         self.eng = engine
         self.tr = engine.tree
         self.thorough = False
@@ -89,6 +92,24 @@ class SprSearch:
         self.search_convergence = search_convergence
         self.log_fn = log_fn or (lambda *a: None)
         self.checkpointer = checkpointer
+        # Batch all lazy-insertion candidates of one pruned subtree into
+        # device waves (cutoff bookkeeping replayed post-hoc in traversal
+        # order). The batched path always computes candidate-support CLVs
+        # FRESH in scratch rows, whereas the sequential walk — like the
+        # reference (evaluateGeneric's partial traversals trust x-flags,
+        # newviewGenericSpecial.c:691-813) — knowingly reuses CLVs left
+        # from *earlier prune positions in the same cycle* whose junction
+        # branch (zqr) has since been restored; identical search
+        # trajectories under batching would require emulating those stale
+        # reads and the x-flag evolution bit-for-bit. Policy: on
+        # accelerators (f32, ~6 ms/dispatch, where per-candidate dispatch
+        # is unusable) default to batched waves; on the CPU/f64 parity
+        # path default to the sequential walk so the trajectory matches
+        # the reference binary exactly. tests/test_spr_batch.py pins both
+        # paths to identical scores/cycle results from a common state.
+        if batch_lazy is None:
+            batch_lazy = engine.use_pallas
+        self.batch_lazy = batch_lazy
         # constraint vector (tip group ids); inner entries are resolved by
         # recursion to the first tip (searchAlgo.c checker :69)
         self.constraint = constraint
@@ -115,8 +136,12 @@ class SprSearch:
         self.lh_avg = 0.0
         self.lh_dec = 0
         self.it_count = 0
-        # RF convergence state: bipartition sets of the two last cycles
+        # RF convergence state: bipartition sets of the two last cycles,
+        # plus their Newick strings for checkpoint persistence (the
+        # reference persists tree0/tree1 and re-hashes them on restart,
+        # searchAlgo.c:1208-1209, restartHashTable.c:279)
         self.rf_slots = [None, None]
+        self.rf_newicks = ['', '']
 
     # ------------------------------------------------------------------
     # SPR primitives
@@ -260,6 +285,183 @@ class SprSearch:
             return (start_lh - lh) < self.lh_cutoff
         return True
 
+    # ------------------------------------------------------------------
+    # batched lazy-SPR candidate scoring (the TPU-native form of the
+    # addTraverseBIG/testInsertBIG walk, searchAlgo.c:682-798): all
+    # insertion candidates of one pruned subtree are scored in a few
+    # device waves — synthetic newview ops build the "proximal" CLVs
+    # (the view from each insertion edge back toward the prune junction)
+    # and the candidate junction CLVs in scratch buffer rows, then one
+    # batched evaluate scores every candidate. The sequential cutoff /
+    # best-insertion bookkeeping is replayed host-side in traversal
+    # order, so results match the reference walk exactly (each lazy
+    # score is independent of evaluation order).
+
+    def _batched_dfs(self, p: Node, p1: Node, p2: Node,
+                     mintrav: int, maxtrav: int):
+        """Enumerate the candidate insertions below p1/p2 after pruning p
+        (mirrors the four addTraverseBIG calls of rearrangeBIG) together
+        with the proximal-CLV op graph they need."""
+        tr = self.tr
+        s = p.back
+        p_group = (self._subtree_group(s)
+                   if self.constraint is not None else None)
+
+        cands: List[dict] = []
+        prox_ops: List[dict] = []
+        walked: List[Node] = []
+
+        def new_prox(src1, z1, src2, z2, tip_tip):
+            prox_ops.append(dict(src1=src1, z1=list(z1), src2=src2,
+                                 z2=list(z2), tip_tip=tip_tip))
+            return len(prox_ops) - 1
+
+        def walk(q, mintrav, maxtrav, parent, vkey):
+            walked.append(q)
+            mintrav -= 1
+            new_parent = parent
+            if mintrav <= 0:
+                scored = True
+                if self.constraint is not None:
+                    q_group = self._subtree_group(q)
+                    r_group = self._subtree_group(q.back)
+                    if p_group != q_group and p_group != r_group:
+                        scored = False       # skipped, walk continues
+                if scored:
+                    zp = [min(max(math.sqrt(zi), C.ZMIN), C.ZMAX)
+                          for zi in q.z]
+                    cands.append(dict(u=q, parent=parent, vkey=vkey,
+                                      zprime=zp))
+                    new_parent = len(cands) - 1
+            maxtrav -= 1
+            if not tr.is_tip(q.number) and maxtrav > 0:
+                c1 = q.next.back
+                c2 = q.next.next.back
+                # view at q toward child c = combine(view at q.back toward
+                # q [= vkey's CLV] over branch q.z, distal CLV of the
+                # other child over its branch)
+                k1 = new_prox(('prox', vkey), q.z, ('row', c2.number),
+                              c2.z, False)
+                k2 = new_prox(('prox', vkey), q.z, ('row', c1.number),
+                              c1.z, False)
+                walk(c1, mintrav, maxtrav, new_parent, k1)
+                walk(c2, mintrav, maxtrav, new_parent, k2)
+
+        for a, b in ((p1, p2), (p2, p1)):
+            if tr.is_tip(a.number):
+                continue
+            r0 = a.next.back
+            r1 = a.next.next.back
+            # root proximal views at a: the pruned branch is now the
+            # direct a--b hookup with the freshly optimized zqr (= a.z)
+            k0 = new_prox(('row', r1.number), r1.z, ('row', b.number), a.z,
+                          tr.is_tip(r1.number) and tr.is_tip(b.number))
+            k1 = new_prox(('row', r0.number), r0.z, ('row', b.number), a.z,
+                          tr.is_tip(r0.number) and tr.is_tip(b.number))
+            walk(r0, mintrav, maxtrav, -1, k0)
+            walk(r1, mintrav, maxtrav, -1, k1)
+
+        return cands, prox_ops, walked
+
+    def _batched_rearrange_side(self, p: Node, p1: Node, p2: Node,
+                                mintrav: int, maxtrav: int):
+        tr = self.tr
+        eng = self.eng
+        s = p.back
+        cands, prox_ops, walked = self._batched_dfs(p, p1, p2, mintrav,
+                                                    maxtrav)
+        if not cands:
+            return
+
+        # 1. make every distal source CLV valid in the main buffer
+        entries: List[TraversalEntry] = []
+        for node in [s, p1, p2] + walked:
+            if not tr.is_tip(node.number) and not node.x:
+                entries += partial_traversal(tr, node)
+        if entries:
+            eng._run_traversal(entries)
+
+        # 2. score in segments bounded by the scratch-row pool
+        scores = np.empty(len(cands))
+        cap = eng.n_scratch
+        i0 = 0
+        while i0 < len(cands):
+            seg: List[int] = []
+            needed: dict = {}            # prox key -> insertion order
+            i = i0
+            while i < len(cands):
+                chain = []
+                k = cands[i]['vkey']
+                while k is not None and k not in needed:
+                    chain.append(k)
+                    src1 = prox_ops[k]['src1']
+                    k = src1[1] if src1[0] == 'prox' else None
+                if seg and len(needed) + len(chain) + len(seg) + 1 > cap:
+                    break
+                for k2 in reversed(chain):
+                    needed[k2] = None
+                seg.append(i)
+                i += 1
+
+            base = eng.scratch_base
+            prox_row = {}
+            syn: List[TraversalEntry] = []
+            for j, k in enumerate(needed):
+                row = base + j
+                prox_row[k] = row
+                op = prox_ops[k]
+                q_num = (prox_row[op['src1'][1]]
+                         if op['src1'][0] == 'prox' else op['src1'][1])
+                syn.append(TraversalEntry(
+                    TIP_TIP if op['tip_tip'] else INNER_INNER,
+                    row, q_num, op['src2'][1], op['z1'], op['z2']))
+            jbase = base + len(needed)
+            p_rows, q_rows, zs = [], [], []
+            for jj, ci in enumerate(seg):
+                c = cands[ci]
+                u = c['u']
+                jrow = jbase + jj
+                tt = tr.is_tip(s.number) and tr.is_tip(u.number)
+                # candidate junction CLV: pruned subtree (via its old
+                # branch p.z) joined with the walked node's distal CLV
+                # over the lazy half-branch z' (insertBIG lazy path)
+                syn.append(TraversalEntry(
+                    TIP_TIP if tt else INNER_INNER,
+                    jrow, s.number, u.number, list(p.z), c['zprime']))
+                p_rows.append(jrow)
+                q_rows.append(prox_row[c['vkey']])
+                zs.append(c['zprime'])
+            eng._run_traversal(syn)
+            scores[seg] = eng.evaluate_batch(p_rows, q_rows, np.asarray(zs))
+            i0 = i
+
+        # 3. replay testInsertBIG bookkeeping in traversal order
+        cut = [False] * len(cands)
+        for i, c in enumerate(cands):
+            if c['parent'] >= 0 and cut[c['parent']]:
+                cut[i] = True            # ancestor was cut: never tested
+                continue
+            lh = float(scores[i])
+            start_lh = self.end_lh
+            if lh > self.best_of_node:
+                self.best_of_node = lh
+                self.insert_node = c['u']
+                self.remove_node = p
+                self.current_zqr = list(self.zqr)
+                self.current_lzr = list(self.lzr)
+                self.current_lzq = list(self.lzq)
+                self.current_lzs = list(self.lzs)
+            if lh > self.end_lh:
+                self.insert_node = c['u']
+                self.remove_node = p
+                self.current_zqr = list(self.zqr)
+                self.end_lh = lh
+            if self.do_cutoff and lh < start_lh:
+                self.lh_avg += start_lh - lh
+                self.lh_dec += 1
+                if not ((start_lh - lh) < self.lh_cutoff):
+                    cut[i] = True
+
     def add_traverse_big(self, p: Node, q: Node, mintrav: int, maxtrav: int):
         mintrav -= 1
         if mintrav <= 0:
@@ -275,6 +477,7 @@ class SprSearch:
         if maxtrav < 1 or mintrav > maxtrav:
             return 0
         q = p.back
+        batched = self.batch_lazy and not self.thorough
 
         if not tr.is_tip(p.number):
             p1 = p.next.back
@@ -283,14 +486,19 @@ class SprSearch:
                 p1z = list(p1.z)
                 p2z = list(p2.z)
                 self.remove_node_big(p)
-                if not tr.is_tip(p1.number):
-                    self.add_traverse_big(p, p1.next.back, mintrav, maxtrav)
-                    self.add_traverse_big(p, p1.next.next.back, mintrav,
-                                          maxtrav)
-                if not tr.is_tip(p2.number):
-                    self.add_traverse_big(p, p2.next.back, mintrav, maxtrav)
-                    self.add_traverse_big(p, p2.next.next.back, mintrav,
-                                          maxtrav)
+                if batched:
+                    self._batched_rearrange_side(p, p1, p2, mintrav, maxtrav)
+                else:
+                    if not tr.is_tip(p1.number):
+                        self.add_traverse_big(p, p1.next.back, mintrav,
+                                              maxtrav)
+                        self.add_traverse_big(p, p1.next.next.back, mintrav,
+                                              maxtrav)
+                    if not tr.is_tip(p2.number):
+                        self.add_traverse_big(p, p2.next.back, mintrav,
+                                              maxtrav)
+                        self.add_traverse_big(p, p2.next.next.back, mintrav,
+                                              maxtrav)
                 tr.hookup(p.next, p1, p1z)
                 tr.hookup(p.next.next, p2, p2z)
                 self.eng.newview(p)
@@ -308,14 +516,20 @@ class SprSearch:
                 q2z = list(q2.z)
                 self.remove_node_big(q)
                 mintrav2 = max(mintrav, 2)
-                if not tr.is_tip(q1.number):
-                    self.add_traverse_big(q, q1.next.back, mintrav2, maxtrav)
-                    self.add_traverse_big(q, q1.next.next.back, mintrav2,
-                                          maxtrav)
-                if not tr.is_tip(q2.number):
-                    self.add_traverse_big(q, q2.next.back, mintrav2, maxtrav)
-                    self.add_traverse_big(q, q2.next.next.back, mintrav2,
-                                          maxtrav)
+                if batched:
+                    self._batched_rearrange_side(q, q1, q2, mintrav2,
+                                                 maxtrav)
+                else:
+                    if not tr.is_tip(q1.number):
+                        self.add_traverse_big(q, q1.next.back, mintrav2,
+                                              maxtrav)
+                        self.add_traverse_big(q, q1.next.next.back, mintrav2,
+                                              maxtrav)
+                    if not tr.is_tip(q2.number):
+                        self.add_traverse_big(q, q2.next.back, mintrav2,
+                                              maxtrav)
+                        self.add_traverse_big(q, q2.next.next.back, mintrav2,
+                                              maxtrav)
                 tr.hookup(q.next, q1, q1z)
                 tr.hookup(q.next.next, q2, q2z)
                 self.eng.newview(q)
@@ -450,7 +664,8 @@ class SprSearch:
     # rearrangement-radius auto-tuning (determineRearrangementSetting :1752)
 
     def determine_rearrangement_setting(self, best_t: BestList,
-                                        bt: BestList) -> int:
+                                        bt: BestList,
+                                        resume=None) -> int:
         tr = self.tr
         eng = self.eng
         MAX_FAST = 26
@@ -459,12 +674,23 @@ class SprSearch:
         start_lh = eng.likelihood
         impr = True
         cutoff = self.do_cutoff
+        if resume is not None:
+            # re-enter the radius loop from a REARR_SETTING checkpoint
+            # (searchAlgo.c:1769-1780)
+            maxtrav = resume.get('maxtrav', maxtrav)
+            best_trav = resume.get('best_trav', best_trav)
+            start_lh = resume.get('start_lh', start_lh)
+            impr = resume.get('impr', impr)
+            cutoff = resume.get('cutoff', cutoff)
         self.do_cutoff = False
         bt.reset()
         assert not self.thorough
 
         while impr and maxtrav < MAX_FAST:
             self._recall(best_t, 1)
+            self._write_checkpoint(
+                'REARR_SETTING', maxtrav=maxtrav, best_trav=best_trav,
+                start_lh=start_lh, impr=impr, cutoff=cutoff)
             node_rectifier(tr)
             maxtrav = min(maxtrav, tr.mxtips - 3)
             self.start_lh = self.end_lh = eng.likelihood
@@ -478,6 +704,8 @@ class SprSearch:
 
             eng.tree_evaluate(0.25)
             bt.save(tr, eng.likelihood, keep_identical=True)
+            if self.best_ml is not None:
+                self.best_ml.save(tr, eng.likelihood, keep_identical=False)
 
             if eng.likelihood > start_lh:
                 start_lh = eng.likelihood
@@ -487,6 +715,9 @@ class SprSearch:
             else:
                 impr = False
 
+            # dead branch kept for parity: the reference has the identical
+            # `if(tr->doCutoff)` block right after setting doCutoff = FALSE
+            # (searchAlgo.c:1783, 1884-1892) — it can never fire there either
             if self.do_cutoff:
                 self.lh_cutoff = (self.lh_avg / self.lh_dec
                                   if self.lh_dec else math.inf)
@@ -507,9 +738,9 @@ class SprSearch:
     # ------------------------------------------------------------------
     # RF convergence bookkeeping
 
-    def _bipartitions(self):
+    def _bipartitions(self, tr=None):
         """Set of non-trivial bipartitions as frozensets of tip numbers."""
-        tr = self.tr
+        tr = tr or self.tr
         bips = set()
 
         def rec(p: Node):
@@ -527,13 +758,27 @@ class SprSearch:
         bips.discard(full - frozenset((1,)))
         return bips
 
+    def restore_rf_state(self, tree0: str, tree1: str):
+        """Rebuild the two RF slots from checkpointed Newick strings."""
+        from ..io.newick import parse_newick
+        for slot, nwk in enumerate((tree0, tree1)):
+            if not nwk:
+                continue
+            tmp = Tree(self.tr.taxon_names,
+                       num_branches=self.tr.num_branches)
+            parse_newick(nwk, tmp)
+            self.rf_slots[slot] = self._bipartitions(tmp)
+            self.rf_newicks[slot] = nwk
+
     def _rf_converged(self, iteration: int) -> bool:
         if not self.search_convergence:
             return False
+        from ..io.newick import write_newick
         current = self._bipartitions()
         slot = iteration % 2
         prev = self.rf_slots[1 - slot]
         self.rf_slots[slot] = current
+        self.rf_newicks[slot] = write_newick(self.tr)
         if iteration > 0 and prev is not None:
             rf = len(current.symmetric_difference(prev))
             rrf = rf / (2.0 * (self.tr.mxtips - 3))
@@ -595,6 +840,23 @@ class SprSearch:
 
             if self.do_cutoff:
                 self.it_count = 0
+        elif resume['phase'] == 'REARR_SETTING':
+            # re-enter the radius auto-tune loop from its checkpoint
+            # (restart dispatch searchAlgo.c:1726-1735 + 2019-2024): skip
+            # the first modOpt (the checkpointed tree/model carry it), run
+            # the remaining radius probes, then continue like a fresh run
+            eng.evaluate(tr.start, full_traversal_=True)
+            best_t.save(tr, eng.likelihood, keep_identical=True)
+            best_trav = self.determine_rearrangement_setting(
+                best_t, bt, resume=resume)
+            if estimate_model:
+                mod_opt_fn(5.0)
+            else:
+                eng.tree_evaluate(1.0)
+            best_t.save(tr, eng.likelihood, keep_identical=True)
+            if self.do_cutoff:
+                self.it_count = 0
+            resume = None
         else:
             # the checkpointed tree is already restored in `tr`
             eng.evaluate(tr.start, full_traversal_=True)
@@ -608,6 +870,9 @@ class SprSearch:
             self.lh_avg = resume.get('lh_avg', 0.0)
             self.lh_dec = resume.get('lh_dec', 0)
             self.it_count = resume.get('it_count', 0)
+            if self.search_convergence:
+                self.restore_rf_state(resume.get('tree0', ''),
+                                      resume.get('tree1', ''))
 
         if resume is None or resume['phase'] == 'FAST_SPRS':
             while impr:
@@ -639,6 +904,7 @@ class SprSearch:
 
             # ------------- thorough (slow) SPR phase setup -------------
             self.rf_slots = [None, None]
+            self.rf_newicks = ['', '']
             self.thorough = True
             impr = True
             self._recall(best_t, 1)
