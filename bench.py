@@ -20,7 +20,7 @@ REF_AVX_UPDATES_PER_SEC = 33.9e6
 
 N_TAXA = 64
 SITES = 1 << 16
-ITERS = 30
+ITERS = 60
 
 
 def main():
@@ -68,7 +68,9 @@ def main():
     t0 = time.time()
     for _ in range(ITERS):
         clv, scaler = full_wave(clv, scaler)
-    jax.block_until_ready(clv)
+    # a value fetch is the only rigorous sync through the device tunnel
+    # (block_until_ready alone under-reports; see BASELINE.md round-2 notes)
+    float(jnp.sum(clv[2, 0, 0, :8]))
     dt = time.time() - t0
 
     rate = SITES * n_updates * ITERS / dt

@@ -167,6 +167,13 @@ def cmd_run(args):
         jax.config.update('jax_platforms', args.platform)
     if args.f64:
         jax.config.update('jax_enable_x64', True)
+    if jax.default_backend() not in ('cpu',):
+        # persist compiled executables; the remote-compile path is slow
+        cache = os.path.join(os.path.expanduser('~'), '.examl_tpu_cache')
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
 
     from .io.bytefile import read_bytefile
     from .run import run_search, run_tree_evaluation

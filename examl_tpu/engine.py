@@ -155,6 +155,13 @@ class LikelihoodEngine:
         if self.use_pallas and jax.default_backend() != 'cpu':
             # Mosaic DMA slices must be lane-tile aligned
             self.pad = max(self.pad, 128)
+        # Mosaic tiles the second-minor (state) axis by 8 sublanes; DMA
+        # slices of a 20-state CLV are not tile-aligned on real hardware,
+        # so the device state axis is zero-padded to a sublane multiple
+        # (padded states are exact zeros through every kernel: EI/EV rows
+        # are zero, so P columns, CLV entries, diag terms and sumtables of
+        # padded states all vanish)
+        self.state_mult = 8 if self.use_pallas else 1
 
         self.mxtips = tree.mxtips
         # CLV rows: [0..2*mxtips-1] node rows (2*mxtips-1 is the traversal
@@ -203,9 +210,12 @@ class LikelihoodEngine:
             w = meta.width
             W = max(self.pad, ((w + self.pad - 1) // self.pad) * self.pad)
             inf = info_for(meta.data_type)
-            codes = np.full((self.mxtips + 1, W), inf.undetermined,
-                            dtype=np.int32)
-            codes[1:, :w] = self.aln.codes[:, meta.lower:meta.upper]
+            # tip-code rows padded to a sublane multiple for the on-device
+            # tip-materialization kernel (row 0 + tail are ignored)
+            t1p = ((self.mxtips + 1 + 7) // 8) * 8
+            codes = np.full((t1p, W), inf.undetermined, dtype=np.int32)
+            codes[1:self.mxtips + 1, :w] = \
+                self.aln.codes[:, meta.lower:meta.upper]
             wgt = np.zeros(W, dtype=np.int64)
             wgt[:w] = self.aln.weights[meta.lower:meta.upper]
             self.widths.append(W)
@@ -248,7 +258,7 @@ class LikelihoodEngine:
         self.clv = []
         self.scaler = []
         for m in range(self.n_models):
-            S = self.partitions[m].states
+            S = self._padded_states(m)
             self.clv.append(self._put(jnp.zeros(
                 (self.rows, self.n_cats, S, self.widths[m]),
                 dtype=self.dtype), 'clv'))
@@ -281,6 +291,31 @@ class LikelihoodEngine:
         the reference's Gatherv + master reorder, communication.c:120-182)."""
         from .parallel.distributed import host_gather
         return host_gather(arr)
+
+    def _padded_states(self, m) -> int:
+        """Device state-axis size: S > one sublane tile is padded to a
+        tile multiple (20 -> 24); S <= 8 stays exact (a sub-tile slice is
+        alignable, and padding DNA would inflate its HBM traffic)."""
+        S = self.partitions[m].states
+        k = self.state_mult
+        if S <= k:
+            return S
+        return ((S + k - 1) // k) * k
+
+    def _pad_state_axes(self, arr, axes):
+        """Zero-pad the given axes of a per-partition model tensor from S
+        to the device sublane multiple."""
+        if self.state_mult == 1:
+            return arr
+        arr = np.asarray(arr)
+        pads = [(0, 0)] * arr.ndim
+        for ax in axes:
+            S = arr.shape[ax]
+            k = self.state_mult
+            pads[ax] = (0, 0) if S <= k else (0, ((S + k - 1) // k) * k - S)
+        if not any(p[1] for p in pads):
+            return arr
+        return np.pad(arr, pads)
 
     def _resolve_model(self, pm: PartitionModel):
         """Refresh rates/frequencies of empirical-matrix AA partitions
@@ -341,29 +376,33 @@ class LikelihoodEngine:
                         pm.lg4x_weights, dtype=self.dtype)
                 else:
                     pm_gamma = make_gamma_cats(pm.alpha, C_, self.use_median)
-                self.d_EIGN[m] = jnp.asarray(eign, dtype=self.dtype)
-                self.d_EI[m] = jnp.asarray(
-                    np.stack([es.EI for es in systems]), dtype=self.dtype)
-                self.d_EV[m] = jnp.asarray(
-                    np.stack([es.EV for es in systems]), dtype=self.dtype)
-                self.d_tipvec[m] = jnp.asarray(
-                    np.stack([es.tip_vector for es in systems]),
+                self.d_EIGN[m] = jnp.asarray(
+                    self._pad_state_axes(eign, (1,)), dtype=self.dtype)
+                self.d_EI[m] = jnp.asarray(self._pad_state_axes(
+                    np.stack([es.EI for es in systems]), (1, 2)),
+                    dtype=self.dtype)
+                self.d_EV[m] = jnp.asarray(self._pad_state_axes(
+                    np.stack([es.EV for es in systems]), (1, 2)),
+                    dtype=self.dtype)
+                self.d_tipvec[m] = jnp.asarray(self._pad_state_axes(
+                    np.stack([es.tip_vector for es in systems]), (2,)),
                     dtype=self.dtype)
             else:
                 es = make_eigen(pm.subst_rates, pm.frequencies,
                                 inf.bit_vectors)
                 pm_gamma = (np.ones(1) if self.is_psr else
                             make_gamma_cats(pm.alpha, C_, self.use_median))
-                self.d_EIGN[m] = jnp.asarray(
-                    np.tile(es.EIGN, (C_, 1)), dtype=self.dtype)
-                self.d_EI[m] = jnp.asarray(
-                    np.tile(es.EI, (C_, 1, 1)), dtype=self.dtype)
-                self.d_EV[m] = jnp.asarray(
-                    np.tile(es.EV, (C_, 1, 1)), dtype=self.dtype)
-                self.d_tipvec[m] = jnp.asarray(
-                    np.tile(es.tip_vector, (C_, 1, 1)), dtype=self.dtype)
+                self.d_EIGN[m] = jnp.asarray(self._pad_state_axes(
+                    np.tile(es.EIGN, (C_, 1)), (1,)), dtype=self.dtype)
+                self.d_EI[m] = jnp.asarray(self._pad_state_axes(
+                    np.tile(es.EI, (C_, 1, 1)), (1, 2)), dtype=self.dtype)
+                self.d_EV[m] = jnp.asarray(self._pad_state_axes(
+                    np.tile(es.EV, (C_, 1, 1)), (1, 2)), dtype=self.dtype)
+                self.d_tipvec[m] = jnp.asarray(self._pad_state_axes(
+                    np.tile(es.tip_vector, (C_, 1, 1)), (2,)),
+                    dtype=self.dtype)
             self.d_gamma[m] = jnp.asarray(pm_gamma, dtype=self.dtype)
-            self._refresh_tip_rows(m)
+        self._refresh_tips(models)
 
     def update_gamma(self, models):
         """Alpha changed only: refresh discrete rates."""
@@ -394,18 +433,38 @@ class LikelihoodEngine:
         self.d_site_rates[m] = jnp.asarray(
             self.psr_rates[m][self.rate_category[m]], dtype=self.dtype)
 
-    def _refresh_tip_rows(self, m):
-        """Materialize tip CLVs = tipVector[code] per category. The gather
-        runs on the host (numpy) and only a plain slice-set touches the
-        device buffer — no XLA gather program."""
-        tipvec = np.asarray(self.d_tipvec[m])           # [C, codes, S]
-        codes = self.host_tip_codes[m]                  # [T+1, W]
-        tips = tipvec[:, codes, :]                      # [C, T+1, W, S]
-        tips = np.ascontiguousarray(tips.transpose(1, 0, 3, 2))
-        fn = self._get_jit('tip_set', m)
-        self.clv[m] = fn(self.clv[m],
-                         self._put(jnp.asarray(tips, dtype=self.dtype),
-                                   'clv'))
+    def _refresh_tips(self, models):
+        """Materialize tip CLVs = tipVector[code] per category. On the
+        accelerator this is one jitted program running the one-hot-matmul
+        tip kernel for every partition (only the tiny tipVector tables
+        cross the host boundary); the CPU path gathers on the host."""
+        if self.use_pallas:
+            from .kernels.pallas_newview import tip_rows_pallas
+            interpret = jax.default_backend() == 'cpu'
+            fn = self._jit_cache.get('tips_all')
+            if fn is None:
+                def run(clvs, codes, tipvecs):
+                    return tuple(
+                        tip_rows_pallas(clvs[m], codes[m],
+                                        tipvecs[m].astype(jnp.float32),
+                                        self.mxtips,
+                                        block_w=min(8192, self.widths[m]),
+                                        interpret=interpret)
+                        for m in range(self.n_models))
+                fn = jax.jit(run, donate_argnums=(0,))
+                self._jit_cache['tips_all'] = fn
+            self.clv = list(fn(tuple(self.clv), tuple(self.tip_codes),
+                               tuple(self.d_tipvec)))
+            return
+        for m in models:
+            tipvec = np.asarray(self.d_tipvec[m])       # [C, codes, S]
+            codes = self.host_tip_codes[m][:self.mxtips + 1]
+            tips = tipvec[:, codes, :]                  # [C, T+1, W, S]
+            tips = np.ascontiguousarray(tips.transpose(1, 0, 3, 2))
+            fn = self._get_jit('tip_set', m)
+            self.clv[m] = fn(self.clv[m],
+                             self._put(jnp.asarray(tips, dtype=self.dtype),
+                                       'clv'))
 
     # ------------------------------------------------------------------
     # jitted kernels (built per partition / per signature, cached)
@@ -600,6 +659,39 @@ class LikelihoodEngine:
                      jnp.asarray(z, dtype=self.dtype))
         lhs = np.asarray(lhs, dtype=np.float64)
         return lhs[:, :N].sum(axis=0)
+
+    def traverse_and_score(self, entries, p_rows, q_rows, zs) -> np.ndarray:
+        """Synthetic traversal (proximal/junction CLV ops) + batched
+        branch scoring — ONE device dispatch on the accelerator path (the
+        whole lazy-SPR candidate wave of a pruned subtree)."""
+        N = len(p_rows)
+        if self.use_pallas and not self.is_psr:
+            packed = pack_traversal(self.tree, entries)
+            fn = self._pallas_program('trav_evalbatch', packed)
+            if fn is not None:
+                L = 4
+                while L < N:
+                    L *= 2
+                dummy = self.scratch_base - 1
+                jp = np.full(L, dummy, dtype=np.int32)
+                jp[:N] = p_rows
+                jq = np.full(L, dummy, dtype=np.int32)
+                jq[:N] = q_rows
+                z = np.full((L, self.num_branches), C.DEFAULTZ)
+                z[:N] = zs
+                clvs, scalers, lhs = fn(
+                    tuple(self.clv), tuple(self.scaler),
+                    jnp.ones(self.n_models, dtype=bool),
+                    *self._trav_args(packed),
+                    tuple(self.d_rate_weights), tuple(self.wgts),
+                    jnp.asarray(jp), jnp.asarray(jq),
+                    jnp.asarray(z, dtype=self.dtype))
+                self.clv = list(clvs)
+                self.scaler = list(scalers)
+                lhs = np.asarray(lhs, dtype=np.float64)
+                return lhs[:, :N].sum(axis=0)
+        self._run_traversal(entries)
+        return self.evaluate_batch(p_rows, q_rows, np.asarray(zs))
 
     def _evaluate_batch_pallas(self, jp, jq, zs):
         from .kernels.pallas_newview import (evaluate_batch_gamma,
@@ -799,6 +891,158 @@ class LikelihoodEngine:
     # ------------------------------------------------------------------
     # generic operations (host API mirroring the reference entry points)
 
+    def _fused_plan(self, packed):
+        """(n_rows, per-model block_w) for the fused whole-traversal
+        kernel, or None when the VMEM working set does not fit."""
+        max_row = int(max(packed.p_idx.max(), packed.q_idx.max(),
+                          packed.r_idx.max()))
+        n_rows = (2 * self.mxtips if max_row < 2 * self.mxtips
+                  else self.rows)
+        budget = 12 * 2 ** 20            # ~16 MB VMEM/core, leave slack
+        plan = []
+        for m in range(self.n_models):
+            S = self._padded_states(m)
+            bw = None
+            for cand in (1024, 512, 256, 128):
+                if cand > self.widths[m] or self.widths[m] % cand:
+                    continue
+                if n_rows * self.n_cats * (S + 1) * cand * 4 <= budget:
+                    bw = cand
+                    break
+            if bw is None:
+                return None
+            plan.append(bw)
+        return n_rows, tuple(plan)
+
+    def _build_pallas_program(self, kind, n_rows, plan):
+        """One jitted multi-partition program for the accelerator path:
+        all partitions' Mosaic kernels run inside a single XLA executable,
+        so one engine operation costs ONE device dispatch regardless of
+        partition count (through the remote tunnel a dispatch costs
+        ~5 ms; the reference instead pays an MPI reduction per operation).
+        kind: 'trav' (fused traversal), 'trav_eval' (+ root lnL per
+        partition), 'trav_evalbatch' (+ batched candidate lnLs)."""
+        from .kernels.pallas_newview import (evaluate_batch_gamma,
+                                             evaluate_pallas,
+                                             traversal_fused_pallas)
+        M = self.n_models
+        interpret = jax.default_backend() == 'cpu'
+
+        def traverse(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
+                     gammas, eigns, eis, evs):
+            # exec_mask is a dynamic [M] bool vector (one compiled program
+            # serves every evaluateChange mask pattern); masked partitions
+            # keep their stale CLVs via a select
+            out_c = list(clvs)
+            out_s = list(scalers)
+            for m in range(M):
+                col = self._branch_col(m)
+                lam = (eigns[m] * gammas[m][:, None]).astype(jnp.float32)
+                c2, s2 = traversal_fused_pallas(
+                    clvs[m], scalers[m], jp, jq, jr, jt,
+                    lzq[:, col], lzr[:, col], lam,
+                    eis[m].astype(jnp.float32), evs[m].astype(jnp.float32),
+                    n_rows=n_rows, block_w=plan[m],
+                    min_scale=self.min_scale,
+                    inv_min_scale=self.inv_min_scale, interpret=interpret)
+                out_c[m] = jnp.where(exec_mask[m], c2, clvs[m])
+                out_s[m] = jnp.where(exec_mask[m], s2, scalers[m])
+            return tuple(out_c), tuple(out_s)
+
+        if kind == 'trav':
+            def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
+                    gammas, eigns, eis, evs):
+                return traverse(clvs, scalers, exec_mask, jp, jq, jr, jt,
+                                lzq, lzr, gammas, eigns, eis, evs)
+        elif kind == 'trav_eval':
+            def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
+                    gammas, eigns, eis, evs, rate_weights, wgts, p_row,
+                    q_row, qz):
+                clvs, scalers = traverse(clvs, scalers, exec_mask, jp, jq,
+                                         jr, jt, lzq, lzr, gammas, eigns,
+                                         eis, evs)
+                lhs = []
+                for m in range(M):
+                    col = self._branch_col(m)
+                    lz = jnp.log(jnp.maximum(qz[col], C.ZMIN))
+                    diag = jnp.exp(eigns[m] * gammas[m][:, None] * lz)
+                    lhs.append(evaluate_pallas(
+                        clvs[m], scalers[m], p_row, q_row,
+                        diag.astype(jnp.float32),
+                        rate_weights[m].astype(jnp.float32),
+                        wgts[m].astype(jnp.float32),
+                        block_w=min(8192, self.widths[m]),
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret))
+                return clvs, scalers, jnp.stack(lhs)
+        elif kind == 'trav_evalbatch':
+            def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
+                    gammas, eigns, eis, evs, rate_weights, wgts, bp_rows,
+                    bq_rows, bzs):
+                clvs, scalers = traverse(clvs, scalers, exec_mask, jp, jq,
+                                         jr, jt, lzq, lzr, gammas, eigns,
+                                         eis, evs)
+                lhs = []
+                for m in range(M):
+                    col = self._branch_col(m)
+                    lzs = jnp.log(jnp.maximum(bzs[:, col],
+                                              C.ZMIN)).astype(jnp.float32)
+                    lhs.append(evaluate_batch_gamma(
+                        clvs[m], scalers[m], bp_rows, bq_rows, lzs,
+                        eigns[m].astype(jnp.float32),
+                        gammas[m].astype(jnp.float32),
+                        rate_weights[m].astype(jnp.float32),
+                        wgts[m].astype(jnp.float32),
+                        block_w=min(8192, self.widths[m]),
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret))
+                return clvs, scalers, jnp.stack(lhs)
+        else:
+            raise KeyError(kind)
+
+        return jax.jit(run, donate_argnums=(0, 1))
+
+    def _pallas_program(self, kind, packed):
+        plan = self._fused_plan(packed)
+        if plan is None:
+            return None
+        n_rows, bws = plan
+        key = ('pprog', kind, n_rows, bws)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._build_pallas_program(kind, n_rows, bws)
+            self._jit_cache[key] = fn
+        return fn
+
+    def _trav_args(self, packed):
+        jp = jnp.asarray(packed.p_idx)
+        jq = jnp.asarray(packed.q_idx)
+        jr = jnp.asarray(packed.r_idx)
+        jt = jnp.asarray(packed.tip_tip.astype(np.int32))
+        lzq = jnp.asarray(
+            np.log(np.maximum(packed.qz, C.ZMIN)).astype(np.float32))
+        lzr = jnp.asarray(
+            np.log(np.maximum(packed.rz, C.ZMIN)).astype(np.float32))
+        return (jp, jq, jr, jt, lzq, lzr, tuple(self.d_gamma),
+                tuple(self.d_EIGN), tuple(self.d_EI), tuple(self.d_EV))
+
+    def _run_traversal_fused(self, entries, exec_mask, interpret) -> bool:
+        """Fused whole-traversal dispatch for ALL partitions in one jitted
+        program (one device round trip). Returns False when the VMEM
+        working set does not fit (caller falls back to level kernels).
+        GAMMA only; PSR uses the level path."""
+        packed = pack_traversal(self.tree, entries)
+        fn = self._pallas_program('trav', packed)
+        if fn is None:
+            return False
+        ex = (np.ones(self.n_models, dtype=bool) if exec_mask is None
+              else np.asarray(exec_mask, dtype=bool))
+        clvs, scalers = fn(tuple(self.clv), tuple(self.scaler),
+                           jnp.asarray(ex), *self._trav_args(packed))
+        self.clv = list(clvs)
+        self.scaler = list(scalers)
+        return True
+
     def _run_traversal_pallas(self, entries, exec_mask):
         """Level-batched traversal through the fused Pallas newview kernel
         (one in-place gather/compute/scatter pass per level per
@@ -810,10 +1054,13 @@ class LikelihoodEngine:
                                              newview_level_pallas_psr)
         from .traversal import chunk_entries
         tr = self.tree
+        interpret = jax.default_backend() == 'cpu'
+        if not self.is_psr and self._run_traversal_fused(entries, exec_mask,
+                                                         interpret):
+            return
         # fixed chunk size => one compiled kernel shape for every traversal
         chunk = 16 if len(entries) > 4 else 4
         levels = chunk_entries(tr, entries, chunk)
-        interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_nv')
         if fn is None:
             if self.is_psr:
@@ -926,6 +1173,31 @@ class LikelihoodEngine:
         # semantics, optimizeModel.c:464-534)
         mask = (None if self.execute_model.all()
                 else self.execute_model.copy())
+
+        if self.use_pallas and not self.is_psr:
+            # single-dispatch path: traversal + all partitions' root lnL
+            # in one jitted program
+            packed = pack_traversal(tr, entries)
+            fn = self._pallas_program('trav_eval', packed)
+            if fn is not None:
+                ex = (np.ones(self.n_models, dtype=bool) if mask is None
+                      else np.asarray(mask, dtype=bool))
+                clvs, scalers, lhs = fn(
+                    tuple(self.clv), tuple(self.scaler), jnp.asarray(ex),
+                    *self._trav_args(packed),
+                    tuple(self.d_rate_weights), tuple(self.wgts),
+                    jnp.asarray([p.number], dtype=jnp.int32),
+                    jnp.asarray([q.number], dtype=jnp.int32),
+                    jnp.asarray(qz, dtype=self.dtype))
+                self.clv = list(clvs)
+                self.scaler = list(scalers)
+                lhs = np.asarray(lhs, dtype=np.float64)
+                lhs = np.where(self.execute_model, lhs,
+                               self.per_partition_lh)
+                self.per_partition_lh = lhs
+                self.likelihood = float(lhs.sum())
+                return self.likelihood
+
         self._run_traversal(entries, mask)
 
         if self.use_pallas:
@@ -1021,6 +1293,229 @@ class LikelihoodEngine:
             d1s[m] = float(d1)
             d2s[m] = float(d2)
         return d1s, d2s
+
+    # ------------------------------------------------------------------
+    # batched thorough-insertion scoring (accelerator path): ALL thorough
+    # SPR candidates of one pruned subtree run their complete insertBIG +
+    # localSmooth + evaluate pipeline (searchAlgo.c:484-566, 127-200) in
+    # ONE device dispatch — a vectorized Newton-Raphson state machine over
+    # candidates with per-round junction CLV rebuilds in scratch rows
+
+    def _build_thorough_program(self):
+        from .kernels.pallas_newview import (evaluate_batch_gamma,
+                                             make_p_batch,
+                                             newview_level_pallas,
+                                             nr_derivatives_batch_pallas)
+        M = self.n_models
+        interpret = jax.default_backend() == 'cpu'
+
+        def batch_nr(clvs, scalers, model, jp, jq, z0, maxiter, frozen):
+            """topLevelMakenewz vectorized over N branches (rows jp/jq);
+            frozen lanes keep z0."""
+            gammas, eigns, eis, evs, rate_weights, wgts = model
+
+            def derivs(core_lz):
+                d1t = jnp.zeros_like(core_lz)
+                d2t = jnp.zeros_like(core_lz)
+                for m in range(M):
+                    lam = (eigns[m] * gammas[m][:, None]).astype(
+                        jnp.float32)
+                    d1, d2 = nr_derivatives_batch_pallas(
+                        clvs[m], scalers[m], jp, jq, lam,
+                        rate_weights[m].astype(jnp.float32),
+                        wgts[m].astype(jnp.float32), core_lz,
+                        block_w=min(8192, self.widths[m]),
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret)
+                    d1t = d1t + d1
+                    d2t = d2t + d2
+                return d1t, d2t
+
+            N = z0.shape[0]
+
+            def cond(st):
+                return ~jnp.all(st[4])
+
+            def body(st):
+                z, zprev, zstep, maxi, outer, curvat = st
+                fresh = ~outer & curvat
+                zprev = jnp.where(fresh, z, zprev)
+                zstep = jnp.where(fresh, (1.0 - C.ZMAX) * z + C.ZMIN,
+                                  zstep)
+                curvat = curvat & ~fresh
+                active = ~outer & ~curvat
+                zc = jnp.clip(z, C.ZMIN, C.ZMAX)
+                z = jnp.where(active, zc, z)
+                core_lz = jnp.log(jnp.clip(z, C.ZMIN, C.ZMAX)).astype(
+                    jnp.float32)
+                d1, d2 = derivs(core_lz)
+                shorten = active & (d2 >= 0.0) & (z < C.ZMAX)
+                zshort = 0.37 * z + 0.63
+                z = jnp.where(shorten, zshort, z)
+                zprev = jnp.where(shorten, zshort, zprev)
+                curvat = curvat | (active & ~shorten)
+                do_nr = active & ~shorten
+                tantmp = -d1 / d2
+                small = tantmp < 100.0
+                zexp = jnp.maximum(z * jnp.exp(tantmp), C.ZMIN)
+                cap = 0.25 * zprev + 0.75
+                zexp = jnp.minimum(zexp, cap)
+                znr = jnp.where((d2 < 0.0) & small, zexp,
+                                jnp.where(d2 < 0.0, cap, z))
+                znr = jnp.minimum(znr, C.ZMAX)
+                z = jnp.where(do_nr, znr, z)
+                maxi = jnp.where(do_nr, maxi - 1, maxi)
+                moved = jnp.abs(z - zprev) > zstep
+                give_up = do_nr & moved & (maxi < -20)
+                z = jnp.where(give_up, z0, z)
+                outer = jnp.where(do_nr,
+                                  jnp.where(moved, give_up, True), outer)
+                return (z, zprev, zstep, maxi, outer, curvat)
+
+            st = (z0, z0, jnp.zeros_like(z0),
+                  jnp.full(N, maxiter, jnp.int32), frozen,
+                  jnp.ones(N, bool))
+            return jax.lax.while_loop(cond, body, st)[0]
+
+        def junctions(clvs, scalers, model, j_rows, a_rows, b_rows, za, zb,
+                      tt):
+            """N junction CLVs: scratch row j_i = combine(a_i via za_i,
+            b_i via zb_i)."""
+            gammas, eigns, eis, evs, rate_weights, wgts = model
+            out_c, out_s = [], []
+            for m in range(M):
+                pls, prs = make_p_batch(za, zb, gammas[m], eigns[m],
+                                        eis[m])
+                c2, s2 = newview_level_pallas(
+                    clvs[m], scalers[m], j_rows, a_rows, b_rows, tt,
+                    pls.astype(jnp.float32), prs.astype(jnp.float32),
+                    evs[m].astype(jnp.float32),
+                    block_w=min(8192, self.widths[m]),
+                    min_scale=self.min_scale,
+                    inv_min_scale=self.inv_min_scale, interpret=interpret)
+                out_c.append(c2)
+                out_s.append(s2)
+            return tuple(out_c), tuple(out_s)
+
+        def run(clvs, scalers, model, s_row, u_rows, v_rows, j_rows, z0):
+            gammas, eigns, eis, evs, rate_weights, wgts = model
+            N = u_rows.shape[0]
+            live = jnp.zeros(N, bool)          # frozen mask for batch_nr
+            s_rows = jnp.broadcast_to(s_row.astype(jnp.int32), (N,))
+            tt_uv = jnp.zeros(N, jnp.int32)    # junction rows: never tips
+            defaultz = jnp.full(N, C.DEFAULTZ, z0.dtype)
+
+            # insertBIG thorough: three independent NR optimizations from
+            # the pre-insertion state (searchAlgo.c:495-536)
+            zqr = batch_nr(clvs, scalers, model, u_rows, v_rows, z0,
+                           C.ITERATIONS, live)
+            zqs = batch_nr(clvs, scalers, model, u_rows, s_rows, defaultz,
+                           C.ITERATIONS, live)
+            zrs = batch_nr(clvs, scalers, model, v_rows, s_rows, defaultz,
+                           C.ITERATIONS, live)
+
+            lzqr = jnp.log(jnp.maximum(zqr, C.ZMIN))
+            lzqs = jnp.log(jnp.maximum(zqs, C.ZMIN))
+            lzrs = jnp.log(jnp.maximum(zrs, C.ZMIN))
+            lzsum = 0.5 * (lzqr + lzqs + lzrs)
+            lzq = lzsum - lzrs
+            lzr = lzsum - lzqs
+            lzs = lzsum - lzqr
+            lzmax = math.log(C.ZMAX)
+            cq = lzq > lzmax
+            cr = ~cq & (lzr > lzmax)
+            cs = ~cq & ~cr & (lzs > lzmax)
+            lzq2 = jnp.where(cq, lzmax, jnp.where(cr, lzqr,
+                             jnp.where(cs, lzqs, lzq)))
+            lzr2 = jnp.where(cq, lzqr, jnp.where(cr, lzmax,
+                             jnp.where(cs, lzrs, lzr)))
+            lzs2 = jnp.where(cq, lzqs, jnp.where(cr, lzrs,
+                             jnp.where(cs, lzmax, lzs)))
+            e1 = jnp.exp(lzq2)                 # p.next  <-> u
+            e2 = jnp.exp(lzr2)                 # p.next2 <-> v
+            e3 = jnp.exp(lzs2)                 # p       <-> s
+
+            # localSmooth rounds (searchAlgo.c localSmooth :270): three
+            # branch updates per round, junction rebuilt between them
+            def round_body(carry):
+                k, clvs, scalers, e1, e2, e3, active = carry
+                frozen = ~active
+                # branch p<->s: junction toward s = combine(u e1, v e2)
+                clvs, scalers = junctions(clvs, scalers, model, j_rows,
+                                          u_rows, v_rows, e1, e2, tt_uv)
+                e3n = batch_nr(clvs, scalers, model, j_rows, s_rows, e3,
+                               C.NEWZPERCYCLE, frozen)
+                # branch p.next<->u: junction toward u = (s e3, v e2)
+                clvs, scalers = junctions(clvs, scalers, model, j_rows,
+                                          s_rows, v_rows, e3n, e2, tt_uv)
+                e1n = batch_nr(clvs, scalers, model, j_rows, u_rows, e1,
+                               C.NEWZPERCYCLE, frozen)
+                # branch p.next2<->v: junction toward v = (s e3, u e1)
+                clvs, scalers = junctions(clvs, scalers, model, j_rows,
+                                          s_rows, u_rows, e3n, e1n, tt_uv)
+                e2n = batch_nr(clvs, scalers, model, j_rows, v_rows, e2,
+                               C.NEWZPERCYCLE, frozen)
+                moved = ((jnp.abs(e1n - e1) > C.DELTAZ)
+                         | (jnp.abs(e2n - e2) > C.DELTAZ)
+                         | (jnp.abs(e3n - e3) > C.DELTAZ))
+                active = active & moved
+                return (k + 1, clvs, scalers, e1n, e2n, e3n, active)
+
+            def round_cond(carry):
+                k, _c, _s, _1, _2, _3, active = carry
+                return (k < C.SMOOTHINGS) & jnp.any(active)
+
+            k, clvs, scalers, e1, e2, e3, active = jax.lax.while_loop(
+                round_cond, round_body,
+                (jnp.asarray(0, jnp.int32), clvs, scalers, e1, e2, e3,
+                 jnp.ones(N, bool)))
+
+            # final state: junction toward v (last rebuilt orientation in
+            # localSmooth is toward v); evaluate at branch (junction, v)
+            clvs, scalers = junctions(clvs, scalers, model, j_rows,
+                                      s_rows, u_rows, e3, e1, tt_uv)
+            lhs = []
+            for m in range(M):
+                lzs_eval = jnp.log(jnp.maximum(e2, C.ZMIN)).astype(
+                    jnp.float32)
+                lhs.append(evaluate_batch_gamma(
+                    clvs[m], scalers[m], j_rows, v_rows, lzs_eval,
+                    eigns[m].astype(jnp.float32),
+                    gammas[m].astype(jnp.float32),
+                    rate_weights[m].astype(jnp.float32),
+                    wgts[m].astype(jnp.float32),
+                    block_w=min(8192, self.widths[m]),
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            scores = jnp.sum(jnp.stack(lhs), axis=0)
+            return clvs, scalers, scores, e1, e2, e3
+
+        return jax.jit(run, donate_argnums=(0, 1))
+
+    def thorough_score_wave(self, s_row, u_rows, v_rows, j_rows, z0):
+        """Scores + fitted junction branch lengths (e1 = junction-u,
+        e2 = junction-v, e3 = junction-prunedSubtree) for N thorough SPR
+        insertions in one dispatch. Rows index the CLV buffer (v_rows are
+        proximal scratch CLVs written beforehand). Returns float64
+        (scores, e1, e2, e3)."""
+        fn = self._jit_cache.get('thoroughprog')
+        if fn is None:
+            fn = self._build_thorough_program()
+            self._jit_cache['thoroughprog'] = fn
+        model = (tuple(self.d_gamma), tuple(self.d_EIGN),
+                 tuple(self.d_EI), tuple(self.d_EV),
+                 tuple(self.d_rate_weights), tuple(self.wgts))
+        clvs, scalers, scores, e1, e2, e3 = fn(
+            tuple(self.clv), tuple(self.scaler), model,
+            jnp.asarray(s_row, dtype=jnp.int32),
+            jnp.asarray(u_rows, dtype=jnp.int32),
+            jnp.asarray(v_rows, dtype=jnp.int32),
+            jnp.asarray(j_rows, dtype=jnp.int32),
+            jnp.asarray(z0, dtype=jnp.float32))
+        self.clv = list(clvs)
+        self.scaler = list(scalers)
+        return (np.asarray(scores, np.float64), np.asarray(e1, np.float64),
+                np.asarray(e2, np.float64), np.asarray(e3, np.float64))
 
     # ------------------------------------------------------------------
     # Newton-Raphson branch-length optimization
@@ -1274,6 +1769,8 @@ class LikelihoodEngine:
             self.newview(p, masked=self.num_branches > 1)
 
     def smooth_tree(self, maxtimes: int):
+        if self._smooth_tree_device(maxtimes):
+            return
         tr = self.tree
         p = tr.start
         self.partition_converged[:] = False
@@ -1322,3 +1819,290 @@ class LikelihoodEngine:
         full-traversal evaluation rooted at tr.start."""
         self.smooth_tree(int(C.SMOOTHINGS * smooth_factor))
         return self.evaluate(self.tree.start, full_traversal_=True)
+
+    # ------------------------------------------------------------------
+    # on-device whole-tree smoothing (accelerator path): the entire
+    # smooth pass — per-branch Newton-Raphson plus the CLV reorientation
+    # sweep — runs as ONE jitted device program with the branch lengths
+    # as device state, instead of ~2 dispatches per branch per pass
+    # (the reference pays an MPI allreduce per NR iteration here,
+    # makenewzGenericSpecial.c:1241-1248)
+
+    def _edge_index(self):
+        """Map each branch to an index; returns (rec->e dict keyed by
+        id(ring record), z0 [E, B])."""
+        tr = self.tree
+        emap = {}
+        z0 = []
+        for p in tr.branches():
+            e = len(z0)
+            emap[id(p)] = e
+            emap[id(p.back)] = e
+            z0.append(list(p.z))
+        return emap, np.array(z0, dtype=np.float64)
+
+    def _build_smooth_schedule(self, emap, vflags):
+        """Simulate one engine._smooth sweep from tr.start.back over the
+        given virtual x-flag state (dict id(record)->bool), appending ops:
+        ('nv', p,q,r rows, eq, er, tt) and ('nr', p,q rows, e). Mutates
+        vflags to the post-pass state. Mirrors the sequential traversal
+        logic exactly (compute_traversal semantics)."""
+        tr = self.tree
+        ops = []
+
+        def flag(rec):
+            if tr.is_tip(rec.number):
+                return True
+            return vflags.get(id(rec), bool(rec.x))
+
+        def orient(rec):
+            vflags[id(rec)] = True
+            s = rec.next
+            while s is not rec:
+                vflags[id(s)] = False
+                s = s.next
+
+        def sim_newview(p):            # recompute CLV toward p
+            if tr.is_tip(p.number):
+                return
+            q = p.next.back
+            r = p.next.next.back
+            if tr.is_tip(r.number) and not tr.is_tip(q.number):
+                q, r = r, q
+            for child in (q, r):
+                if not tr.is_tip(child.number) and not flag(child):
+                    sim_newview(child)
+            orient(p)
+            ops.append(('nv', p.number, q.number, r.number,
+                        emap[id(q)], emap[id(r)],
+                        tr.is_tip(q.number) and tr.is_tip(r.number)))
+
+        def sim_ensure(p):
+            if not tr.is_tip(p.number) and not flag(p):
+                sim_newview(p)
+
+        def sim_smooth(p):
+            sim_ensure(p)
+            sim_ensure(p.back)
+            ops.append(('nr', p.number, p.back.number, emap[id(p)]))
+            if not tr.is_tip(p.number):
+                q = p.next
+                while q is not p:
+                    sim_smooth(q.back)
+                    q = q.next
+                sim_newview(p)
+
+        sim_smooth(tr.start.back)
+        return ops
+
+    def _pack_smooth_ops(self, ops):
+        L = len(ops)
+        t = np.zeros(L, np.int32)
+        pr = np.zeros(L, np.int32)
+        qr = np.zeros(L, np.int32)
+        rr = np.zeros(L, np.int32)
+        eq = np.zeros(L, np.int32)
+        er = np.zeros(L, np.int32)
+        tt = np.zeros(L, np.int32)
+        for i, op in enumerate(ops):
+            if op[0] == 'nv':
+                _, p, q, r, e1, e2, is_tt = op
+                t[i] = 0
+                pr[i], qr[i], rr[i] = p, q, r
+                eq[i], er[i] = e1, e2
+                tt[i] = int(is_tt)
+            else:
+                _, p, q, e = op
+                t[i] = 1
+                pr[i], qr[i] = p, q
+                eq[i] = e
+        return tuple(jnp.asarray(x) for x in (t, pr, qr, rr, eq, er, tt))
+
+    def _build_smooth_program(self):
+        from .kernels.pallas_newview import (make_p_batch,
+                                            newview_level_pallas,
+                                            nr_derivatives_pallas)
+        M = self.n_models
+        interpret = jax.default_backend() == 'cpu'
+
+        def nv_op(state, model, pr, qr, rr, eq, er, tt):
+            clvs, scalers, z, smoothed = state
+            gammas, eigns, eis, evs, rate_weights, wgts = model
+            zq = z[eq]                             # scalar (B == 1)
+            zr = z[er]
+            out_c, out_s = [], []
+            for m in range(M):
+                pls, prs = make_p_batch(zq[None], zr[None], gammas[m],
+                                        eigns[m], eis[m])
+                c2, s2 = newview_level_pallas(
+                    clvs[m], scalers[m], pr[None], qr[None], rr[None],
+                    tt[None], pls.astype(jnp.float32),
+                    prs.astype(jnp.float32),
+                    evs[m].astype(jnp.float32),
+                    block_w=min(8192, self.widths[m]),
+                    min_scale=self.min_scale,
+                    inv_min_scale=self.inv_min_scale, interpret=interpret)
+                out_c.append(c2)
+                out_s.append(s2)
+            return (tuple(out_c), tuple(out_s), z, smoothed)
+
+        def derivatives(clvs, scalers, model, jp, jq, core_lz):
+            gammas, eigns, eis, evs, rate_weights, wgts = model
+            d1t = 0.0
+            d2t = 0.0
+            for m in range(M):
+                lam = eigns[m] * gammas[m][:, None]
+                d = (rate_weights[m][:, None]
+                     * jnp.exp(lam * core_lz)).astype(jnp.float32)
+                d1, d2 = nr_derivatives_pallas(
+                    clvs[m], scalers[m], jp, jq, lam.astype(jnp.float32),
+                    d, wgts[m].astype(jnp.float32),
+                    block_w=min(8192, self.widths[m]),
+                    log_min_scale=self.log_min_scale, interpret=interpret)
+                d1t = d1t + d1
+                d2t = d2t + d2
+            return d1t, d2t
+
+        def nr_op(state, model, pr, qr, rr, eq, er, tt):
+            # topLevelMakenewz state machine for ONE branch, maxiter =
+            # NEWZPERCYCLE (= 1), B == 1 (engine.makenewz semantics)
+            clvs, scalers, z, smoothed = state
+            jp = pr[None]
+            jq = qr[None]
+            z0 = z[eq]
+
+            def cond(st):
+                return ~st[4]
+
+            def body(st):
+                zc, zprev, zstep, maxi, outer, curvat = st
+                fresh = ~outer & curvat
+                zprev = jnp.where(fresh, zc, zprev)
+                zstep = jnp.where(fresh, (1.0 - C.ZMAX) * zc + C.ZMIN,
+                                  zstep)
+                curvat = curvat & ~fresh
+                active = ~outer & ~curvat
+                zcl = jnp.clip(zc, C.ZMIN, C.ZMAX)
+                zc = jnp.where(active, zcl, zc)
+                core_lz = jnp.log(jnp.clip(zc, C.ZMIN, C.ZMAX))
+                d1, d2 = derivatives(clvs, scalers, model, jp, jq, core_lz)
+                shorten = active & (d2 >= 0.0) & (zc < C.ZMAX)
+                zshort = 0.37 * zc + 0.63
+                zc = jnp.where(shorten, zshort, zc)
+                zprev = jnp.where(shorten, zshort, zprev)
+                curvat = curvat | (active & ~shorten)
+                do_nr = active & ~shorten
+                tantmp = -d1 / d2
+                small = tantmp < 100.0
+                zexp = jnp.maximum(zc * jnp.exp(tantmp), C.ZMIN)
+                cap = 0.25 * zprev + 0.75
+                zexp = jnp.minimum(zexp, cap)
+                znr = jnp.where((d2 < 0.0) & small, zexp,
+                                jnp.where(d2 < 0.0, cap, zc))
+                znr = jnp.minimum(znr, C.ZMAX)
+                zc = jnp.where(do_nr, znr, zc)
+                maxi = jnp.where(do_nr, maxi - 1, maxi)
+                moved = jnp.abs(zc - zprev) > zstep
+                give_up = do_nr & moved & (maxi < -20)
+                zc = jnp.where(give_up, z0, zc)
+                outer = jnp.where(do_nr,
+                                  jnp.where(moved, give_up, True), outer)
+                return (zc, zprev, zstep, maxi, outer, curvat)
+
+            st = (z0, z0, jnp.zeros_like(z0),
+                  jnp.asarray(C.NEWZPERCYCLE, jnp.int32),
+                  jnp.asarray(False), jnp.asarray(True))
+            znew = jax.lax.while_loop(cond, body, st)[0]
+            smoothed = smoothed & (jnp.abs(znew - z0) <= C.DELTAZ)
+            z = z.at[eq].set(znew)
+            return (clvs, scalers, z, smoothed)
+
+        def run_ops(state, model, packed_ops):
+            t, pr, qr, rr, eq, er, tt = packed_ops
+            L = t.shape[0]
+
+            def body(i, state):
+                return jax.lax.cond(
+                    t[i] == 0,
+                    lambda s: nv_op(s, model, pr[i], qr[i], rr[i], eq[i],
+                                    er[i], tt[i]),
+                    lambda s: nr_op(s, model, pr[i], qr[i], rr[i], eq[i],
+                                    er[i], tt[i]),
+                    state)
+
+            return jax.lax.fori_loop(0, L, body, state)
+
+        def smooth(clvs, scalers, z, model, ops1, ops2, maxtimes):
+            # pass 1 uses the entry x-flag schedule
+            clvs, scalers, z, smoothed = run_ops(
+                (clvs, scalers, z, jnp.asarray(True)), model, ops1)
+
+            def cond(carry):
+                k, clvs, scalers, z, smoothed = carry
+                return (k < maxtimes) & ~smoothed
+
+            def body(carry):
+                k, clvs, scalers, z, _ = carry
+                clvs, scalers, z, smoothed = run_ops(
+                    (clvs, scalers, z, jnp.asarray(True)), model, ops2)
+                return (k + 1, clvs, scalers, z, smoothed)
+
+            k, clvs, scalers, z, smoothed = jax.lax.while_loop(
+                cond, body, (jnp.asarray(1, jnp.int32), clvs, scalers, z,
+                             smoothed))
+            return clvs, scalers, z, smoothed, k
+
+        return jax.jit(smooth, donate_argnums=(0, 1), static_argnums=())
+
+    def _smooth_tree_device(self, maxtimes: int) -> bool:
+        """Whole smooth_tree as one device dispatch (accelerator, GAMMA,
+        single branch class). Returns False when unsupported."""
+        if (not self.use_pallas or self.is_psr or self.num_branches != 1
+                or maxtimes < 1):
+            return False
+        tr = self.tree
+        emap, z0 = self._edge_index()
+        vflags = {}
+        ops1 = self._build_smooth_schedule(emap, vflags)
+        end_of_p1 = dict(vflags)
+        ops2 = self._build_smooth_schedule(emap, vflags)
+        # the sweep must be closed: every later pass repeats the pass-2
+        # ops and every pass ends in the same orientation state (so the
+        # host-side flag restore below is exact however many passes ran)
+        if end_of_p1 != vflags:
+            return False
+        if self._build_smooth_schedule(emap, dict(vflags)) != ops2:
+            return False
+
+        fn = self._jit_cache.get('smoothprog')
+        if fn is None:
+            fn = self._build_smooth_program()
+            self._jit_cache['smoothprog'] = fn
+        p1 = self._pack_smooth_ops(ops1)
+        p2 = self._pack_smooth_ops(ops2)
+        model = (tuple(self.d_gamma), tuple(self.d_EIGN),
+                 tuple(self.d_EI), tuple(self.d_EV),
+                 tuple(self.d_rate_weights), tuple(self.wgts))
+        clvs, scalers, z, smoothed, k = fn(
+            tuple(self.clv), tuple(self.scaler),
+            jnp.asarray(z0[:, 0], dtype=jnp.float32), model, p1, p2,
+            jnp.asarray(maxtimes, jnp.int32))
+        self.clv = list(clvs)
+        self.scaler = list(scalers)
+        znew = np.asarray(z, dtype=np.float64)
+        for p in tr.branches():
+            e = emap[id(p)]
+            p.z = [float(znew[e])]
+            p.back.z = [float(znew[e])]
+        # apply the simulated x-flag end state to the real records
+        # (identical after every pass — checked above)
+        for i in range(tr.mxtips + 1, 2 * tr.mxtips - 1):
+            base = tr.nodep[i]
+            if base is None:
+                continue
+            for rec in (base, base.next, base.next.next):
+                if id(rec) in vflags:
+                    rec.x = 1 if vflags[id(rec)] else 0
+        self.partition_smoothed[:] = True
+        self.partition_converged[:] = False
+        return True

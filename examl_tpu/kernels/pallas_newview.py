@@ -148,6 +148,195 @@ def newview_level_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     return clv_out, scaler_out
 
 
+def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
+                            clv_hbm, scaler_hbm, lam_ref, ei_ref, ev_ref,
+                            out_clv, out_scaler,
+                            sems,
+                            *, n_ops, n_rows, n_cats, n_states, bw,
+                            min_scale, inv_min_scale):
+    """Whole-traversal CLV wave, one kernel instance per site block: the
+    CLV column block of every (used) row lives in VMEM while every
+    traversal op runs, so HBM sees one read + one write per row instead of
+    one round trip per level (the reference's newviewIterative loop,
+    newviewGenericSpecial.c :917, pays DRAM per node; the level-batched
+    kernel pays HBM per level). P matrices are built on the fly from the
+    per-op log branch lengths and the shared eigensystem (makeP,
+    newviewGenericSpecial.c:78), so the op list costs only scalars. Ops
+    execute in descriptor order — dependency-safe by construction,
+    identical to the jnp scan semantics."""
+    wb = pl.program_id(0)
+    col = wb * bw
+
+    # bring the used CLV rows' column block into VMEM (the output block is
+    # the working buffer; input_output_aliases make this in-place)
+    cp_in = pltpu.make_async_copy(
+        clv_hbm.at[pl.ds(0, n_rows), :, :, pl.ds(col, bw)], out_clv,
+        sems.at[0])
+    cp_in2 = pltpu.make_async_copy(
+        scaler_hbm.at[pl.ds(0, n_rows), :, pl.ds(col, bw)], out_scaler,
+        sems.at[1])
+    cp_in.start()
+    cp_in2.start()
+    cp_in.wait()
+    cp_in2.wait()
+
+    lam = lam_ref[...]                         # [C, S] = EIGN * r_c
+    ei = ei_ref[...]                           # [C, S, S]
+    ev = ev_ref[...]                           # [C, S, S]
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(n, _):
+        q = q_idx[n]
+        r = r_idx[n]
+        p = p_idx[n]
+        x1 = out_clv[q]                        # [C, S, BW]
+        x2 = out_clv[r]
+        dq = jnp.exp(lam * lzq[n])             # [C, S]
+        dr = jnp.exp(lam * lzr[n])
+        is_tt = tip_tip[n] != 0
+        outs = []
+        scs = []
+        for c in range(n_cats):
+            pls = dq[c][None, :] * ei[c]       # [S, S] = makeP row
+            prs = dr[c][None, :] * ei[c]
+            a = jnp.dot(pls, x1[c], preferred_element_type=jnp.float32,
+                        precision=hi)
+            b = jnp.dot(prs, x2[c], preferred_element_type=jnp.float32,
+                        precision=hi)
+            x3c = jnp.dot(ev[c].T, a * b,
+                          preferred_element_type=jnp.float32, precision=hi)
+            m = jnp.max(jnp.abs(x3c), axis=0)
+            scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tt))
+            x3c = jnp.where(scale[None, :], x3c * inv_min_scale, x3c)
+            outs.append(x3c)
+            scs.append(out_scaler[q, c] + out_scaler[r, c]
+                       + scale.astype(jnp.int32))
+        out_clv[p] = jnp.stack(outs)
+        out_scaler[p] = jnp.stack(scs)
+        return 0
+
+    jax.lax.fori_loop(0, n_ops, body, 0)
+
+
+def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
+                           lzq, lzr, lam, ei, ev, *, n_rows=None,
+                           block_w=512, min_scale=2.0 ** -30,
+                           inv_min_scale=2.0 ** 30, interpret=False):
+    """Run a whole packed traversal in ONE pallas_call. clv [rows, C, S, W]
+    (donated); lzq/lzr [L] f32 log branch lengths per op; lam [C, S] =
+    EIGN * gamma_rate; n_rows bounds the VMEM-resident row range (ops must
+    only touch rows < n_rows). Use when the column working set fits VMEM
+    (see the engine's fallback to the level kernels)."""
+    rows, n_cats, n_states, W = clv.shape
+    L = p_idx.shape[0]
+    n_rows = rows if n_rows is None else n_rows
+    bw = min(block_w, W)
+    assert W % bw == 0
+
+    kernel = functools.partial(
+        _traversal_fused_kernel, n_ops=L, n_rows=n_rows, n_cats=n_cats,
+        n_states=n_states, bw=bw, min_scale=min_scale,
+        inv_min_scale=inv_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(W // bw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
+            pl.BlockSpec((n_cats, n_states),
+                         lambda w, *_: (0, 0)),
+            pl.BlockSpec((n_cats, n_states, n_states),
+                         lambda w, *_: (0, 0, 0)),
+            pl.BlockSpec((n_cats, n_states, n_states),
+                         lambda w, *_: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_rows, n_cats, n_states, bw),
+                         lambda w, *_: (0, 0, 0, w)),
+            pl.BlockSpec((n_rows, n_cats, bw),
+                         lambda w, *_: (0, 0, w)),
+        ],
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # out_shape matches the full buffer and aliases it; the kernel only
+    # ever writes the first n_rows rows' blocks — the scratch-row tail
+    # keeps its previous contents (in-place update semantics)
+    clv_out, scaler_out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+    )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, clv, scaler, lam, ei, ev)
+    return clv_out, scaler_out
+
+
+def _tip_kernel(codes_ref, tipvec_ref, clv_in, out_clv,
+                *, n_cats, n_states, n_codes, bw, n_tips):
+    """Materialize tip CLV rows on device: out[t,c,:,w] =
+    tipvec[c, codes[t,w], :]. The gather is a one-hot matmul so the site
+    axis stays on the lanes (replacing round 1's host-side numpy gather,
+    whose per-model-change re-upload cost ~4 MB per partition through the
+    device tunnel on every optimizer probe). Blocks cover 8 rows (sublane
+    tile); row 0 and any non-tip rows inside the last block keep their
+    previous contents."""
+    t = pl.program_id(0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_codes, bw), 0)
+    hi = jax.lax.Precision.HIGHEST
+    for i in range(8):
+        row = t * 8 + i
+        codes = codes_ref[i]                   # [BW] int32
+        onehot = (codes[None, :] == iota).astype(jnp.float32)
+        outs = []
+        for c in range(n_cats):
+            tv = tipvec_ref[c]                 # [n_codes, S]
+            outs.append(jnp.dot(tv.T, onehot,
+                                preferred_element_type=jnp.float32,
+                                precision=hi))     # [S, BW]
+        tip_block = jnp.stack(outs)
+        is_tip = jnp.logical_and(row >= 1, row <= n_tips)
+        out_clv[i] = jnp.where(is_tip, tip_block, clv_in[i])
+
+
+def tip_rows_pallas(clv, codes, tipvec, n_tips, *, block_w=8192,
+                    interpret=False):
+    """Fill rows 1..n_tips of the CLV buffer with materialized tip
+    vectors. codes [T1p, W] int32 with T1p a multiple of 8 (row 0 + tail
+    padding ignored), tipvec [C, n_codes, S]."""
+    rows, n_cats, n_states, W = clv.shape
+    T1p = codes.shape[0]
+    assert T1p % 8 == 0 and T1p <= rows
+    n_codes = tipvec.shape[1]
+    bw = min(block_w, W)
+    assert W % bw == 0
+
+    kernel = functools.partial(_tip_kernel, n_cats=n_cats,
+                               n_states=n_states, n_codes=n_codes, bw=bw,
+                               n_tips=n_tips)
+    out = pl.pallas_call(
+        kernel,
+        grid=(T1p // 8, W // bw),
+        in_specs=[
+            pl.BlockSpec((8, bw), lambda t, w: (t, w)),
+            pl.BlockSpec((n_cats, n_codes, n_states),
+                         lambda t, w: (0, 0, 0)),
+            pl.BlockSpec((8, n_cats, n_states, bw),
+                         lambda t, w: (t, 0, 0, w)),
+        ],
+        out_specs=pl.BlockSpec((8, n_cats, n_states, bw),
+                               lambda t, w: (t, 0, 0, w)),
+        out_shape=jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(codes, tipvec, clv)
+    return out
+
+
 def make_p_batch(qz, rz, gamma, eign, ei):
     """Per-node left/right P matrices for a level: qz/rz [N] ->
     [N, C, S, S] each (the host-side tiny einsum feeding the kernel)."""
@@ -300,7 +489,9 @@ def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
     wgt = wgt_ref[...]
     site_log = (jnp.log(jnp.abs(term))
                 + smin.astype(jnp.float32) * log_min_scale)
-    out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    # whole-array SMEM output (TPU requires full-shape scalar blocks);
+    # each sequential grid step writes its own cell
+    out_ref[n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
 def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, diags, rate_weights,
@@ -328,7 +519,7 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, diags, rate_weights,
             pl.BlockSpec((n_cats,), lambda n, w, p, q: (0,)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda n, w, p, q: (n, w),
+        out_specs=pl.BlockSpec((N, nb), lambda n, w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
@@ -394,7 +585,7 @@ def _evaluate_batch_psr_kernel(p_rows, q_rows,
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
     wgt = wgt_ref[...]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
-    out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    out_ref[n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
 def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
@@ -420,7 +611,7 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda n, w, p, q: (n, w),
+        out_specs=pl.BlockSpec((N, nb), lambda n, w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((1, n_states, bw), jnp.float32),
@@ -436,6 +627,112 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
         interpret=interpret,
     )(p_rows, q_rows, clv, scaler, lams, wgt, site_rates)
     return jnp.sum(partials, axis=1)
+
+
+def _nr_batch_kernel(p_rows, q_rows,                     # scalar prefetch
+                     clv_hbm, scaler_hbm, lam_ref, rw_ref, wgt_ref,
+                     lzs_ref,
+                     out_ref,
+                     x1_s, x2_s, s1_s, s2_s, sems,
+                     *, n_cats, n_states, bw, log_min_scale):
+    """Batched NR derivatives: candidate n evaluates d lnL/d lz at its own
+    branch length lzs[n] between rows p_rows[n]/q_rows[n] — the kernel
+    behind the vectorized thorough-insertion smoother (each candidate of
+    an SPR wave optimizes its three junction branches simultaneously;
+    the reference runs one makenewzIterative per candidate,
+    searchAlgo.c:484-566)."""
+    n = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_rows[n]
+    q = q_rows[n]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    lam = lam_ref[...]                         # [C, S] = EIGN * r_c
+    rw = rw_ref[...]                           # [C]
+    lz = lzs_ref[n]
+    s = s1_s[...] + s2_s[...]
+    smin = jnp.min(s, axis=0)
+    rel = (s - smin[None, :]).astype(jnp.float32)
+
+    inv_li = jnp.zeros((bw,), jnp.float32)
+    dln = jnp.zeros((bw,), jnp.float32)
+    d2ln = jnp.zeros((bw,), jnp.float32)
+    for c in range(n_cats):
+        srel = jnp.exp(rel[c] * log_min_scale)
+        for k in range(n_states):
+            d_ck = rw[c] * jnp.exp(lam[c, k] * lz)
+            tmp = d_ck * x1_s[c, k] * x2_s[c, k] * srel
+            inv_li = inv_li + tmp
+            dln = dln + tmp * lam[c, k]
+            d2ln = d2ln + tmp * (lam[c, k] * lam[c, k])
+
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    wgt = wgt_ref[...]
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    out_ref[n, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[n, wb, 1] = jnp.sum(
+        w * jnp.where(live, d2ln - dln * dln, 0.0))
+
+
+def nr_derivatives_batch_pallas(clv, scaler, p_rows, q_rows, lam,
+                                rate_weights, wgt, lzs, *, block_w=8192,
+                                log_min_scale=float(np.log(2.0 ** -30)),
+                                interpret=False):
+    """(d1[N], d2[N]) for N branches with per-candidate lengths lzs[N];
+    lam [C, S] = EIGN * r_c (shared)."""
+    rows, n_cats, n_states, W = clv.shape
+    N = p_rows.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+    kernel = functools.partial(_nr_batch_kernel, n_cats=n_cats,
+                               n_states=n_states, bw=bw,
+                               log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((n_cats, n_states), lambda n, w, p, q: (0, 0)),
+            pl.BlockSpec((n_cats,), lambda n, w, p, q: (0,)),
+            pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [N]
+        ],
+        out_specs=pl.BlockSpec((N, nb, 2), lambda n, w, p, q: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, nb, 2), jnp.float32),
+        interpret=interpret,
+    )(p_rows, q_rows, clv, scaler, lam, rate_weights, wgt, lzs)
+    sums = jnp.sum(partials, axis=1)
+    return sums[:, 0], sums[:, 1]
 
 
 def _nr_kernel(p_row, q_row,

@@ -110,6 +110,11 @@ class SprSearch:
         if batch_lazy is None:
             batch_lazy = engine.use_pallas
         self.batch_lazy = batch_lazy
+        # thorough insertions batch the same way (whole insertBIG +
+        # localSmooth pipeline per candidate in one device wave); the
+        # vectorized NR program is single-branch-class GAMMA only
+        self.batch_thorough = (engine.use_pallas and not engine.is_psr
+                               and engine.num_branches == 1)
         # constraint vector (tip group ids); inner entries are resolved by
         # recursion to the first tip (searchAlgo.c checker :69)
         self.constraint = constraint
@@ -331,7 +336,7 @@ class SprSearch:
                     zp = [min(max(math.sqrt(zi), C.ZMIN), C.ZMAX)
                           for zi in q.z]
                     cands.append(dict(u=q, parent=parent, vkey=vkey,
-                                      zprime=zp))
+                                      zprime=zp, z0=list(q.z)))
                     new_parent = len(cands) - 1
             maxtrav -= 1
             if not tr.is_tip(q.number) and maxtrav > 0:
@@ -416,23 +421,41 @@ class SprSearch:
                     TIP_TIP if op['tip_tip'] else INNER_INNER,
                     row, q_num, op['src2'][1], op['z1'], op['z2']))
             jbase = base + len(needed)
-            p_rows, q_rows, zs = [], [], []
-            for jj, ci in enumerate(seg):
-                c = cands[ci]
-                u = c['u']
-                jrow = jbase + jj
-                tt = tr.is_tip(s.number) and tr.is_tip(u.number)
-                # candidate junction CLV: pruned subtree (via its old
-                # branch p.z) joined with the walked node's distal CLV
-                # over the lazy half-branch z' (insertBIG lazy path)
-                syn.append(TraversalEntry(
-                    TIP_TIP if tt else INNER_INNER,
-                    jrow, s.number, u.number, list(p.z), c['zprime']))
-                p_rows.append(jrow)
-                q_rows.append(prox_row[c['vkey']])
-                zs.append(c['zprime'])
-            eng._run_traversal(syn)
-            scores[seg] = eng.evaluate_batch(p_rows, q_rows, np.asarray(zs))
+            if self.thorough:
+                # batched thorough wave: the whole insertBIG + localSmooth
+                # + evaluate pipeline per candidate, one dispatch
+                u_rows, v_rows, j_rows, z0 = [], [], [], []
+                for jj, ci in enumerate(seg):
+                    c = cands[ci]
+                    u_rows.append(c['u'].number)
+                    v_rows.append(prox_row[c['vkey']])
+                    j_rows.append(jbase + jj)
+                    z0.append(c['z0'][0])
+                eng._run_traversal(syn)
+                sc, e1, e2, e3 = eng.thorough_score_wave(
+                    s.number, u_rows, v_rows, j_rows, z0)
+                scores[seg] = sc
+                for jj, ci in enumerate(seg):
+                    cands[ci]['lz'] = (float(e1[jj]), float(e2[jj]),
+                                       float(e3[jj]))
+            else:
+                p_rows, q_rows, zs = [], [], []
+                for jj, ci in enumerate(seg):
+                    c = cands[ci]
+                    u = c['u']
+                    jrow = jbase + jj
+                    tt = tr.is_tip(s.number) and tr.is_tip(u.number)
+                    # candidate junction CLV: pruned subtree (via its old
+                    # branch p.z) joined with the walked node's distal CLV
+                    # over the lazy half-branch z' (insertBIG lazy path)
+                    syn.append(TraversalEntry(
+                        TIP_TIP if tt else INNER_INNER,
+                        jrow, s.number, u.number, list(p.z), c['zprime']))
+                    p_rows.append(jrow)
+                    q_rows.append(prox_row[c['vkey']])
+                    zs.append(c['zprime'])
+                scores[seg] = eng.traverse_and_score(syn, p_rows, q_rows,
+                                                     np.asarray(zs))
             i0 = i
 
         # 3. replay testInsertBIG bookkeeping in traversal order
@@ -448,9 +471,15 @@ class SprSearch:
                 self.insert_node = c['u']
                 self.remove_node = p
                 self.current_zqr = list(self.zqr)
-                self.current_lzr = list(self.lzr)
-                self.current_lzq = list(self.lzq)
-                self.current_lzs = list(self.lzs)
+                if self.thorough:
+                    e1, e2, e3 = c['lz']
+                    self.current_lzq = [e1] * len(self.lzq)
+                    self.current_lzr = [e2] * len(self.lzr)
+                    self.current_lzs = [e3] * len(self.lzs)
+                else:
+                    self.current_lzr = list(self.lzr)
+                    self.current_lzq = list(self.lzq)
+                    self.current_lzs = list(self.lzs)
             if lh > self.end_lh:
                 self.insert_node = c['u']
                 self.remove_node = p
@@ -477,7 +506,8 @@ class SprSearch:
         if maxtrav < 1 or mintrav > maxtrav:
             return 0
         q = p.back
-        batched = self.batch_lazy and not self.thorough
+        batched = (self.batch_thorough if self.thorough
+                   else self.batch_lazy)
 
         if not tr.is_tip(p.number):
             p1 = p.next.back
@@ -739,8 +769,16 @@ class SprSearch:
     # RF convergence bookkeeping
 
     def _bipartitions(self, tr=None):
-        """Set of non-trivial bipartitions as frozensets of tip numbers."""
+        """Set of non-trivial bipartitions; native treekernel hashes when
+        the library is available (bipartitionList.c convergenceCriterion
+        :541 analogue, O(n) C instead of O(n^2) Python sets), else
+        frozensets of tip numbers. Both forms support the symmetric
+        difference the RF criterion needs."""
         tr = tr or self.tr
+        from ..native import bipartition_hashes
+        h = bipartition_hashes(tr)
+        if h is not None:
+            return frozenset(int(x) for x in h)
         bips = set()
 
         def rec(p: Node):

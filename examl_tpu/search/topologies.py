@@ -17,7 +17,15 @@ from ..tree import Node, Tree
 
 
 def canonical_key(tr: Tree) -> Tuple:
-    """Canonical, branch-length-free topology key (standard order)."""
+    """Canonical, branch-length-free topology key (standard order). Uses
+    the native treekernel's 128-bit canonical hash when the library is
+    available (O(n) iterative C, the 10^4+-taxon path — reference
+    counterpart: topologies.c cmpTopol :481); falls back to the pure
+    Python structural key."""
+    from ..native import canonical_hash
+    h = canonical_hash(tr)
+    if h is not None:
+        return h
 
     def rec(p: Node):
         # returns (min_tip, structure)

@@ -85,9 +85,14 @@ class PackedTraversal:
 
 
 def _bucket(n: int) -> int:
+    # doubling buckets up to 32, then 4x steps: few distinct shapes keeps
+    # the number of compiled programs small (each new shape costs a full
+    # remote compile on the accelerator)
     b = 4
-    while b < n:
+    while b < min(n, 32):
         b *= 2
+    while b < n:
+        b *= 4
     return b
 
 

@@ -62,3 +62,65 @@ def test_rf_distance_matches_python(trees):
     rf_c = native.rf_distance(t1, t2)
     assert rf_c == rf_py
     assert native.rf_distance(t1, t1) == 0
+
+
+def _random_tree(n, seed):
+    rng = np.random.default_rng(seed)
+    tr = Tree([f't{i}' for i in range(n)])
+    inner = tr.nodep[n + 1]
+    tr.hookup_default(inner, tr.nodep[1])
+    tr.hookup_default(inner.next, tr.nodep[2])
+    tr.hookup_default(inner.next.next, tr.nodep[3])
+    edges = [inner, inner.next, inner.next.next]
+    for t in range(4, n + 1):
+        target = edges[rng.integers(len(edges))]
+        ring = tr.nodep[n + t - 2]
+        back = target.back
+        z = list(target.z)
+        tr.hookup(ring.next, target, z)
+        tr.hookup(ring.next.next, back, z)
+        tr.hookup_default(ring, tr.nodep[t])
+        edges += [ring, ring.next, ring.next.next]
+    tr.start = tr.nodep[1]
+    tr.ntips = n
+    return tr
+
+
+def test_product_path_uses_native_large_tree():
+    """The BestList canonical key and the RF sets go through the native
+    kernel (when built) and agree with the pure-Python fallback on a
+    500-taxon random tree (the 10^4-taxon scaling story's correctness
+    gate)."""
+    import examl_tpu.native as N
+    from examl_tpu.engine import LikelihoodEngine   # noqa: F401
+    from examl_tpu.search.spr import SprSearch
+
+    assert N.get_lib() is not None
+    a = _random_tree(500, 0)
+    b = _random_tree(500, 1)
+    a2 = _random_tree(500, 0)       # same construction = same topology
+
+    # canonical keys: native path active and consistent
+    ka, kb, ka2 = canonical_key(a), canonical_key(b), canonical_key(a2)
+    assert isinstance(ka, tuple) and len(ka) == 2   # 128-bit native hash
+    assert ka == ka2
+    assert ka != kb
+
+    # RF sets: native vs forced-Python fallback give the same RF distance
+    class _S:                      # minimal shim exposing _bipartitions
+        def __init__(self, tr):
+            self.tr = tr
+    bip = SprSearch._bipartitions
+
+    na, nb = bip(_S(a)), bip(_S(b))
+    lib = N._LIB
+    try:
+        N._LIB = None
+        N._LIB_TRIED = True
+        pa, pb = bip(_S(a)), bip(_S(b))
+    finally:
+        N._LIB = lib
+        N._LIB_TRIED = True
+    assert len(na) == len(pa) == 497               # n - 3 non-trivial bips
+    assert (len(na.symmetric_difference(nb))
+            == len(pa.symmetric_difference(pb)))

@@ -1,0 +1,123 @@
+"""Engine-level gate for the accelerator (Pallas, f32) path, run in
+interpret mode on CPU: the full engine surface — fused whole-traversal
+evaluation, on-device NR smoothing, batched SPR scoring — must land within
+f32 tolerance of the f64 goldens. This is the automated stand-in for the
+manual hardware validation (VERDICT round 1, weak #8)."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from examl_tpu.engine import LikelihoodEngine
+from examl_tpu.io.bytefile import read_bytefile
+from examl_tpu.io.newick import parse_newick
+from examl_tpu.search.spr import SprSearch
+from examl_tpu.search.topologies import BestList
+from examl_tpu.tree import Tree
+
+REF = pathlib.Path('/root/reference/testData')
+DATA = pathlib.Path(__file__).resolve().parent / 'data'
+
+GOLDEN_INITIAL = -19685.568214      # f64 evaluate at defaultz
+GOLDEN_SMOOTHED = -17992.17237      # f64 treeEvaluate(1)
+
+
+@pytest.mark.slow
+def test_pallas_engine_f32_gate():
+    import jax
+    aln = read_bytefile(str(DATA / '49.binary'))
+    tree = Tree(aln.taxon_names)
+    parse_newick((REF / '49.tree').read_text(), tree)
+    eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                           use_pallas=True)
+    assert eng.use_pallas
+
+    lnl0 = eng.evaluate(tree.start, full_traversal_=True)
+    assert lnl0 == pytest.approx(GOLDEN_INITIAL, abs=0.5)
+
+    lnl1 = eng.tree_evaluate(1.0)
+    assert lnl1 == pytest.approx(GOLDEN_SMOOTHED, abs=0.5)
+
+    # one batched SPR wave through the scratch rows + batched evaluate
+    search = SprSearch(eng)
+    assert search.batch_lazy        # accelerator default
+    bt = BestList(20)
+    search.start_lh = search.end_lh = eng.likelihood
+    search.best_of_node = -1e30
+    assert search.rearrange_big(tree.nodep[tree.mxtips + 5], 1, 5)
+    assert np.isfinite(search.best_of_node)
+    # a lazy reinsertion near the original position scores close to the
+    # current tree's likelihood
+    assert search.best_of_node > lnl1 - 50.0
+
+
+@pytest.mark.slow
+def test_batched_thorough_matches_sequential():
+    """The one-dispatch thorough-insertion wave (vectorized insertBIG +
+    localSmooth + evaluate) must agree with the sequential per-candidate
+    walk when scoring a prune from a clean state."""
+    import jax
+
+    def prune(batch):
+        aln = read_bytefile(str(DATA / 'bin12.binary'))
+        tree = Tree(aln.taxon_names)
+        parse_newick((DATA / 'bin12.tree').read_text(), tree)
+        eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                               use_pallas=True)
+        eng.evaluate(tree.start, full_traversal_=True)
+        eng.tree_evaluate(1.0)
+        s = SprSearch(eng)
+        s.thorough = True
+        s.batch_thorough = batch
+        s.start_lh = s.end_lh = eng.likelihood
+        s.best_of_node = -1e30
+        assert s.rearrange_big(tree.nodep[tree.mxtips + 3], 1, 3)
+        return (s.best_of_node, s.insert_node.number,
+                s.current_lzq[0], s.current_lzr[0], s.current_lzs[0])
+
+    a = prune(True)
+    b = prune(False)
+    assert a[1] == b[1]                       # same best insertion point
+    assert a[0] == pytest.approx(b[0], abs=0.05)
+    np.testing.assert_allclose(a[2:], b[2:], atol=2e-3)
+
+
+@pytest.mark.slow
+def test_device_smoothing_matches_host(monkeypatch):
+    """The one-dispatch on-device smooth_tree program (NR per branch +
+    CLV sweep with device-resident z) must reproduce the sequential
+    host-driven smoothing loop."""
+    import jax
+
+    def build():
+        aln = read_bytefile(str(DATA / '49.binary'))
+        tree = Tree(aln.taxon_names)
+        parse_newick((REF / '49.tree').read_text(), tree)
+        eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                               use_pallas=True)
+        eng.evaluate(tree.start, full_traversal_=True)
+        return eng
+
+    eng_dev = build()
+    used = {'n': 0}
+    orig = LikelihoodEngine._smooth_tree_device
+
+    def counting(self, maxtimes):
+        ok = orig(self, maxtimes)
+        used['n'] += int(ok)
+        return ok
+
+    monkeypatch.setattr(LikelihoodEngine, '_smooth_tree_device', counting)
+    lnl_dev = eng_dev.tree_evaluate(1.0)
+    assert used['n'] == 1               # the device program actually ran
+
+    monkeypatch.setattr(LikelihoodEngine, '_smooth_tree_device',
+                        lambda self, maxtimes: False)
+    eng_host = build()
+    lnl_host = eng_host.tree_evaluate(1.0)
+
+    assert lnl_dev == pytest.approx(lnl_host, abs=0.05)
+    # branch lengths agree too (z kept in f32 on device vs f64 host)
+    za = sorted(p.z[0] for p in eng_dev.tree.branches())
+    zb = sorted(p.z[0] for p in eng_host.tree.branches())
+    np.testing.assert_allclose(za, zb, atol=5e-4)

@@ -9,7 +9,8 @@ from examl_tpu.kernels import reference_jnp as K
 from examl_tpu.kernels.pallas_newview import (make_p_batch,
                                               newview_level_pallas,
                                               newview_level_pallas_psr,
-                                              per_site_lnl_pallas)
+                                              per_site_lnl_pallas,
+                                              traversal_fused_pallas)
 
 
 @pytest.mark.parametrize('n_states', [4, 20])
@@ -51,6 +52,66 @@ def test_pallas_matches_reference(n_states):
         block_w=128, min_scale=ms, inv_min_scale=ims, interpret=True)
     np.testing.assert_allclose(np.asarray(clv2), clv_ref, rtol=1e-6)
     assert np.array_equal(np.asarray(sc2), sc_ref)
+
+
+@pytest.mark.parametrize('n_states', [4, 20])
+def test_traversal_fused_matches_reference(n_states):
+    """The whole-traversal fused kernel (one pallas_call, VMEM-resident
+    CLV block, on-the-fly P matrices) must reproduce the jnp reference
+    walk over a DEPENDENT op chain — including that rows beyond n_rows
+    (the scratch tail) are left untouched."""
+    rng = np.random.default_rng(2)
+    rows, C, S, W = 16, 4, n_states, 256
+    n_rows = 12
+    clv = jnp.asarray(rng.uniform(0.1, 1.0, (rows, C, S, W)), jnp.float32)
+    scaler = jnp.asarray(rng.integers(0, 3, (rows, C, W)), jnp.int32)
+    # dependent chain: op2 consumes op0/op1 results
+    p_idx = jnp.asarray([8, 9, 10], jnp.int32)
+    q_idx = jnp.asarray([1, 2, 8], jnp.int32)
+    r_idx = jnp.asarray([3, 4, 9], jnp.int32)
+    tip_tip = jnp.asarray([1, 0, 0], jnp.int32)
+    qz = rng.uniform(0.2, 0.95, 3)
+    rz = rng.uniform(0.2, 0.95, 3)
+    # real (well-conditioned) eigensystem, like production models
+    from examl_tpu.datatypes import DataType, info_for
+    from examl_tpu.models.eigen import make_eigen
+    inf = info_for(DataType.DNA if S == 4 else DataType.AA)
+    nr = S * (S - 1) // 2
+    freqs = rng.dirichlet(np.full(S, 10.0))
+    es = make_eigen(rng.uniform(0.2, 2.0, nr), freqs, inf.bit_vectors)
+    eign = jnp.asarray(np.tile(es.EIGN, (C, 1)), jnp.float32)
+    ei = jnp.asarray(np.tile(es.EI, (C, 1, 1)), jnp.float32)
+    ev = jnp.asarray(np.tile(es.EV, (C, 1, 1)), jnp.float32)
+    gamma = jnp.asarray([0.2, 0.6, 1.1, 2.1], jnp.float32)
+    ms, ims = 2.0 ** -30, 2.0 ** 30
+
+    pls, prs = make_p_batch(jnp.asarray(qz, jnp.float32),
+                            jnp.asarray(rz, jnp.float32), gamma, eign, ei)
+    clv_ref = np.asarray(clv).copy()
+    sc_ref = np.asarray(scaler).copy()
+    for i in range(3):
+        x3, s3 = K.newview_kernel(
+            jnp.asarray(clv_ref[int(q_idx[i])]),
+            jnp.asarray(clv_ref[int(r_idx[i])]),
+            jnp.asarray(sc_ref[int(q_idx[i])]),
+            jnp.asarray(sc_ref[int(r_idx[i])]),
+            pls[i], prs[i], ev, bool(int(tip_tip[i])), ms, ims)
+        clv_ref[int(p_idx[i])] = np.asarray(x3)
+        sc_ref[int(p_idx[i])] = np.asarray(s3)
+
+    lam = eign * gamma[:, None]
+    lzq = jnp.asarray(np.log(np.maximum(qz, 1e-15)), jnp.float32)
+    lzr = jnp.asarray(np.log(np.maximum(rz, 1e-15)), jnp.float32)
+    clv2, sc2 = traversal_fused_pallas(
+        clv, scaler, p_idx, q_idx, r_idx, tip_tip, lzq, lzr, lam, ei, ev,
+        n_rows=n_rows, block_w=128, min_scale=ms, inv_min_scale=ims,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(clv2), clv_ref,
+                               rtol=5e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(sc2), sc_ref)
+    # the tail rows (>= n_rows) kept their original contents
+    np.testing.assert_array_equal(np.asarray(clv2[n_rows:]),
+                                  np.asarray(clv)[n_rows:])
 
 
 @pytest.mark.parametrize('n_states', [4, 20])
