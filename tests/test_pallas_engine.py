@@ -51,6 +51,43 @@ def test_pallas_engine_f32_gate():
     assert search.best_of_node > lnl1 - 50.0
 
 
+def _f64_lnl(aln, nwk, **kw):
+    import jax
+    tree = Tree(aln.taxon_names, num_branches=kw.get('num_branches', 1))
+    parse_newick(nwk, tree)
+    eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float64,
+                           use_pallas=False, **kw)
+    return eng.evaluate(tree.start, full_traversal_=True)
+
+
+def _pallas_lnl(aln, nwk, **kw):
+    import jax
+    tree = Tree(aln.taxon_names, num_branches=kw.get('num_branches', 1))
+    parse_newick(nwk, tree)
+    eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                           use_pallas=True, **kw)
+    return eng.evaluate(tree.start, full_traversal_=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('name,tree,kw,tol', [
+    ('aa20x.binary', 'aa20.tree', {}, 0.2),               # LG4X, 20-state
+    ('aa20m.binary', 'aa20.tree', {}, 0.2),               # LG4M
+    ('bin12.binary', 'bin12.tree', {'rate_het': 'PSR'}, 0.05),
+    ('49.binary', None, {'num_branches': 4}, 0.5),        # -M
+])
+def test_pallas_path_model_breadth(name, tree, kw, tol):
+    """Every model family's accelerator (Pallas f32) evaluation must agree
+    with the f64 reference path — the gate that would have caught the
+    20-state hardware-only layout breakage of round 2."""
+    aln = read_bytefile(str(DATA / name))
+    nwk = ((REF / '49.tree').read_text() if tree is None
+           else (DATA / tree).read_text())
+    a = _f64_lnl(aln, nwk, **kw)
+    b = _pallas_lnl(aln, nwk, **kw)
+    assert b == pytest.approx(a, abs=tol)
+
+
 @pytest.mark.slow
 def test_batched_thorough_matches_sequential():
     """The one-dispatch thorough-insertion wave (vectorized insertBIG +
