@@ -35,12 +35,16 @@ def main():
     import jax.numpy as jnp
     sys.path.insert(0, '/root/repo')
     from __graft_entry__ import _synthetic
-    from examl_tpu.kernels.pallas_newview import (make_p_batch,
+    from examl_tpu.kernels.pallas_newview import (blockdiag, make_p_batch,
                                                   newview_level_pallas)
 
     args, consts, level_args = _synthetic(n_taxa=N_TAXA, sites=SITES,
                                           dtype=jnp.float32)
     a = args
+    # folded Pallas layout: [rows, C*S, W] CLVs, [rows, W] counters
+    rows, C_, S_, W_ = a['clv'].shape
+    a['clv'] = a['clv'].reshape(rows, C_ * S_, W_)
+    a['scaler'] = a['scaler'][:, :1, :]
 
     pbatches = []
     for (p_idx, q_idx, r_idx, tt, qz, rz) in level_args:
@@ -48,6 +52,7 @@ def main():
         pbatches.append((p_idx, q_idx, r_idx, tt.astype(jnp.int32),
                          pls, prs))
 
+    ev_bd = blockdiag(a['ev'])
     fn = jax.jit(newview_level_pallas,
                  static_argnames=('block_w', 'min_scale', 'inv_min_scale',
                                   'interpret'),
@@ -56,7 +61,7 @@ def main():
     def full_wave(clv, scaler):
         for (p_idx, q_idx, r_idx, tt, pls, prs) in pbatches:
             clv, scaler = fn(clv, scaler, p_idx, q_idx, r_idx, tt, pls, prs,
-                             a['ev'], block_w=8192,
+                             ev_bd, block_w=8192,
                              min_scale=consts['min_scale'],
                              inv_min_scale=consts['inv_min_scale'])
         return clv, scaler
@@ -70,7 +75,7 @@ def main():
         clv, scaler = full_wave(clv, scaler)
     # a value fetch is the only rigorous sync through the device tunnel
     # (block_until_ready alone under-reports; see BASELINE.md round-2 notes)
-    float(jnp.sum(clv[2, 0, 0, :8]))
+    float(jnp.sum(clv[2, 0, :8]))
     dt = time.time() - t0
 
     rate = SITES * n_updates * ITERS / dt

@@ -122,7 +122,7 @@ class LikelihoodEngine:
                  dtype=None, rate_het: str = 'GAMMA', pad: int = 8,
                  num_branches: int = 1, use_median: bool = False,
                  use_pallas: Optional[bool] = None, sharding=None,
-                 max_categories: int = 25):
+                 max_categories: int = 25, clv_dtype=None):
         assert rate_het in ('GAMMA', 'PSR')
         self.aln = alignment
         self.tree = tree
@@ -162,6 +162,30 @@ class LikelihoodEngine:
         # are zero, so P columns, CLV entries, diag terms and sumtables of
         # padded states all vanish)
         self.state_mult = 8 if self.use_pallas else 1
+        # Folded CLV layout (GAMMA Pallas path): [rows, K, W] with
+        # K = n_cats * padded_states and ONE per-site scale counter
+        # [rows, W] shared by all categories (the reference's own scheme:
+        # one ex_L counter per site, newviewGenericSpecial.c:1140-1168).
+        # Folding puts all categories' states on the sublane axis, so the
+        # per-child P contraction is a single block-diagonal [K, K] x
+        # [K, BW] matmul: 4x the MXU row occupancy, and for DNA (S=4) it
+        # eliminates the half-empty (8, 128) sublane tiles that made every
+        # CLV read/write move 2x its logical bytes.
+        # PSR (C=1) folds trivially to [rows, S, W]; the whole Pallas path
+        # is uniformly rank-3.
+        self.folded = self.use_pallas
+
+        # CLV *storage* dtype (--clv-dtype bf16): halves the HBM traffic of
+        # every newview/evaluate/NR kernel. Kernels upcast to f32 after the
+        # VMEM load; all arithmetic, the scaling test and the accumulations
+        # stay f32; only CLV stores round. Costs ~2.5e-4 relative lnL
+        # error; Pallas/GAMMA path only.
+        self.clv_dtype = (self.dtype if clv_dtype is None
+                          else jnp.dtype(clv_dtype))
+        if self.clv_dtype != self.dtype:
+            if not self.folded or rate_het == 'PSR':
+                raise ValueError('clv_dtype != dtype requires the Pallas '
+                                 'path and GAMMA rate heterogeneity')
 
         self.mxtips = tree.mxtips
         # CLV rows: [0..2*mxtips-1] node rows (2*mxtips-1 is the traversal
@@ -254,17 +278,30 @@ class LikelihoodEngine:
         self.d_site_rates = [jnp.ones(W, dtype=self.dtype)
                              for W in self.widths]
 
-        # CLV buffers and per-(category, site) scale counters
+        # CLV buffers and scale counters (folded: per-site joint counter;
+        # jnp path: per-(category, site) counters)
         self.clv = []
         self.scaler = []
         for m in range(self.n_models):
             S = self._padded_states(m)
-            self.clv.append(self._put(jnp.zeros(
-                (self.rows, self.n_cats, S, self.widths[m]),
-                dtype=self.dtype), 'clv'))
-            self.scaler.append(self._put(jnp.zeros(
-                (self.rows, self.n_cats, self.widths[m]), dtype=jnp.int32),
-                'scaler'))
+            if self.folded:
+                # scaler keeps a vestigial middle axis: Mosaic requires
+                # the last two block dims to be lane/sublane-aligned or
+                # full, and (1, bw) over [rows, 1, W] satisfies that where
+                # (1, bw) over [rows, W] does not
+                self.clv.append(self._put(jnp.zeros(
+                    (self.rows, self.n_cats * S, self.widths[m]),
+                    dtype=self.clv_dtype), 'clv'))
+                self.scaler.append(self._put(jnp.zeros(
+                    (self.rows, 1, self.widths[m]), dtype=jnp.int32),
+                    'scaler'))
+            else:
+                self.clv.append(self._put(jnp.zeros(
+                    (self.rows, self.n_cats, S, self.widths[m]),
+                    dtype=self.clv_dtype), 'clv'))
+                self.scaler.append(self._put(jnp.zeros(
+                    (self.rows, self.n_cats, self.widths[m]),
+                    dtype=jnp.int32), 'scaler'))
 
     def _put(self, arr, kind):
         """Place an array on the device mesh with the sites axis sharded
@@ -277,12 +314,9 @@ class LikelihoodEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .parallel.distributed import put_global
-        spec = {
-            'clv': P(None, None, None, 'sites'),
-            'scaler': P(None, None, 'sites'),
-            'sites': P('sites'),
-            'codes': P(None, 'sites'),
-        }[kind]
+        # sites are always the last axis, whatever the buffer rank
+        # (folded [rows, K, W] vs per-category [rows, C, S, W])
+        spec = P(*([None] * (arr.ndim - 1)), 'sites')
         return put_global(arr, NamedSharding(self.mesh, spec))
 
     def host_sites(self, arr) -> np.ndarray:
@@ -439,14 +473,15 @@ class LikelihoodEngine:
         tip kernel for every partition (only the tiny tipVector tables
         cross the host boundary); the CPU path gathers on the host."""
         if self.use_pallas:
-            from .kernels.pallas_newview import tip_rows_pallas
+            from .kernels.pallas_newview import fold_tipvec, tip_rows_pallas
             interpret = jax.default_backend() == 'cpu'
             fn = self._jit_cache.get('tips_all')
             if fn is None:
                 def run(clvs, codes, tipvecs):
                     return tuple(
                         tip_rows_pallas(clvs[m], codes[m],
-                                        tipvecs[m].astype(jnp.float32),
+                                        fold_tipvec(
+                                            tipvecs[m].astype(jnp.float32)),
                                         self.mxtips,
                                         block_w=min(8192, self.widths[m]),
                                         interpret=interpret)
@@ -695,12 +730,19 @@ class LikelihoodEngine:
 
     def _evaluate_batch_pallas(self, jp, jq, zs):
         from .kernels.pallas_newview import (evaluate_batch_gamma,
-                                             evaluate_batch_psr)
+                                             evaluate_batch_psr, fold_lam,
+                                             fold_rw)
         interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_eval_batch')
         if fn is None:
+            def _eb_gamma(clv, scaler, jp, jq, lzs, eign, gamma, rw, wgt,
+                          *, block_w, log_min_scale, interpret):
+                return evaluate_batch_gamma(
+                    clv, scaler, jp, jq, lzs, fold_lam(eign, gamma),
+                    fold_rw(rw, eign.shape[1]), wgt, block_w=block_w,
+                    log_min_scale=log_min_scale, interpret=interpret)
             fn = jax.jit(evaluate_batch_psr if self.is_psr
-                         else evaluate_batch_gamma,
+                         else _eb_gamma,
                          static_argnames=('block_w', 'log_min_scale',
                                           'interpret'))
             self._jit_cache['pallas_eval_batch'] = fn
@@ -906,7 +948,7 @@ class LikelihoodEngine:
             for cand in (1024, 512, 256, 128):
                 if cand > self.widths[m] or self.widths[m] % cand:
                     continue
-                if n_rows * self.n_cats * (S + 1) * cand * 4 <= budget:
+                if n_rows * (self.n_cats * S + 1) * cand * 4 <= budget:
                     bw = cand
                     break
             if bw is None:
@@ -922,8 +964,9 @@ class LikelihoodEngine:
         ~5 ms; the reference instead pays an MPI reduction per operation).
         kind: 'trav' (fused traversal), 'trav_eval' (+ root lnL per
         partition), 'trav_evalbatch' (+ batched candidate lnLs)."""
-        from .kernels.pallas_newview import (evaluate_batch_gamma,
-                                             evaluate_pallas,
+        from .kernels.pallas_newview import (blockdiag, evaluate_batch_gamma,
+                                             evaluate_pallas, fold_lam,
+                                             fold_rw,
                                              traversal_fused_pallas)
         M = self.n_models
         interpret = jax.default_backend() == 'cpu'
@@ -937,11 +980,12 @@ class LikelihoodEngine:
             out_s = list(scalers)
             for m in range(M):
                 col = self._branch_col(m)
-                lam = (eigns[m] * gammas[m][:, None]).astype(jnp.float32)
+                lam = fold_lam(eigns[m], gammas[m]).astype(jnp.float32)
                 c2, s2 = traversal_fused_pallas(
                     clvs[m], scalers[m], jp, jq, jr, jt,
-                    lzq[:, col], lzr[:, col], lam,
-                    eis[m].astype(jnp.float32), evs[m].astype(jnp.float32),
+                    lzq[:, col], lzr[:, col], lam[None, :],
+                    blockdiag(eis[m]).astype(jnp.float32),
+                    blockdiag(evs[m]).astype(jnp.float32),
                     n_rows=n_rows, block_w=plan[m],
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale, interpret=interpret)
@@ -965,11 +1009,12 @@ class LikelihoodEngine:
                 for m in range(M):
                     col = self._branch_col(m)
                     lz = jnp.log(jnp.maximum(qz[col], C.ZMIN))
-                    diag = jnp.exp(eigns[m] * gammas[m][:, None] * lz)
+                    lam = fold_lam(eigns[m], gammas[m])
+                    dw = (fold_rw(rate_weights[m], eigns[m].shape[1])
+                          * jnp.exp(lam * lz))
                     lhs.append(evaluate_pallas(
                         clvs[m], scalers[m], p_row, q_row,
-                        diag.astype(jnp.float32),
-                        rate_weights[m].astype(jnp.float32),
+                        dw[None, :].astype(jnp.float32),
                         wgts[m].astype(jnp.float32),
                         block_w=min(8192, self.widths[m]),
                         log_min_scale=self.log_min_scale,
@@ -989,9 +1034,9 @@ class LikelihoodEngine:
                                               C.ZMIN)).astype(jnp.float32)
                     lhs.append(evaluate_batch_gamma(
                         clvs[m], scalers[m], bp_rows, bq_rows, lzs,
-                        eigns[m].astype(jnp.float32),
-                        gammas[m].astype(jnp.float32),
-                        rate_weights[m].astype(jnp.float32),
+                        fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
+                        fold_rw(rate_weights[m],
+                                eigns[m].shape[1]).astype(jnp.float32),
                         wgts[m].astype(jnp.float32),
                         block_w=min(8192, self.widths[m]),
                         log_min_scale=self.log_min_scale,
@@ -1076,12 +1121,15 @@ class LikelihoodEngine:
                         block_w=block_w, min_scale=min_scale,
                         inv_min_scale=inv_min_scale, interpret=interpret)
             else:
+                from .kernels.pallas_newview import blockdiag
+
                 def level_update(clv, scaler, jp, jq, jr, jt, zq, zr,
                                  gamma, eign, ei, ev, *, block_w, min_scale,
                                  inv_min_scale, interpret):
                     pls, prs = make_p_batch(zq, zr, gamma, eign, ei)
                     return newview_level_pallas(
-                        clv, scaler, jp, jq, jr, jt, pls, prs, ev,
+                        clv, scaler, jp, jq, jr, jt, pls, prs,
+                        blockdiag(ev),
                         block_w=block_w, min_scale=min_scale,
                         inv_min_scale=inv_min_scale, interpret=interpret)
 
@@ -1243,11 +1291,13 @@ class LikelihoodEngine:
                               log_min_scale=self.log_min_scale,
                               interpret=interpret))
             else:
-                diag = jnp.exp(self.d_EIGN[m] * self.d_gamma[m][:, None]
-                               * lz)
+                from .kernels.pallas_newview import fold_lam, fold_rw
+                lam = fold_lam(self.d_EIGN[m], self.d_gamma[m])
+                dw = (fold_rw(self.d_rate_weights[m],
+                              self.d_EIGN[m].shape[1])
+                      * jnp.exp(lam * lz))
                 out.append(fn(self.clv[m], self.scaler[m], jp, jq,
-                              diag.astype(jnp.float32),
-                              self.d_rate_weights[m].astype(jnp.float32),
+                              dw[None, :].astype(jnp.float32),
                               self.wgts[m].astype(jnp.float32),
                               block_w=min(8192, self.widths[m]),
                               log_min_scale=self.log_min_scale,
@@ -1281,11 +1331,13 @@ class LikelihoodEngine:
                             block_w=min(8192, self.widths[m]),
                             interpret=interpret)
             else:
-                lam = self.d_EIGN[m] * self.d_gamma[m][:, None]
-                d = (self.d_rate_weights[m][:, None]
+                from .kernels.pallas_newview import fold_lam, fold_rw
+                lam = fold_lam(self.d_EIGN[m], self.d_gamma[m])
+                d = (fold_rw(self.d_rate_weights[m],
+                             self.d_EIGN[m].shape[1])
                      * jnp.exp(lam * core_lz[col])).astype(jnp.float32)
                 d1, d2 = fn(self.clv[m], self.scaler[m], jp, jq,
-                            lam.astype(jnp.float32), d,
+                            lam[None, :].astype(jnp.float32), d[None, :],
                             self.wgts[m].astype(jnp.float32),
                             block_w=min(8192, self.widths[m]),
                             log_min_scale=self.log_min_scale,
@@ -1302,7 +1354,9 @@ class LikelihoodEngine:
     # candidates with per-round junction CLV rebuilds in scratch rows
 
     def _build_thorough_program(self):
-        from .kernels.pallas_newview import (evaluate_batch_gamma,
+        from .kernels.pallas_newview import (blockdiag,
+                                             evaluate_batch_gamma,
+                                             fold_lam, fold_rw,
                                              make_p_batch,
                                              newview_level_pallas,
                                              nr_derivatives_batch_pallas)
@@ -1318,11 +1372,13 @@ class LikelihoodEngine:
                 d1t = jnp.zeros_like(core_lz)
                 d2t = jnp.zeros_like(core_lz)
                 for m in range(M):
-                    lam = (eigns[m] * gammas[m][:, None]).astype(
-                        jnp.float32)
+                    lam = fold_lam(eigns[m],
+                                   gammas[m]).astype(jnp.float32)
                     d1, d2 = nr_derivatives_batch_pallas(
-                        clvs[m], scalers[m], jp, jq, lam,
-                        rate_weights[m].astype(jnp.float32),
+                        clvs[m], scalers[m], jp, jq, lam[None, :],
+                        fold_rw(rate_weights[m],
+                                eigns[m].shape[1]).astype(jnp.float32
+                                                          )[None, :],
                         wgts[m].astype(jnp.float32), core_lz,
                         block_w=min(8192, self.widths[m]),
                         log_min_scale=self.log_min_scale,
@@ -1389,7 +1445,7 @@ class LikelihoodEngine:
                 c2, s2 = newview_level_pallas(
                     clvs[m], scalers[m], j_rows, a_rows, b_rows, tt,
                     pls.astype(jnp.float32), prs.astype(jnp.float32),
-                    evs[m].astype(jnp.float32),
+                    blockdiag(evs[m]).astype(jnp.float32),
                     block_w=min(8192, self.widths[m]),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale, interpret=interpret)
@@ -1480,9 +1536,9 @@ class LikelihoodEngine:
                     jnp.float32)
                 lhs.append(evaluate_batch_gamma(
                     clvs[m], scalers[m], j_rows, v_rows, lzs_eval,
-                    eigns[m].astype(jnp.float32),
-                    gammas[m].astype(jnp.float32),
-                    rate_weights[m].astype(jnp.float32),
+                    fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
+                    fold_rw(rate_weights[m],
+                            eigns[m].shape[1]).astype(jnp.float32),
                     wgts[m].astype(jnp.float32),
                     block_w=min(8192, self.widths[m]),
                     log_min_scale=self.log_min_scale,
@@ -1547,12 +1603,13 @@ class LikelihoodEngine:
                         block_w=min(8192, self.widths[m]),
                         interpret=interpret)
                 else:
-                    lam = eign[m] * gamma[m][:, None]
-                    d = (rate_weights[m][:, None]
+                    from .kernels.pallas_newview import fold_lam, fold_rw
+                    lam = fold_lam(eign[m], gamma[m])
+                    d = (fold_rw(rate_weights[m], eign[m].shape[1])
                          * jnp.exp(lam * core_lz[col])).astype(jnp.float32)
                     d1, d2 = nr_derivatives_pallas(
                         clvs[m], scalers[m], jp, jq,
-                        lam.astype(jnp.float32), d,
+                        lam[None, :].astype(jnp.float32), d[None, :],
                         wgts[m].astype(jnp.float32),
                         block_w=min(8192, self.widths[m]),
                         log_min_scale=self.log_min_scale,
@@ -1919,7 +1976,8 @@ class LikelihoodEngine:
         return tuple(jnp.asarray(x) for x in (t, pr, qr, rr, eq, er, tt))
 
     def _build_smooth_program(self):
-        from .kernels.pallas_newview import (make_p_batch,
+        from .kernels.pallas_newview import (blockdiag, fold_lam, fold_rw,
+                                            make_p_batch,
                                             newview_level_pallas,
                                             nr_derivatives_pallas)
         M = self.n_models
@@ -1938,7 +1996,7 @@ class LikelihoodEngine:
                     clvs[m], scalers[m], pr[None], qr[None], rr[None],
                     tt[None], pls.astype(jnp.float32),
                     prs.astype(jnp.float32),
-                    evs[m].astype(jnp.float32),
+                    blockdiag(evs[m]).astype(jnp.float32),
                     block_w=min(8192, self.widths[m]),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale, interpret=interpret)
@@ -1951,12 +2009,13 @@ class LikelihoodEngine:
             d1t = 0.0
             d2t = 0.0
             for m in range(M):
-                lam = eigns[m] * gammas[m][:, None]
-                d = (rate_weights[m][:, None]
+                lam = fold_lam(eigns[m], gammas[m])
+                d = (fold_rw(rate_weights[m], eigns[m].shape[1])
                      * jnp.exp(lam * core_lz)).astype(jnp.float32)
                 d1, d2 = nr_derivatives_pallas(
-                    clvs[m], scalers[m], jp, jq, lam.astype(jnp.float32),
-                    d, wgts[m].astype(jnp.float32),
+                    clvs[m], scalers[m], jp, jq,
+                    lam[None, :].astype(jnp.float32),
+                    d[None, :], wgts[m].astype(jnp.float32),
                     block_w=min(8192, self.widths[m]),
                     log_min_scale=self.log_min_scale, interpret=interpret)
                 d1t = d1t + d1

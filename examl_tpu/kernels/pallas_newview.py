@@ -36,7 +36,7 @@ def _newview_kernel(p_idx, q_idx, r_idx, tip_tip,       # scalar prefetch
                     pl_ref, pr_ref, ev_ref,             # per-node/model mats
                     x3_ref, s3_ref,                     # output blocks
                     x1_s, x2_s, s1_s, s2_s, sems,       # scratch
-                    *, n_cats, n_states, bw, min_scale, inv_min_scale):
+                    *, k_dim, bw, min_scale, inv_min_scale):
     n = pl.program_id(0)
     wb = pl.program_id(1)
     q = q_idx[n]
@@ -45,9 +45,9 @@ def _newview_kernel(p_idx, q_idx, r_idx, tip_tip,       # scalar prefetch
 
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[r, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            clv_hbm.at[r, :, pl.ds(col, bw)], x2_s, sems.at[1]),
         pltpu.make_async_copy(
             scaler_hbm.at[q, :, pl.ds(col, bw)], s1_s, sems.at[2]),
         pltpu.make_async_copy(
@@ -58,35 +58,29 @@ def _newview_kernel(p_idx, q_idx, r_idx, tip_tip,       # scalar prefetch
     for c in copies:
         c.wait()
 
-    pls = pl_ref[0]         # [C, S, S]
-    prs = pr_ref[0]
-    ev = ev_ref[...]        # [C, S, S]
     is_tip_tip = tip_tip[n] != 0
 
-    outs = []
-    scs = []
-    # Precision.HIGHEST: the MXU multiplies bf16 natively; the default
-    # single-pass truncation costs ~1e-3 relative error per contraction,
-    # which compounds over tree depth into whole log-likelihood units.
-    # The 3-pass f32 mode keeps the kernel bit-comparable to f32 math.
+    # One block-diagonal [K, K] x [K, BW] matmul per child replaces the
+    # per-category [S, S] x [S, BW] loop: K = C*S rows occupy the MXU at
+    # 4x the rate, the sublane tile is fully used (S=4 alone wastes half
+    # of every (8, 128) f32 tile in HBM traffic), and VPU work is
+    # whole-array. Precision.HIGHEST: the default single-pass bf16
+    # truncation costs ~1e-3 relative error per contraction, which
+    # compounds over tree depth into whole log-likelihood units.
     hi = jax.lax.Precision.HIGHEST
-    for c in range(n_cats):
-        a = jnp.dot(pls[c], x1_s[c], preferred_element_type=jnp.float32,
-                    precision=hi)
-        b = jnp.dot(prs[c], x2_s[c], preferred_element_type=jnp.float32,
-                    precision=hi)
-        ab = a * b                                       # [S, BW]
-        x3c = jnp.dot(ev[c].T, ab, preferred_element_type=jnp.float32,
-                      precision=hi)
-        m = jnp.max(jnp.abs(x3c), axis=0)                # [BW]
-        scale = jnp.logical_and(m < min_scale,
-                                jnp.logical_not(is_tip_tip))
-        x3c = jnp.where(scale[None, :], x3c * inv_min_scale, x3c)
-        outs.append(x3c)
-        scs.append(s1_s[c] + s2_s[c] + scale.astype(jnp.int32))
-
-    x3_ref[0] = jnp.stack(outs)
-    s3_ref[0] = jnp.stack(scs)
+    a = jnp.dot(pl_ref[0], x1_s[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32, precision=hi)
+    b = jnp.dot(pr_ref[0], x2_s[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32, precision=hi)
+    x3 = jnp.dot(ev_ref[...].T, a * b,
+                 preferred_element_type=jnp.float32, precision=hi)
+    # joint per-site scaling over all categories (the reference's own
+    # scheme: one ex_L counter per site, newviewGenericSpecial.c:1140-1168)
+    m = jnp.max(jnp.abs(x3), axis=0)                     # [BW]
+    scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tip_tip))
+    x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
+    x3_ref[0] = x3.astype(x3_ref.dtype)
+    s3_ref[0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
 
 
 def newview_level_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
@@ -95,16 +89,17 @@ def newview_level_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                          interpret=False):
     """Run one level of newview updates in place.
 
-    clv [rows, C, S, W] f32 (donated), scaler [rows, C, W] int32 (donated),
-    p/q/r_idx [N] int32, tip_tip [N] int32, pls/prs [N, C, S, S],
-    ev [C, S, S]. Returns the updated (clv, scaler)."""
-    rows, n_cats, n_states, W = clv.shape
+    clv [rows, K, W] (donated) with K = n_cats * padded_states, scaler
+    [rows, W] int32 (donated), p/q/r_idx [N] int32, tip_tip [N] int32,
+    pls/prs [N, K, K] block-diagonal, ev [K, K] block-diagonal. Returns
+    the updated (clv, scaler)."""
+    rows, k_dim, W = clv.shape
     N = p_idx.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
 
     kernel = functools.partial(
-        _newview_kernel, n_cats=n_cats, n_states=n_states, bw=bw,
+        _newview_kernel, k_dim=k_dim, bw=bw,
         min_scale=min_scale, inv_min_scale=inv_min_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -113,24 +108,24 @@ def newview_level_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
-            pl.BlockSpec((1, n_cats, n_states, n_states),
-                         lambda n, w, p, q, r, t: (n, 0, 0, 0)),
-            pl.BlockSpec((1, n_cats, n_states, n_states),
-                         lambda n, w, p, q, r, t: (n, 0, 0, 0)),
-            pl.BlockSpec((n_cats, n_states, n_states),
-                         lambda n, w, p, q, r, t: (0, 0, 0)),
+            pl.BlockSpec((1, k_dim, k_dim),
+                         lambda n, w, p, q, r, t: (n, 0, 0)),
+            pl.BlockSpec((1, k_dim, k_dim),
+                         lambda n, w, p, q, r, t: (n, 0, 0)),
+            pl.BlockSpec((k_dim, k_dim),
+                         lambda n, w, p, q, r, t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_cats, n_states, bw),
-                         lambda n, w, p, q, r, t: (p[n], 0, 0, w)),
-            pl.BlockSpec((1, n_cats, bw),
+            pl.BlockSpec((1, k_dim, bw),
+                         lambda n, w, p, q, r, t: (p[n], 0, w)),
+            pl.BlockSpec((1, 1, bw),
                          lambda n, w, p, q, r, t: (p[n], 0, w)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -148,11 +143,37 @@ def newview_level_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     return clv_out, scaler_out
 
 
+def blockdiag(mats):
+    """[C, S, S] -> [C*S, C*S] block-diagonal (host/XLA-side, tiny)."""
+    C_, S, _ = mats.shape
+    K = C_ * S
+    out = jnp.zeros((K, K), dtype=mats.dtype)
+    for c in range(C_):
+        out = out.at[c * S:(c + 1) * S, c * S:(c + 1) * S].set(mats[c])
+    return out
+
+
+def fold_lam(eign, gamma):
+    """(eign [C, S], gamma [C]) -> lam [K] = EIGN_k * r_c folded."""
+    return (eign * gamma[:, None]).reshape(-1)
+
+
+def fold_rw(rate_weights, S):
+    """rate weights [C] -> [K] (each weight repeated per state)."""
+    return jnp.repeat(rate_weights, S)
+
+
+def fold_tipvec(tipvec):
+    """[C, n_codes, S] -> [n_codes, K] folded tip table."""
+    C_, nc, S = tipvec.shape
+    return jnp.transpose(tipvec, (1, 0, 2)).reshape(nc, C_ * S)
+
+
 def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
                             clv_hbm, scaler_hbm, lam_ref, ei_ref, ev_ref,
                             out_clv, out_scaler,
                             sems,
-                            *, n_ops, n_rows, n_cats, n_states, bw,
+                            *, n_ops, n_rows, bw,
                             min_scale, inv_min_scale):
     """Whole-traversal CLV wave, one kernel instance per site block: the
     CLV column block of every (used) row lives in VMEM while every
@@ -170,7 +191,7 @@ def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
     # bring the used CLV rows' column block into VMEM (the output block is
     # the working buffer; input_output_aliases make this in-place)
     cp_in = pltpu.make_async_copy(
-        clv_hbm.at[pl.ds(0, n_rows), :, :, pl.ds(col, bw)], out_clv,
+        clv_hbm.at[pl.ds(0, n_rows), :, pl.ds(col, bw)], out_clv,
         sems.at[0])
     cp_in2 = pltpu.make_async_copy(
         scaler_hbm.at[pl.ds(0, n_rows), :, pl.ds(col, bw)], out_scaler,
@@ -180,39 +201,34 @@ def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
     cp_in.wait()
     cp_in2.wait()
 
-    lam = lam_ref[...]                         # [C, S] = EIGN * r_c
-    ei = ei_ref[...]                           # [C, S, S]
-    ev = ev_ref[...]                           # [C, S, S]
+    lam = lam_ref[0]                           # [K] = EIGN_k * r_c folded
+    ei = ei_ref[...]                           # [K, K] block-diagonal
+    ev = ev_ref[...]                           # [K, K] block-diagonal
     hi = jax.lax.Precision.HIGHEST
 
     def body(n, _):
         q = q_idx[n]
         r = r_idx[n]
         p = p_idx[n]
-        x1 = out_clv[q]                        # [C, S, BW]
-        x2 = out_clv[r]
-        dq = jnp.exp(lam * lzq[n])             # [C, S]
-        dr = jnp.exp(lam * lzr[n])
+        x1 = out_clv[q].astype(jnp.float32)    # [K, BW]
+        x2 = out_clv[r].astype(jnp.float32)
+        # makeP on the fly: P[k, l] = exp(lam[l] lz) * ei[k, l] (zero off
+        # the diagonal blocks, so the fold is exact)
+        pls = jnp.exp(lam * lzq[n])[None, :] * ei
+        prs = jnp.exp(lam * lzr[n])[None, :] * ei
         is_tt = tip_tip[n] != 0
-        outs = []
-        scs = []
-        for c in range(n_cats):
-            pls = dq[c][None, :] * ei[c]       # [S, S] = makeP row
-            prs = dr[c][None, :] * ei[c]
-            a = jnp.dot(pls, x1[c], preferred_element_type=jnp.float32,
-                        precision=hi)
-            b = jnp.dot(prs, x2[c], preferred_element_type=jnp.float32,
-                        precision=hi)
-            x3c = jnp.dot(ev[c].T, a * b,
-                          preferred_element_type=jnp.float32, precision=hi)
-            m = jnp.max(jnp.abs(x3c), axis=0)
-            scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tt))
-            x3c = jnp.where(scale[None, :], x3c * inv_min_scale, x3c)
-            outs.append(x3c)
-            scs.append(out_scaler[q, c] + out_scaler[r, c]
-                       + scale.astype(jnp.int32))
-        out_clv[p] = jnp.stack(outs)
-        out_scaler[p] = jnp.stack(scs)
+        a = jnp.dot(pls, x1, preferred_element_type=jnp.float32,
+                    precision=hi)
+        b = jnp.dot(prs, x2, preferred_element_type=jnp.float32,
+                    precision=hi)
+        x3 = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
+                     precision=hi)
+        m = jnp.max(jnp.abs(x3), axis=0)
+        scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tt))
+        x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
+        out_clv[p] = x3.astype(out_clv.dtype)
+        out_scaler[p] = (out_scaler[q] + out_scaler[r]
+                         + scale.astype(jnp.int32))
         return 0
 
     jax.lax.fori_loop(0, n_ops, body, 0)
@@ -222,21 +238,21 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                            lzq, lzr, lam, ei, ev, *, n_rows=None,
                            block_w=512, min_scale=2.0 ** -30,
                            inv_min_scale=2.0 ** 30, interpret=False):
-    """Run a whole packed traversal in ONE pallas_call. clv [rows, C, S, W]
-    (donated); lzq/lzr [L] f32 log branch lengths per op; lam [C, S] =
-    EIGN * gamma_rate; n_rows bounds the VMEM-resident row range (ops must
-    only touch rows < n_rows). Use when the column working set fits VMEM
-    (see the engine's fallback to the level kernels)."""
-    rows, n_cats, n_states, W = clv.shape
+    """Run a whole packed traversal in ONE pallas_call. clv [rows, K, W]
+    (donated); lzq/lzr [L] f32 log branch lengths per op; lam [K] =
+    EIGN_k * gamma_c folded; ei/ev [K, K] block-diagonal; n_rows bounds
+    the VMEM-resident row range (ops must only touch rows < n_rows). Use
+    when the column working set fits VMEM (see the engine's fallback to
+    the level kernels)."""
+    rows, k_dim, W = clv.shape
     L = p_idx.shape[0]
     n_rows = rows if n_rows is None else n_rows
     bw = min(block_w, W)
     assert W % bw == 0
 
     kernel = functools.partial(
-        _traversal_fused_kernel, n_ops=L, n_rows=n_rows, n_cats=n_cats,
-        n_states=n_states, bw=bw, min_scale=min_scale,
-        inv_min_scale=inv_min_scale)
+        _traversal_fused_kernel, n_ops=L, n_rows=n_rows,
+        bw=bw, min_scale=min_scale, inv_min_scale=inv_min_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -244,17 +260,14 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
-            pl.BlockSpec((n_cats, n_states),
-                         lambda w, *_: (0, 0)),
-            pl.BlockSpec((n_cats, n_states, n_states),
-                         lambda w, *_: (0, 0, 0)),
-            pl.BlockSpec((n_cats, n_states, n_states),
-                         lambda w, *_: (0, 0, 0)),
+            pl.BlockSpec((1, k_dim), lambda w, *_: (0, 0)),
+            pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
+            pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((n_rows, n_cats, n_states, bw),
-                         lambda w, *_: (0, 0, 0, w)),
-            pl.BlockSpec((n_rows, n_cats, bw),
+            pl.BlockSpec((n_rows, k_dim, bw),
+                         lambda w, *_: (0, 0, w)),
+            pl.BlockSpec((n_rows, 1, bw),
                          lambda w, *_: (0, 0, w)),
         ],
         scratch_shapes=[
@@ -277,14 +290,15 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
 
 
 def _tip_kernel(codes_ref, tipvec_ref, clv_in, out_clv,
-                *, n_cats, n_states, n_codes, bw, n_tips):
-    """Materialize tip CLV rows on device: out[t,c,:,w] =
-    tipvec[c, codes[t,w], :]. The gather is a one-hot matmul so the site
-    axis stays on the lanes (replacing round 1's host-side numpy gather,
-    whose per-model-change re-upload cost ~4 MB per partition through the
-    device tunnel on every optimizer probe). Blocks cover 8 rows (sublane
-    tile); row 0 and any non-tip rows inside the last block keep their
-    previous contents."""
+                *, n_codes, bw, n_tips):
+    """Materialize tip CLV rows on device: out[t, :, w] =
+    tipvec[codes[t, w], :] with the folded [n_codes, K] tip table (all
+    categories' tip vectors in one row). The gather is a one-hot matmul
+    so the site axis stays on the lanes (replacing round 1's host-side
+    numpy gather, whose per-model-change re-upload cost ~4 MB per
+    partition through the device tunnel on every optimizer probe).
+    Blocks cover 8 rows (sublane tile); row 0 and any non-tip rows inside
+    the last block keep their previous contents."""
     t = pl.program_id(0)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_codes, bw), 0)
     hi = jax.lax.Precision.HIGHEST
@@ -292,13 +306,10 @@ def _tip_kernel(codes_ref, tipvec_ref, clv_in, out_clv,
         row = t * 8 + i
         codes = codes_ref[i]                   # [BW] int32
         onehot = (codes[None, :] == iota).astype(jnp.float32)
-        outs = []
-        for c in range(n_cats):
-            tv = tipvec_ref[c]                 # [n_codes, S]
-            outs.append(jnp.dot(tv.T, onehot,
-                                preferred_element_type=jnp.float32,
-                                precision=hi))     # [S, BW]
-        tip_block = jnp.stack(outs)
+        tv = tipvec_ref[...]                   # [n_codes, K]
+        tip_block = jnp.dot(tv.T, onehot,
+                            preferred_element_type=jnp.float32,
+                            precision=hi).astype(out_clv.dtype)  # [K, BW]
         is_tip = jnp.logical_and(row >= 1, row <= n_tips)
         out_clv[i] = jnp.where(is_tip, tip_block, clv_in[i])
 
@@ -307,29 +318,25 @@ def tip_rows_pallas(clv, codes, tipvec, n_tips, *, block_w=8192,
                     interpret=False):
     """Fill rows 1..n_tips of the CLV buffer with materialized tip
     vectors. codes [T1p, W] int32 with T1p a multiple of 8 (row 0 + tail
-    padding ignored), tipvec [C, n_codes, S]."""
-    rows, n_cats, n_states, W = clv.shape
+    padding ignored), tipvec [n_codes, K] folded."""
+    rows, k_dim, W = clv.shape
     T1p = codes.shape[0]
     assert T1p % 8 == 0 and T1p <= rows
-    n_codes = tipvec.shape[1]
+    n_codes = tipvec.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
 
-    kernel = functools.partial(_tip_kernel, n_cats=n_cats,
-                               n_states=n_states, n_codes=n_codes, bw=bw,
+    kernel = functools.partial(_tip_kernel, n_codes=n_codes, bw=bw,
                                n_tips=n_tips)
     out = pl.pallas_call(
         kernel,
         grid=(T1p // 8, W // bw),
         in_specs=[
             pl.BlockSpec((8, bw), lambda t, w: (t, w)),
-            pl.BlockSpec((n_cats, n_codes, n_states),
-                         lambda t, w: (0, 0, 0)),
-            pl.BlockSpec((8, n_cats, n_states, bw),
-                         lambda t, w: (t, 0, 0, w)),
+            pl.BlockSpec((n_codes, k_dim), lambda t, w: (0, 0)),
+            pl.BlockSpec((8, k_dim, bw), lambda t, w: (t, 0, w)),
         ],
-        out_specs=pl.BlockSpec((8, n_cats, n_states, bw),
-                               lambda t, w: (t, 0, 0, w)),
+        out_specs=pl.BlockSpec((8, k_dim, bw), lambda t, w: (t, 0, w)),
         out_shape=jax.ShapeDtypeStruct(clv.shape, clv.dtype),
         input_output_aliases={2: 0},
         interpret=interpret,
@@ -338,16 +345,26 @@ def tip_rows_pallas(clv, codes, tipvec, n_tips, *, block_w=8192,
 
 
 def make_p_batch(qz, rz, gamma, eign, ei):
-    """Per-node left/right P matrices for a level: qz/rz [N] ->
-    [N, C, S, S] each (the host-side tiny einsum feeding the kernel)."""
+    """Per-node left/right block-diagonal P matrices for a level:
+    qz/rz [N] -> [N, K, K] each with K = C*S (the host-side tiny einsum
+    feeding the kernel). ei [C, S, S]."""
     from .reference_jnp import log_z
+    C_, S, _ = ei.shape
+    K = C_ * S
     lzq = log_z(qz)[:, None, None]                  # [N, 1, 1]
     lzr = log_z(rz)[:, None, None]
     lam = eign * gamma[:, None]                     # [C, S]
     dq = jnp.exp(lam[None] * lzq)                   # [N, C, S]
     dr = jnp.exp(lam[None] * lzr)
-    pls = dq[:, :, None, :] * ei[None]              # [N, C, S, S]
-    prs = dr[:, :, None, :] * ei[None]
+    pls_c = dq[:, :, None, :] * ei[None]            # [N, C, S, S]
+    prs_c = dr[:, :, None, :] * ei[None]
+    N = pls_c.shape[0]
+    pls = jnp.zeros((N, K, K), dtype=pls_c.dtype)
+    prs = jnp.zeros((N, K, K), dtype=prs_c.dtype)
+    for c in range(C_):
+        sl = slice(c * S, (c + 1) * S)
+        pls = pls.at[:, sl, sl].set(pls_c[:, c])
+        prs = prs.at[:, sl, sl].set(prs_c[:, c])
     return pls, prs
 
 
@@ -358,10 +375,10 @@ def make_p_batch(qz, rz, gamma, eign, ei):
 # so the whole per-move hot path (newview/evaluate/derivatives) is Pallas.
 
 def _evaluate_kernel(p_row, q_row,                       # scalar prefetch
-                     clv_hbm, scaler_hbm, diag_ref, rw_ref, wgt_ref,
+                     clv_hbm, scaler_hbm, dw_ref, wgt_ref,
                      out_ref,
                      x1_s, x2_s, s1_s, s2_s, sems,
-                     *, n_cats, n_states, bw, log_min_scale):
+                     *, bw, log_min_scale):
     wb = pl.program_id(0)
     col = wb * bw
     p = p_row[0]
@@ -369,9 +386,9 @@ def _evaluate_kernel(p_row, q_row,                       # scalar prefetch
 
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
         pltpu.make_async_copy(
             scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
         pltpu.make_async_copy(
@@ -382,36 +399,29 @@ def _evaluate_kernel(p_row, q_row,                       # scalar prefetch
     for c in copies:
         c.wait()
 
-    diag = diag_ref[...]                       # [C, S]
-    rw = rw_ref[...]                           # [C]
-    s = s1_s[...] + s2_s[...]                  # [C, BW]
-    smin = jnp.min(s, axis=0)                  # [BW]
-    rel = (s - smin[None, :]).astype(jnp.float32)
-
-    term = jnp.zeros((bw,), jnp.float32)
-    for c in range(n_cats):
-        pc = jnp.zeros((bw,), jnp.float32)
-        for k in range(n_states):
-            pc = pc + x1_s[c, k] * x2_s[c, k] * diag[c, k]
-        term = term + rw[c] * pc * jnp.exp(rel[c] * log_min_scale)
-
+    # dw [K] = rate_weight_c * diag[c, k] folded: the category sum is one
+    # weighted row reduction of the [K, BW] product (evaluateGTRGAMMA,
+    # evaluateGenericSpecial.c — with the per-site joint scale counter)
+    dw = dw_ref[0]                             # [K]
+    term = jnp.sum(x1_s[...].astype(jnp.float32)
+                   * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
     wgt = wgt_ref[...]
-    site_log = (jnp.log(jnp.abs(term))
-                + smin.astype(jnp.float32) * log_min_scale)
+    site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
     out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
-def evaluate_pallas(clv, scaler, p_row, q_row, diag, rate_weights, wgt,
+def evaluate_pallas(clv, scaler, p_row, q_row, dw, wgt,
                     *, block_w=8192, log_min_scale=float(np.log(2.0 ** -30)),
                     interpret=False):
-    """Per-partition root log likelihood (GAMMA/LG4). Returns a scalar."""
-    rows, n_cats, n_states, W = clv.shape
+    """Per-partition root log likelihood (GAMMA/LG4). dw [1, K] =
+    rate_weights (x) diag folded. Returns a scalar."""
+    rows, k_dim, W = clv.shape
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
 
-    kernel = functools.partial(_evaluate_kernel, n_cats=n_cats,
-                               n_states=n_states, bw=bw,
+    kernel = functools.partial(_evaluate_kernel, bw=bw,
                                log_min_scale=log_min_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -420,17 +430,16 @@ def evaluate_pallas(clv, scaler, p_row, q_row, diag, rate_weights, wgt,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((n_cats, n_states), lambda w, p, q: (0, 0)),
-            pl.BlockSpec((n_cats,), lambda w, p, q: (0,)),
+            pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
         ],
         out_specs=pl.BlockSpec((1, 1), lambda w, p, q: (w, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -438,19 +447,19 @@ def evaluate_pallas(clv, scaler, p_row, q_row, diag, rate_weights, wgt,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 1), jnp.float32),
         interpret=interpret,
-    )(p_row, q_row, clv, scaler, diag, rate_weights, wgt)
+    )(p_row, q_row, clv, scaler, dw, wgt)
     return jnp.sum(partials)
 
 
 def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
-                           clv_hbm, scaler_hbm, diag_ref, rw_ref, wgt_ref,
+                           clv_hbm, scaler_hbm, dw_ref, wgt_ref,
                            out_ref,
                            x1_s, x2_s, s1_s, s2_s, sems,
-                           *, n_cats, n_states, bw, log_min_scale):
+                           *, bw, log_min_scale):
     """Batched root-likelihood kernel: grid (candidate, site-block); each
     candidate evaluates the branch between buffer rows p_rows[n] and
-    q_rows[n] with its own diagonal table diag_ref[n] (the SPR candidate
-    wave replacing one evaluateGeneric dispatch per insertion,
+    q_rows[n] with its own folded weight-diagonal dw_ref[n] (the SPR
+    candidate wave replacing one evaluateGeneric dispatch per insertion,
     searchAlgo.c:682-777)."""
     n = pl.program_id(0)
     wb = pl.program_id(1)
@@ -460,9 +469,9 @@ def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
 
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
         pltpu.make_async_copy(
             scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
         pltpu.make_async_copy(
@@ -473,40 +482,29 @@ def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
     for c in copies:
         c.wait()
 
-    diag = diag_ref[0]                         # [C, S]
-    rw = rw_ref[...]                           # [C]
-    s = s1_s[...] + s2_s[...]                  # [C, BW]
-    smin = jnp.min(s, axis=0)
-    rel = (s - smin[None, :]).astype(jnp.float32)
-
-    term = jnp.zeros((bw,), jnp.float32)
-    for c in range(n_cats):
-        pc = jnp.zeros((bw,), jnp.float32)
-        for k in range(n_states):
-            pc = pc + x1_s[c, k] * x2_s[c, k] * diag[c, k]
-        term = term + rw[c] * pc * jnp.exp(rel[c] * log_min_scale)
-
+    dw = dw_ref[0]                             # [K]
+    term = jnp.sum(x1_s[...].astype(jnp.float32)
+                   * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
     wgt = wgt_ref[...]
-    site_log = (jnp.log(jnp.abs(term))
-                + smin.astype(jnp.float32) * log_min_scale)
+    site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
     # whole-array SMEM output (TPU requires full-shape scalar blocks);
     # each sequential grid step writes its own cell
     out_ref[n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
-def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, diags, rate_weights,
-                          wgt, *, block_w=8192,
+def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
+                          *, block_w=8192,
                           log_min_scale=float(np.log(2.0 ** -30)),
                           interpret=False):
-    """Batched per-partition root log likelihoods -> [N]."""
-    rows, n_cats, n_states, W = clv.shape
+    """Batched per-partition root log likelihoods -> [N]; dws [N, K]."""
+    rows, k_dim, W = clv.shape
     N = p_rows.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
 
-    kernel = functools.partial(_evaluate_batch_kernel, n_cats=n_cats,
-                               n_states=n_states, bw=bw,
+    kernel = functools.partial(_evaluate_batch_kernel, bw=bw,
                                log_min_scale=log_min_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -514,18 +512,16 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, diags, rate_weights,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, n_cats, n_states),
-                         lambda n, w, p, q: (n, 0, 0)),
-            pl.BlockSpec((n_cats,), lambda n, w, p, q: (0,)),
+            pl.BlockSpec((1, k_dim), lambda n, w, p, q: (n, 0)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
         ],
         out_specs=pl.BlockSpec((N, nb), lambda n, w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -533,20 +529,21 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, diags, rate_weights,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, nb), jnp.float32),
         interpret=interpret,
-    )(p_rows, q_rows, clv, scaler, diags, rate_weights, wgt)
+    )(p_rows, q_rows, clv, scaler, dws, wgt)
     return jnp.sum(partials, axis=1)
 
 
-def evaluate_batch_gamma(clv, scaler, p_rows, q_rows, lzs, eign, gamma,
-                         rate_weights, wgt, *, block_w=8192,
+def evaluate_batch_gamma(clv, scaler, p_rows, q_rows, lzs, lam_vec,
+                         rw_vec, wgt, *, block_w=8192,
                          log_min_scale=float(np.log(2.0 ** -30)),
                          interpret=False):
-    """GAMMA batched evaluate: builds per-candidate diagonals on device
-    (diag[n] = exp(EIGN r_c lzs[n])) then runs the batched kernel."""
-    diags = jnp.exp(eign[None] * gamma[None, :, None]
-                    * lzs[:, None, None]).astype(jnp.float32)
-    return evaluate_batch_pallas(clv, scaler, p_rows, q_rows, diags,
-                                 rate_weights, wgt, block_w=block_w,
+    """GAMMA batched evaluate: builds per-candidate folded weight-diagonals
+    on device (dw[n] = rw_vec * exp(lam_vec * lz_n)) then runs the batched
+    kernel. lam_vec/rw_vec [K]."""
+    dws = (rw_vec[None, :]
+           * jnp.exp(lam_vec[None, :] * lzs[:, None])).astype(jnp.float32)
+    return evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws,
+                                 wgt, block_w=block_w,
                                  log_min_scale=log_min_scale,
                                  interpret=interpret)
 
@@ -564,9 +561,9 @@ def _evaluate_batch_psr_kernel(p_rows, q_rows,
     q = q_rows[n]
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
         pltpu.make_async_copy(
             scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
         pltpu.make_async_copy(
@@ -579,9 +576,8 @@ def _evaluate_batch_psr_kernel(p_rows, q_rows,
 
     lam = lam_ref[0]                           # [S] = EIGN * lz of cand n
     rates = rates_ref[...]                     # [BW]
-    term = jnp.zeros((bw,), jnp.float32)
-    for k in range(n_states):
-        term = term + x1_s[0, k] * x2_s[0, k] * jnp.exp(lam[k] * rates)
+    term = jnp.sum(x1_s[...] * x2_s[...]
+                   * jnp.exp(lam[:, None] * rates[None, :]), axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
     wgt = wgt_ref[...]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
@@ -593,7 +589,7 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
                        log_min_scale=float(np.log(2.0 ** -30)),
                        interpret=False):
     """PSR batched evaluate -> [N]; eign [S], lzs [N]."""
-    rows, one, n_states, W = clv.shape
+    rows, n_states, W = clv.shape
     N = p_rows.shape[0]
     bw = min(block_w, W)
     nb = W // bw
@@ -614,8 +610,8 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
         out_specs=pl.BlockSpec((N, nb), lambda n, w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -633,14 +629,16 @@ def _nr_batch_kernel(p_rows, q_rows,                     # scalar prefetch
                      clv_hbm, scaler_hbm, lam_ref, rw_ref, wgt_ref,
                      lzs_ref,
                      out_ref,
-                     x1_s, x2_s, s1_s, s2_s, sems,
-                     *, n_cats, n_states, bw, log_min_scale):
+                     x1_s, x2_s, sems,
+                     *, bw):
     """Batched NR derivatives: candidate n evaluates d lnL/d lz at its own
     branch length lzs[n] between rows p_rows[n]/q_rows[n] — the kernel
     behind the vectorized thorough-insertion smoother (each candidate of
     an SPR wave optimizes its three junction branches simultaneously;
     the reference runs one makenewzIterative per candidate,
-    searchAlgo.c:484-566)."""
+    searchAlgo.c:484-566). With the per-site joint scale counter the
+    scale factor cancels in the dln/inv_li ratio, so no scaling term
+    appears at all."""
     n = pl.program_id(0)
     wb = pl.program_id(1)
     col = wb * bw
@@ -648,37 +646,25 @@ def _nr_batch_kernel(p_rows, q_rows,                     # scalar prefetch
     q = q_rows[n]
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
-        pltpu.make_async_copy(
-            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
-        pltpu.make_async_copy(
-            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
     ]
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
 
-    lam = lam_ref[...]                         # [C, S] = EIGN * r_c
-    rw = rw_ref[...]                           # [C]
+    lam = lam_ref[0]                           # [K] = EIGN_k * r_c folded
+    rw = rw_ref[0]                             # [K] = rate weights folded
     lz = lzs_ref[n]
-    s = s1_s[...] + s2_s[...]
-    smin = jnp.min(s, axis=0)
-    rel = (s - smin[None, :]).astype(jnp.float32)
-
-    inv_li = jnp.zeros((bw,), jnp.float32)
-    dln = jnp.zeros((bw,), jnp.float32)
-    d2ln = jnp.zeros((bw,), jnp.float32)
-    for c in range(n_cats):
-        srel = jnp.exp(rel[c] * log_min_scale)
-        for k in range(n_states):
-            d_ck = rw[c] * jnp.exp(lam[c, k] * lz)
-            tmp = d_ck * x1_s[c, k] * x2_s[c, k] * srel
-            inv_li = inv_li + tmp
-            dln = dln + tmp * lam[c, k]
-            d2ln = d2ln + tmp * (lam[c, k] * lam[c, k])
+    d = rw * jnp.exp(lam * lz)                 # [K]
+    x12 = (x1_s[...].astype(jnp.float32)
+           * x2_s[...].astype(jnp.float32))    # [K, BW]
+    tmp = x12 * d[:, None]
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam[:, None], axis=0)
+    d2ln = jnp.sum(tmp * (lam * lam)[:, None], axis=0)
 
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
@@ -696,34 +682,30 @@ def nr_derivatives_batch_pallas(clv, scaler, p_rows, q_rows, lam,
                                 log_min_scale=float(np.log(2.0 ** -30)),
                                 interpret=False):
     """(d1[N], d2[N]) for N branches with per-candidate lengths lzs[N];
-    lam [C, S] = EIGN * r_c (shared)."""
-    rows, n_cats, n_states, W = clv.shape
+    lam [1, K] = EIGN_k * r_c folded, rate_weights [1, K] folded."""
+    rows, k_dim, W = clv.shape
     N = p_rows.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
-    kernel = functools.partial(_nr_batch_kernel, n_cats=n_cats,
-                               n_states=n_states, bw=bw,
-                               log_min_scale=log_min_scale)
+    kernel = functools.partial(_nr_batch_kernel, bw=bw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(N, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((n_cats, n_states), lambda n, w, p, q: (0, 0)),
-            pl.BlockSpec((n_cats,), lambda n, w, p, q: (0,)),
+            pl.BlockSpec((1, k_dim), lambda n, w, p, q: (0, 0)),
+            pl.BlockSpec((1, k_dim), lambda n, w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
             pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [N]
         ],
         out_specs=pl.BlockSpec((N, nb, 2), lambda n, w, p, q: (0, 0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     partials = pl.pallas_call(
@@ -738,8 +720,8 @@ def nr_derivatives_batch_pallas(clv, scaler, p_rows, q_rows, lam,
 def _nr_kernel(p_row, q_row,
                clv_hbm, scaler_hbm, lam_ref, d_ref, wgt_ref,
                out_ref,
-               x1_s, x2_s, s1_s, s2_s, sems,
-               *, n_cats, n_states, bw, log_min_scale):
+               x1_s, x2_s, sems,
+               *, bw):
     wb = pl.program_id(0)
     col = wb * bw
     p = p_row[0]
@@ -747,35 +729,23 @@ def _nr_kernel(p_row, q_row,
 
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
-        pltpu.make_async_copy(
-            scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
-        pltpu.make_async_copy(
-            scaler_hbm.at[q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
     ]
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
 
-    lam = lam_ref[...]                         # [C, S] = EIGN * r_c
-    d = d_ref[...]                             # [C, S] = w_c * exp(lam lz)
-    s = s1_s[...] + s2_s[...]
-    smin = jnp.min(s, axis=0)
-    rel = (s - smin[None, :]).astype(jnp.float32)
-
-    inv_li = jnp.zeros((bw,), jnp.float32)
-    dln = jnp.zeros((bw,), jnp.float32)
-    d2ln = jnp.zeros((bw,), jnp.float32)
-    for c in range(n_cats):
-        srel = jnp.exp(rel[c] * log_min_scale)
-        for k in range(n_states):
-            tmp = d[c, k] * x1_s[c, k] * x2_s[c, k] * srel
-            inv_li = inv_li + tmp
-            dln = dln + tmp * lam[c, k]
-            d2ln = d2ln + tmp * (lam[c, k] * lam[c, k])
+    lam = lam_ref[0]                           # [K] = EIGN_k * r_c folded
+    d = d_ref[0]                               # [K] = w_c * exp(lam lz)
+    x12 = (x1_s[...].astype(jnp.float32)
+           * x2_s[...].astype(jnp.float32))    # [K, BW]
+    tmp = x12 * d[:, None]
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam[:, None], axis=0)
+    d2ln = jnp.sum(tmp * (lam * lam)[:, None], axis=0)
 
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
@@ -793,15 +763,16 @@ def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
                           log_min_scale=float(np.log(2.0 ** -30)),
                           interpret=False):
     """(dlnLdlz, d2lnLdlz2) for the branch between rows p and q.
-    lam [C, S] = EIGN*r_c; d [C, S] = rate_weight_c * exp(lam * lz)."""
-    rows, n_cats, n_states, W = clv.shape
+    lam [1, K] = EIGN*r_c folded; d [1, K] = rate_weight_c * exp(lam*lz).
+    The per-site joint scale factor cancels in the ratios, so the scaler
+    buffer is never read (makenewzGenericSpecial.c sumGAMMA/coreGTRGAMMA
+    fused, minus the scaling term)."""
+    rows, k_dim, W = clv.shape
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
 
-    kernel = functools.partial(_nr_kernel, n_cats=n_cats,
-                               n_states=n_states, bw=bw,
-                               log_min_scale=log_min_scale)
+    kernel = functools.partial(_nr_kernel, bw=bw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -809,18 +780,16 @@ def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((n_cats, n_states), lambda w, p, q: (0, 0)),
-            pl.BlockSpec((n_cats, n_states), lambda w, p, q: (0, 0)),
+            pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
+            pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
         ],
         out_specs=pl.BlockSpec((1, 2), lambda w, p, q: (w, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, n_states, bw), jnp.float32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
-            pltpu.VMEM((n_cats, bw), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     partials = pl.pallas_call(
@@ -853,9 +822,9 @@ def _newview_psr_kernel(p_idx, q_idx, r_idx, tip_tip,
 
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[r, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            clv_hbm.at[r, :, pl.ds(col, bw)], x2_s, sems.at[1]),
         pltpu.make_async_copy(
             scaler_hbm.at[q, :, pl.ds(col, bw)], s1_s, sems.at[2]),
         pltpu.make_async_copy(
@@ -875,9 +844,9 @@ def _newview_psr_kernel(p_idx, q_idx, r_idx, tip_tip,
     ev = ev_ref[...]
     hi = jax.lax.Precision.HIGHEST
 
-    a = jnp.dot(ei, x1_s[0] * dq, preferred_element_type=jnp.float32,
+    a = jnp.dot(ei, x1_s[...] * dq, preferred_element_type=jnp.float32,
                 precision=hi)
-    b = jnp.dot(ei, x2_s[0] * dr, preferred_element_type=jnp.float32,
+    b = jnp.dot(ei, x2_s[...] * dr, preferred_element_type=jnp.float32,
                 precision=hi)
     ab = a * b
     x3 = jnp.dot(ev.T, ab, preferred_element_type=jnp.float32, precision=hi)
@@ -886,7 +855,7 @@ def _newview_psr_kernel(p_idx, q_idx, r_idx, tip_tip,
     is_tip_tip = tip_tip[n] != 0
     scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tip_tip))
     x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
-    x3_ref[0, 0] = x3
+    x3_ref[0] = x3
     s3_ref[0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
 
 
@@ -894,11 +863,11 @@ def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                              lamq, lamr, ei, ev, site_rates, *,
                              block_w=8192, min_scale=2.0 ** -30,
                              inv_min_scale=2.0 ** 30, interpret=False):
-    """One level of PSR newview updates in place. clv [rows, 1, S, W];
-    lamq/lamr [N, S] = EIGN * log(z) per node; site_rates [W] = the
-    concrete per-site rates (perSiteRates[rateCategory])."""
-    rows, one, n_states, W = clv.shape
-    assert one == 1
+    """One level of PSR newview updates in place. clv [rows, S, W],
+    scaler [rows, W]; lamq/lamr [N, S] = EIGN * log(z) per node;
+    site_rates [W] = the concrete per-site rates
+    (perSiteRates[rateCategory])."""
+    rows, n_states, W = clv.shape
     N = p_idx.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
@@ -922,14 +891,14 @@ def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             pl.BlockSpec((bw,), lambda n, w, p, q, r, t: (w,)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, n_states, bw),
-                         lambda n, w, p, q, r, t: (p[n], 0, 0, w)),
+            pl.BlockSpec((1, n_states, bw),
+                         lambda n, w, p, q, r, t: (p[n], 0, w)),
             pl.BlockSpec((1, 1, bw),
                          lambda n, w, p, q, r, t: (p[n], 0, w)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -959,9 +928,9 @@ def _evaluate_psr_kernel(p_row, q_row,
     q = q_row[0]
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
         pltpu.make_async_copy(
             scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
         pltpu.make_async_copy(
@@ -974,10 +943,8 @@ def _evaluate_psr_kernel(p_row, q_row,
 
     lam = lam_ref[...]                         # [1, S] = EIGN * lz
     rates = rates_ref[...]                     # [BW]
-    term = jnp.zeros((bw,), jnp.float32)
-    for k in range(n_states):
-        d = jnp.exp(lam[0, k] * rates)
-        term = term + x1_s[0, k] * x2_s[0, k] * d
+    term = jnp.sum(x1_s[...] * x2_s[...]
+                   * jnp.exp(lam[0][:, None] * rates[None, :]), axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
     wgt = wgt_ref[...]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
@@ -988,8 +955,9 @@ def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
                         *, block_w=8192,
                         log_min_scale=float(np.log(2.0 ** -30)),
                         interpret=False):
-    """PSR root log likelihood; lam [1, S] = EIGN * log(z)."""
-    rows, one, n_states, W = clv.shape
+    """PSR root log likelihood; lam [1, S] = EIGN * log(z);
+    clv [rows, S, W], scaler [rows, W]."""
+    rows, n_states, W = clv.shape
     bw = min(block_w, W)
     nb = W // bw
     kernel = functools.partial(_evaluate_psr_kernel, n_states=n_states,
@@ -1007,8 +975,8 @@ def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
         out_specs=pl.BlockSpec((1, 1), lambda w, p, q: (w, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -1034,9 +1002,9 @@ def _nr_psr_kernel(p_row, q_row,
     q = q_row[0]
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
         pltpu.make_async_copy(
             scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
         pltpu.make_async_copy(
@@ -1050,15 +1018,11 @@ def _nr_psr_kernel(p_row, q_row,
     eign = eign_ref[...]                       # [1, S]
     rates = rates_ref[...]                     # [BW]
     lz = lz_ref[0]
-    inv_li = jnp.zeros((bw,), jnp.float32)
-    dln = jnp.zeros((bw,), jnp.float32)
-    d2ln = jnp.zeros((bw,), jnp.float32)
-    for k in range(n_states):
-        lamk = eign[0, k] * rates               # [BW]
-        tmp = x1_s[0, k] * x2_s[0, k] * jnp.exp(lamk * lz)
-        inv_li = inv_li + tmp
-        dln = dln + tmp * lamk
-        d2ln = d2ln + tmp * lamk * lamk
+    lam = eign[0][:, None] * rates[None, :]     # [S, BW]
+    tmp = x1_s[...] * x2_s[...] * jnp.exp(lam * lz)
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam, axis=0)
+    d2ln = jnp.sum(tmp * lam * lam, axis=0)
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
     d2ln = d2ln * inv_li
@@ -1072,8 +1036,9 @@ def _nr_psr_kernel(p_row, q_row,
 def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
                               site_rates, lz, *, block_w=8192,
                               interpret=False):
-    """PSR NR derivatives; eign [1, S]; lz scalar array [1]."""
-    rows, one, n_states, W = clv.shape
+    """PSR NR derivatives; eign [1, S]; lz scalar array [1];
+    clv [rows, S, W], scaler [rows, W]."""
+    rows, n_states, W = clv.shape
     bw = min(block_w, W)
     nb = W // bw
     kernel = functools.partial(_nr_psr_kernel, n_states=n_states, bw=bw)
@@ -1092,8 +1057,8 @@ def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
         out_specs=pl.BlockSpec((1, 2), lambda w, p, q: (w, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -1119,9 +1084,9 @@ def _per_site_lnl_kernel(p_row, q_row,
     q = q_row[0]
     copies = [
         pltpu.make_async_copy(
-            clv_hbm.at[p, :, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
         pltpu.make_async_copy(
-            clv_hbm.at[q, :, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
         pltpu.make_async_copy(
             scaler_hbm.at[p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
         pltpu.make_async_copy(
@@ -1135,10 +1100,9 @@ def _per_site_lnl_kernel(p_row, q_row,
     eign = eign_ref[...]                       # [1, S]
     rates = rates_ref[...]                     # [BW]
     lz = lz_ref[0]
-    term = jnp.zeros((bw,), jnp.float32)
-    for k in range(n_states):
-        term = term + (x1_s[0, k] * x2_s[0, k]
-                       * jnp.exp(eign[0, k] * rates * lz))
+    term = jnp.sum(x1_s[...] * x2_s[...]
+                   * jnp.exp(eign[0][:, None] * rates[None, :] * lz),
+                   axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
     out_ref[...] = jnp.log(jnp.abs(term)) + s * log_min_scale
 
@@ -1147,8 +1111,9 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
                         *, block_w=8192,
                         log_min_scale=float(np.log(2.0 ** -30)),
                         interpret=False):
-    """Per-site pattern log likelihoods under PSR -> [W]."""
-    rows, one, n_states, W = clv.shape
+    """Per-site pattern log likelihoods under PSR -> [W];
+    clv [rows, S, W], scaler [rows, W]."""
+    rows, n_states, W = clv.shape
     bw = min(block_w, W)
     nb = W // bw
     kernel = functools.partial(_per_site_lnl_kernel, n_states=n_states,
@@ -1166,8 +1131,8 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
         ],
         out_specs=pl.BlockSpec((bw,), lambda w, p, q: (w,)),
         scratch_shapes=[
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
-            pltpu.VMEM((1, n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.VMEM((1, bw), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),

@@ -1,16 +1,31 @@
-"""The fused Pallas newview kernel must reproduce the jnp reference kernel
-bit-for-bit in f32 (interpret mode on CPU)."""
+"""The fused Pallas kernels must reproduce the jnp reference kernels in
+f32 (interpret mode on CPU).
+
+The Pallas GAMMA path uses the folded [rows, K=C*S, W] CLV layout with ONE
+per-site scale counter shared by all categories (the reference's own
+scheme, newviewGenericSpecial.c:1140-1168), while the jnp f64 parity path
+keeps per-(category, site) counters. CLV values are therefore compared
+with scaling disabled (min_scale=0), and the scaling machinery is checked
+separately through its defining invariant: the evaluated log likelihood
+is unchanged by rescaling, while the counters do fire."""
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
 from examl_tpu.kernels import reference_jnp as K
-from examl_tpu.kernels.pallas_newview import (make_p_batch,
+from examl_tpu.kernels.pallas_newview import (blockdiag, evaluate_pallas,
+                                              fold_lam, fold_rw,
+                                              make_p_batch,
                                               newview_level_pallas,
                                               newview_level_pallas_psr,
                                               per_site_lnl_pallas,
                                               traversal_fused_pallas)
+
+
+def _fold(clv):
+    rows, C, S, W = clv.shape
+    return jnp.asarray(clv).reshape(rows, C * S, W)
 
 
 @pytest.mark.parametrize('n_states', [4, 20])
@@ -18,7 +33,7 @@ def test_pallas_matches_reference(n_states):
     rng = np.random.default_rng(0)
     rows, C, S, W = 12, 4, n_states, 256
     clv = jnp.asarray(rng.uniform(0.1, 1.0, (rows, C, S, W)), jnp.float32)
-    scaler = jnp.asarray(rng.integers(0, 3, (rows, C, W)), jnp.int32)
+    scaler = jnp.zeros((rows, C, W), jnp.int32)
     p_idx = jnp.asarray([8, 9, 10], jnp.int32)
     q_idx = jnp.asarray([1, 2, 5], jnp.int32)
     r_idx = jnp.asarray([3, 4, 6], jnp.int32)
@@ -31,9 +46,15 @@ def test_pallas_matches_reference(n_states):
     ei = ei.at[:, :, 0].set(1.0)
     ev = jnp.asarray(rng.normal(0, 1, (C, S, S)), jnp.float32)
     gamma = jnp.asarray([0.2, 0.6, 1.1, 2.1], jnp.float32)
-    ms, ims = 2.0 ** -30, 2.0 ** 30
 
     pls, prs = make_p_batch(qz, rz, gamma, eign, ei)
+    # per-category P blocks for the jnp reference walk
+    pls_c = np.stack([np.asarray(pls)[:, c * S:(c + 1) * S,
+                                      c * S:(c + 1) * S]
+                      for c in range(C)], axis=1)
+    prs_c = np.stack([np.asarray(prs)[:, c * S:(c + 1) * S,
+                                      c * S:(c + 1) * S]
+                      for c in range(C)], axis=1)
 
     clv_ref = np.asarray(clv).copy()
     sc_ref = np.asarray(scaler).copy()
@@ -43,15 +64,67 @@ def test_pallas_matches_reference(n_states):
             jnp.asarray(clv_ref[int(r_idx[i])]),
             jnp.asarray(sc_ref[int(q_idx[i])]),
             jnp.asarray(sc_ref[int(r_idx[i])]),
-            pls[i], prs[i], ev, bool(int(tip_tip[i])), ms, ims)
+            jnp.asarray(pls_c[i]), jnp.asarray(prs_c[i]), ev,
+            bool(int(tip_tip[i])), 0.0, 1.0)
         clv_ref[int(p_idx[i])] = np.asarray(x3)
         sc_ref[int(p_idx[i])] = np.asarray(s3)
 
     clv2, sc2 = newview_level_pallas(
-        clv, scaler, p_idx, q_idx, r_idx, tip_tip, pls, prs, ev,
-        block_w=128, min_scale=ms, inv_min_scale=ims, interpret=True)
-    np.testing.assert_allclose(np.asarray(clv2), clv_ref, rtol=1e-6)
-    assert np.array_equal(np.asarray(sc2), sc_ref)
+        _fold(clv), jnp.zeros((rows, 1, W), jnp.int32), p_idx, q_idx, r_idx,
+        tip_tip, pls, prs, blockdiag(ev),
+        block_w=128, min_scale=0.0, inv_min_scale=1.0, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(clv2).reshape(rows, C, S, W), clv_ref, rtol=1e-5,
+        atol=1e-7)
+    assert np.array_equal(np.asarray(sc2), np.zeros((rows, 1, W)))
+
+
+def test_joint_scaling_invariance():
+    """The folded kernel's per-site joint scaling: counters fire on small
+    columns, and the evaluated lnL is identical with scaling on or off."""
+    rng = np.random.default_rng(7)
+    rows, C, S, W = 8, 4, 4, 256
+    # tiny CLV magnitudes force the scale trigger
+    clv = jnp.asarray(rng.uniform(1e-12, 1e-10, (rows, C, S, W)),
+                      jnp.float32)
+    p_idx = jnp.asarray([6, 7], jnp.int32)
+    q_idx = jnp.asarray([1, 6], jnp.int32)
+    r_idx = jnp.asarray([2, 3], jnp.int32)
+    tip_tip = jnp.zeros(2, jnp.int32)
+    qz = jnp.asarray(rng.uniform(0.2, 0.95, 2), jnp.float32)
+    rz = jnp.asarray(rng.uniform(0.2, 0.95, 2), jnp.float32)
+    from examl_tpu.datatypes import DataType, info_for
+    from examl_tpu.models.eigen import make_eigen
+    es = make_eigen(rng.uniform(0.2, 2.0, 6), rng.dirichlet(np.full(4, 10.0)),
+                    info_for(DataType.DNA).bit_vectors)
+    eign = jnp.asarray(np.tile(es.EIGN, (C, 1)), jnp.float32)
+    ei = jnp.asarray(np.tile(es.EI, (C, 1, 1)), jnp.float32)
+    ev = jnp.asarray(np.tile(es.EV, (C, 1, 1)), jnp.float32)
+    gamma = jnp.asarray([0.2, 0.6, 1.1, 2.1], jnp.float32)
+    ms, ims = 2.0 ** -30, 2.0 ** 30
+    lms = float(np.log(ms))
+    pls, prs = make_p_batch(qz, rz, gamma, eign, ei)
+
+    outs = {}
+    for tag, mn, inv in (('scaled', ms, ims), ('raw', 0.0, 1.0)):
+        c2, s2 = newview_level_pallas(
+            _fold(clv), jnp.zeros((rows, 1, W), jnp.int32), p_idx, q_idx,
+            r_idx, tip_tip, pls, prs, blockdiag(ev),
+            block_w=128, min_scale=mn, inv_min_scale=inv, interpret=True)
+        lz = float(np.log(0.7))
+        dw = fold_rw(jnp.full((C,), 0.25, jnp.float32), S) * jnp.exp(
+            fold_lam(eign, gamma) * lz)
+        lnl = evaluate_pallas(
+            c2, s2, jnp.asarray([7], jnp.int32), jnp.asarray([4], jnp.int32),
+            dw[None, :], jnp.ones(W, jnp.float32),
+            block_w=128, log_min_scale=lms, interpret=True)
+        outs[tag] = (float(lnl), int(np.asarray(s2).sum()))
+
+    assert outs['scaled'][1] > 0           # counters fired
+    assert outs['raw'][1] == 0
+    # identical lnL: the counter exactly accounts for the rescaling
+    np.testing.assert_allclose(outs['scaled'][0], outs['raw'][0],
+                               rtol=1e-6)
 
 
 @pytest.mark.parametrize('n_states', [4, 20])
@@ -64,7 +137,6 @@ def test_traversal_fused_matches_reference(n_states):
     rows, C, S, W = 16, 4, n_states, 256
     n_rows = 12
     clv = jnp.asarray(rng.uniform(0.1, 1.0, (rows, C, S, W)), jnp.float32)
-    scaler = jnp.asarray(rng.integers(0, 3, (rows, C, W)), jnp.int32)
     # dependent chain: op2 consumes op0/op1 results
     p_idx = jnp.asarray([8, 9, 10], jnp.int32)
     q_idx = jnp.asarray([1, 2, 8], jnp.int32)
@@ -83,42 +155,52 @@ def test_traversal_fused_matches_reference(n_states):
     ei = jnp.asarray(np.tile(es.EI, (C, 1, 1)), jnp.float32)
     ev = jnp.asarray(np.tile(es.EV, (C, 1, 1)), jnp.float32)
     gamma = jnp.asarray([0.2, 0.6, 1.1, 2.1], jnp.float32)
-    ms, ims = 2.0 ** -30, 2.0 ** 30
 
     pls, prs = make_p_batch(jnp.asarray(qz, jnp.float32),
                             jnp.asarray(rz, jnp.float32), gamma, eign, ei)
+    pls_c = np.stack([np.asarray(pls)[:, c * S:(c + 1) * S,
+                                      c * S:(c + 1) * S]
+                      for c in range(C)], axis=1)
+    prs_c = np.stack([np.asarray(prs)[:, c * S:(c + 1) * S,
+                                      c * S:(c + 1) * S]
+                      for c in range(C)], axis=1)
     clv_ref = np.asarray(clv).copy()
-    sc_ref = np.asarray(scaler).copy()
+    sc_ref = np.zeros((rows, C, W), np.int32)
     for i in range(3):
         x3, s3 = K.newview_kernel(
             jnp.asarray(clv_ref[int(q_idx[i])]),
             jnp.asarray(clv_ref[int(r_idx[i])]),
             jnp.asarray(sc_ref[int(q_idx[i])]),
             jnp.asarray(sc_ref[int(r_idx[i])]),
-            pls[i], prs[i], ev, bool(int(tip_tip[i])), ms, ims)
+            jnp.asarray(pls_c[i]), jnp.asarray(prs_c[i]), ev,
+            bool(int(tip_tip[i])), 0.0, 1.0)
         clv_ref[int(p_idx[i])] = np.asarray(x3)
         sc_ref[int(p_idx[i])] = np.asarray(s3)
 
-    lam = eign * gamma[:, None]
+    lam = fold_lam(eign, gamma)
     lzq = jnp.asarray(np.log(np.maximum(qz, 1e-15)), jnp.float32)
     lzr = jnp.asarray(np.log(np.maximum(rz, 1e-15)), jnp.float32)
     clv2, sc2 = traversal_fused_pallas(
-        clv, scaler, p_idx, q_idx, r_idx, tip_tip, lzq, lzr, lam, ei, ev,
-        n_rows=n_rows, block_w=128, min_scale=ms, inv_min_scale=ims,
+        _fold(clv), jnp.zeros((rows, 1, W), jnp.int32), p_idx, q_idx, r_idx,
+        tip_tip, lzq, lzr, lam[None, :], blockdiag(ei), blockdiag(ev),
+        n_rows=n_rows, block_w=128, min_scale=0.0, inv_min_scale=1.0,
         interpret=True)
-    np.testing.assert_allclose(np.asarray(clv2), clv_ref,
-                               rtol=5e-5, atol=1e-6)
-    assert np.array_equal(np.asarray(sc2), sc_ref)
+    np.testing.assert_allclose(
+        np.asarray(clv2).reshape(rows, C, S, W), clv_ref,
+        rtol=5e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(sc2), np.zeros((rows, 1, W)))
     # the tail rows (>= n_rows) kept their original contents
-    np.testing.assert_array_equal(np.asarray(clv2[n_rows:]),
-                                  np.asarray(clv)[n_rows:])
+    np.testing.assert_array_equal(
+        np.asarray(clv2).reshape(rows, C, S, W)[n_rows:],
+        np.asarray(clv)[n_rows:])
 
 
 @pytest.mark.parametrize('n_states', [4, 20])
 def test_pallas_psr_matches_reference(n_states):
     """PSR per-site-rate path: the fused Pallas newview/per-site-lnl kernels
     must agree with the jnp reference kernels (newview_kernel_persite /
-    per_site_lnl_kernel) on the engine's [rows, 1, S, W] layout.
+    per_site_lnl_kernel); the Pallas side runs the folded [rows, S, W]
+    layout (C=1 folds trivially).
 
     This is the cross-check the round-1 layout bug (jnp kernels written for
     [1, W, S]) would have caught."""
@@ -163,17 +245,18 @@ def test_pallas_psr_matches_reference(n_states):
         jnp.asarray(sc_ref[8]), jnp.asarray(sc_ref[9]),
         site_rates, eign, root_lz, lms)
 
-    # Pallas walk (interpret mode)
+    # Pallas walk (interpret mode) on the folded [rows, S, W] layout
     lzq_all = jnp.asarray(np.log(np.maximum(qz, 1e-15)), jnp.float32)
     lzr_all = jnp.asarray(np.log(np.maximum(rz, 1e-15)), jnp.float32)
     lamq = eign[None, :] * lzq_all[:, None]
     lamr = eign[None, :] * lzr_all[:, None]
     clv2, sc2 = newview_level_pallas_psr(
-        clv, scaler, p_idx, q_idx, r_idx, tip_tip, lamq, lamr, ei, ev,
+        jnp.asarray(clv)[:, 0], scaler, p_idx, q_idx,
+        r_idx, tip_tip, lamq, lamr, ei, ev,
         site_rates, block_w=128, min_scale=ms, inv_min_scale=ims,
         interpret=True)
     # f32 dot-vs-einsum accumulation order differs; bound the drift tightly
-    np.testing.assert_allclose(np.asarray(clv2), clv_ref,
+    np.testing.assert_allclose(np.asarray(clv2), clv_ref[:, 0],
                                rtol=5e-5, atol=1e-5)
     assert np.array_equal(np.asarray(sc2), sc_ref)
 
