@@ -948,7 +948,10 @@ class LikelihoodEngine:
             for cand in (1024, 512, 256, 128):
                 if cand > self.widths[m] or self.widths[m] % cand:
                     continue
-                if n_rows * (self.n_cats * S + 1) * cand * 4 <= budget:
+                # x2: Mosaic double-buffers the aliased out blocks across
+                # grid steps (measured: 128x17x1024x4 plans 8.9M, allocates
+                # 17.0M on hardware)
+                if n_rows * (self.n_cats * S + 1) * cand * 4 * 2 <= budget:
                     bw = cand
                     break
             if bw is None:
