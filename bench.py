@@ -48,7 +48,8 @@ def main():
 
     # the engine's accelerator path: the WHOLE traversal is one Mosaic
     # kernel (P matrices built on the fly from log branch lengths), one
-    # device dispatch per wave (engine._build_pallas_program)
+    # device dispatch per wave (engine._build_pallas_program); only the
+    # real ops execute (n_exec skips the bucketed descriptor padding)
     jp = a['p_idx'].astype(jnp.int32)
     jq = a['q_idx'].astype(jnp.int32)
     jr = a['r_idx'].astype(jnp.int32)
@@ -58,18 +59,18 @@ def main():
     lam = fold_lam(a['eign'], a['gamma']).astype(jnp.float32)[None, :]
     ei_bd = blockdiag(a['ei']).astype(jnp.float32)
     ev_bd = blockdiag(a['ev']).astype(jnp.float32)
+    n_real = int(np.sum(np.asarray(a['p_idx']) != rows - 1))
 
     # VMEM plan (engine._fused_plan): rows*(C*S+1)*bw*4*2 <= ~12MB
-    # (x2 for Mosaic's double-buffered aliased out blocks)
     bw = 512
     fn = jax.jit(traversal_fused_pallas,
-                 static_argnames=('n_rows', 'block_w', 'min_scale',
-                                  'inv_min_scale', 'interpret'),
+                 static_argnames=('n_exec', 'n_rows', 'block_w', 'group',
+                                  'min_scale', 'inv_min_scale', 'interpret'),
                  donate_argnums=(0, 1))
 
     def full_wave(clv, scaler):
         return fn(clv, scaler, jp, jq, jr, jt, lzq, lzr, lam, ei_bd, ev_bd,
-                  n_rows=rows, block_w=bw,
+                  n_exec=n_real, n_rows=rows, block_w=bw,
                   min_scale=consts['min_scale'],
                   inv_min_scale=consts['inv_min_scale'])
 
@@ -78,7 +79,7 @@ def main():
     # (block_until_ready alone under-reports; see BASELINE.md round-2 notes)
     float(jnp.sum(clv[2, 0, :8]))
 
-    n_updates = jp.shape[0]
+    n_updates = n_real             # count only REAL CLV updates
     # per-process tunnel state is noisy for the first seconds after the
     # chip claim; take the best of several measured repetitions
     best_dt = float('inf')

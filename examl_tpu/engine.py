@@ -47,8 +47,12 @@ from .models.eigen import make_eigen
 from .models.gamma import make_gamma_cats
 from .models.protein import prot_rates_freqs, wag_rates
 from .traversal import (PackedTraversal, full_traversal, partial_traversal,
-                        pack_traversal, TraversalEntry)
+                        pack_grouped, pack_traversal, TraversalEntry)
 from .tree import Node, Tree
+
+# descriptor block size for the grouped fused traversal kernel (aligned
+# blocks of this many mutually independent ops; see traversal.pack_grouped)
+PALLAS_GROUP = 8
 
 
 @dataclasses.dataclass
@@ -933,6 +937,20 @@ class LikelihoodEngine:
     # ------------------------------------------------------------------
     # generic operations (host API mirroring the reference entry points)
 
+    def _pallas_group(self, m) -> int:
+        """Ops fused per MXU matmul in the grouped traversal kernel.
+
+        Measured on hardware (v5e, 64 taxa x 64k sites): a batched group
+        costs ~254us/wave-slot vs ~48us per single op — the [G*K, bw]
+        gather/scatter traffic through VMEM outweighs the bigger matmuls
+        (at K=16 the op is VPU-movement-bound, not MXU-bound), and real
+        trees' long 1-wide chain tails leave groups ~2/8 occupied. So the
+        product path runs group=1 on flat descriptors with the dynamic
+        n_exec bound (padding slots skipped); the grouped kernel and
+        pack_grouped stay available (tests cover bit-equivalence) for
+        wide-level regimes (e.g. 10^3+-taxon balanced trees)."""
+        return 1
+
     def _fused_plan(self, packed):
         """(n_rows, per-model block_w) for the fused whole-traversal
         kernel, or None when the VMEM working set does not fit."""
@@ -944,14 +962,19 @@ class LikelihoodEngine:
         plan = []
         for m in range(self.n_models):
             S = self._padded_states(m)
+            K = self.n_cats * S
+            gk = self._pallas_group(m) * K
             bw = None
             for cand in (1024, 512, 256, 128):
                 if cand > self.widths[m] or self.widths[m] % cand:
                     continue
                 # x2: Mosaic double-buffers the aliased out blocks across
                 # grid steps (measured: 128x17x1024x4 plans 8.9M, allocates
-                # 17.0M on hardware)
-                if n_rows * (self.n_cats * S + 1) * cand * 4 * 2 <= budget:
+                # 17.0M on hardware); + gather scratch and matmul
+                # temporaries of the grouped kernel (~4 [G*K, bw] buffers)
+                need = (n_rows * (K + 1) * cand * 4 * 2
+                        + 4 * gk * cand * 4)
+                if need <= budget:
                     bw = cand
                     break
             if bw is None:
@@ -967,7 +990,8 @@ class LikelihoodEngine:
         ~5 ms; the reference instead pays an MPI reduction per operation).
         kind: 'trav' (fused traversal), 'trav_eval' (+ root lnL per
         partition), 'trav_evalbatch' (+ batched candidate lnLs)."""
-        from .kernels.pallas_newview import (blockdiag, evaluate_batch_gamma,
+        from .kernels.pallas_newview import (blockdiag, blockdiag_tile,
+                                             evaluate_batch_gamma,
                                              evaluate_pallas, fold_lam,
                                              fold_rw,
                                              traversal_fused_pallas)
@@ -975,7 +999,7 @@ class LikelihoodEngine:
         interpret = jax.default_backend() == 'cpu'
 
         def traverse(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                     gammas, eigns, eis, evs):
+                     nex, gammas, eigns, eis, evs):
             # exec_mask is a dynamic [M] bool vector (one compiled program
             # serves every evaluateChange mask pattern); masked partitions
             # keep their stale CLVs via a select
@@ -984,12 +1008,15 @@ class LikelihoodEngine:
             for m in range(M):
                 col = self._branch_col(m)
                 lam = fold_lam(eigns[m], gammas[m]).astype(jnp.float32)
+                g = self._pallas_group(m)
                 c2, s2 = traversal_fused_pallas(
                     clvs[m], scalers[m], jp, jq, jr, jt,
                     lzq[:, col], lzr[:, col], lam[None, :],
-                    blockdiag(eis[m]).astype(jnp.float32),
-                    blockdiag(evs[m]).astype(jnp.float32),
-                    n_rows=n_rows, block_w=plan[m],
+                    blockdiag_tile(blockdiag(eis[m]).astype(jnp.float32),
+                                   g),
+                    blockdiag_tile(blockdiag(evs[m]).astype(jnp.float32),
+                                   g),
+                    n_exec=nex[0], n_rows=n_rows, block_w=plan[m], group=g,
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale, interpret=interpret)
                 out_c[m] = jnp.where(exec_mask[m], c2, clvs[m])
@@ -998,16 +1025,16 @@ class LikelihoodEngine:
 
         if kind == 'trav':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                    gammas, eigns, eis, evs):
+                    nex, gammas, eigns, eis, evs):
                 return traverse(clvs, scalers, exec_mask, jp, jq, jr, jt,
-                                lzq, lzr, gammas, eigns, eis, evs)
+                                lzq, lzr, nex, gammas, eigns, eis, evs)
         elif kind == 'trav_eval':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                    gammas, eigns, eis, evs, rate_weights, wgts, p_row,
+                    nex, gammas, eigns, eis, evs, rate_weights, wgts, p_row,
                     q_row, qz):
                 clvs, scalers = traverse(clvs, scalers, exec_mask, jp, jq,
-                                         jr, jt, lzq, lzr, gammas, eigns,
-                                         eis, evs)
+                                         jr, jt, lzq, lzr, nex, gammas,
+                                         eigns, eis, evs)
                 lhs = []
                 for m in range(M):
                     col = self._branch_col(m)
@@ -1025,11 +1052,11 @@ class LikelihoodEngine:
                 return clvs, scalers, jnp.stack(lhs)
         elif kind == 'trav_evalbatch':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                    gammas, eigns, eis, evs, rate_weights, wgts, bp_rows,
-                    bq_rows, bzs):
+                    nex, gammas, eigns, eis, evs, rate_weights, wgts,
+                    bp_rows, bq_rows, bzs):
                 clvs, scalers = traverse(clvs, scalers, exec_mask, jp, jq,
-                                         jr, jt, lzq, lzr, gammas, eigns,
-                                         eis, evs)
+                                         jr, jt, lzq, lzr, nex, gammas,
+                                         eigns, eis, evs)
                 lhs = []
                 for m in range(M):
                     col = self._branch_col(m)
@@ -1071,7 +1098,8 @@ class LikelihoodEngine:
             np.log(np.maximum(packed.qz, C.ZMIN)).astype(np.float32))
         lzr = jnp.asarray(
             np.log(np.maximum(packed.rz, C.ZMIN)).astype(np.float32))
-        return (jp, jq, jr, jt, lzq, lzr, tuple(self.d_gamma),
+        nex = jnp.asarray([packed.exec_count()], dtype=jnp.int32)
+        return (jp, jq, jr, jt, lzq, lzr, nex, tuple(self.d_gamma),
                 tuple(self.d_EIGN), tuple(self.d_EI), tuple(self.d_EV))
 
     def _run_traversal_fused(self, entries, exec_mask, interpret) -> bool:

@@ -153,6 +153,18 @@ def blockdiag(mats):
     return out
 
 
+def blockdiag_tile(mat, g):
+    """[K, K] -> [g*K, g*K] block-diagonal of g copies (for the grouped
+    fused traversal kernel's weight-stationary MXU matmuls)."""
+    if g == 1:
+        return mat
+    K = mat.shape[0]
+    out = jnp.zeros((g * K, g * K), dtype=mat.dtype)
+    for i in range(g):
+        out = out.at[i * K:(i + 1) * K, i * K:(i + 1) * K].set(mat)
+    return out
+
+
 def fold_lam(eign, gamma):
     """(eign [C, S], gamma [C]) -> lam [K] = EIGN_k * r_c folded."""
     return (eign * gamma[:, None]).reshape(-1)
@@ -169,11 +181,11 @@ def fold_tipvec(tipvec):
     return jnp.transpose(tipvec, (1, 0, 2)).reshape(nc, C_ * S)
 
 
-def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
+def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex,
                             clv_hbm, scaler_hbm, lam_ref, ei_ref, ev_ref,
                             out_clv, out_scaler,
-                            sems,
-                            *, n_ops, n_rows, bw,
+                            sems, xq, xr,
+                            *, n_rows, bw, group,
                             min_scale, inv_min_scale):
     """Whole-traversal CLV wave, one kernel instance per site block: the
     CLV column block of every (used) row lives in VMEM while every
@@ -184,7 +196,15 @@ def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
     per-op log branch lengths and the shared eigensystem (makeP,
     newviewGenericSpecial.c:78), so the op list costs only scalars. Ops
     execute in descriptor order — dependency-safe by construction,
-    identical to the jnp scan semantics."""
+    identical to the jnp scan semantics.
+
+    With group G > 1, the descriptor must be laid out in aligned blocks of
+    G mutually independent ops (traversal.pack_grouped): G children are
+    gathered into a [G*K, BW] scratch with the P-matrix column scale
+    exp(lam*lz) applied as a ROW scale on the gather (P@x =
+    (ei ⊙_col c) @ x = ei @ (c ⊙ x)), so the three matmuls per group use
+    the CONSTANT [G*K, G*K] block-diagonal ei/ev — weight-stationary
+    full-width MXU matmuls instead of per-op [K, K] slivers."""
     wb = pl.program_id(0)
     col = wb * bw
 
@@ -202,67 +222,120 @@ def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
     cp_in2.wait()
 
     lam = lam_ref[0]                           # [K] = EIGN_k * r_c folded
-    ei = ei_ref[...]                           # [K, K] block-diagonal
-    ev = ev_ref[...]                           # [K, K] block-diagonal
+    ei = ei_ref[...]                           # [G*K, G*K] block-diagonal
+    ev = ev_ref[...]                           # [G*K, G*K] block-diagonal
     hi = jax.lax.Precision.HIGHEST
+    K = lam.shape[0]
 
-    def body(n, _):
-        q = q_idx[n]
-        r = r_idx[n]
-        p = p_idx[n]
-        x1 = out_clv[q].astype(jnp.float32)    # [K, BW]
-        x2 = out_clv[r].astype(jnp.float32)
-        # makeP on the fly: P[k, l] = exp(lam[l] lz) * ei[k, l] (zero off
-        # the diagonal blocks, so the fold is exact)
-        pls = jnp.exp(lam * lzq[n])[None, :] * ei
-        prs = jnp.exp(lam * lzr[n])[None, :] * ei
-        is_tt = tip_tip[n] != 0
-        a = jnp.dot(pls, x1, preferred_element_type=jnp.float32,
-                    precision=hi)
-        b = jnp.dot(prs, x2, preferred_element_type=jnp.float32,
-                    precision=hi)
-        x3 = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
-                     precision=hi)
-        m = jnp.max(jnp.abs(x3), axis=0)
-        scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tt))
-        x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
-        out_clv[p] = x3.astype(out_clv.dtype)
-        out_scaler[p] = (out_scaler[q] + out_scaler[r]
-                         + scale.astype(jnp.int32))
-        return 0
+    if group == 1:
+        def body(n, _):
+            q = q_idx[n]
+            r = r_idx[n]
+            p = p_idx[n]
+            x1 = out_clv[q].astype(jnp.float32)    # [K, BW]
+            x2 = out_clv[r].astype(jnp.float32)
+            # makeP on the fly: P[k, l] = exp(lam[l] lz) * ei[k, l] (zero
+            # off the diagonal blocks, so the fold is exact)
+            pls = jnp.exp(lam * lzq[n])[None, :] * ei
+            prs = jnp.exp(lam * lzr[n])[None, :] * ei
+            is_tt = tip_tip[n] != 0
+            a = jnp.dot(pls, x1, preferred_element_type=jnp.float32,
+                        precision=hi)
+            b = jnp.dot(prs, x2, preferred_element_type=jnp.float32,
+                        precision=hi)
+            x3 = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
+                         precision=hi)
+            m = jnp.max(jnp.abs(x3), axis=0)
+            scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tt))
+            x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
+            out_clv[p] = x3.astype(out_clv.dtype)
+            out_scaler[p] = (out_scaler[q] + out_scaler[r]
+                             + scale.astype(jnp.int32))
+            return 0
 
-    jax.lax.fori_loop(0, n_ops, body, 0)
+        jax.lax.fori_loop(0, nex[0], body, 0)
+    else:
+        def body(g, _):
+            n0 = g * group
+            for i in range(group):             # static unroll
+                n = n0 + i
+                cq = jnp.exp(lam * lzq[n])     # [K] P column scale
+                cr = jnp.exp(lam * lzr[n])
+                xq[i * K:(i + 1) * K] = (
+                    out_clv[q_idx[n]].astype(jnp.float32) * cq[:, None])
+                xr[i * K:(i + 1) * K] = (
+                    out_clv[r_idx[n]].astype(jnp.float32) * cr[:, None])
+            a = jnp.dot(ei, xq[...], preferred_element_type=jnp.float32,
+                        precision=hi)
+            b = jnp.dot(ei, xr[...], preferred_element_type=jnp.float32,
+                        precision=hi)
+            x3 = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
+                         precision=hi)
+            for i in range(group):             # static unroll
+                n = n0 + i
+                chunk = x3[i * K:(i + 1) * K]
+                m = jnp.max(jnp.abs(chunk), axis=0)
+                scale = jnp.logical_and(m < min_scale, tip_tip[n] == 0)
+                chunk = jnp.where(scale[None, :], chunk * inv_min_scale,
+                                  chunk)
+                out_clv[p_idx[n]] = chunk.astype(out_clv.dtype)
+                out_scaler[p_idx[n]] = (out_scaler[q_idx[n]]
+                                        + out_scaler[r_idx[n]]
+                                        + scale.astype(jnp.int32))
+            return 0
+
+        jax.lax.fori_loop(0, nex[0] // group, body, 0)
 
 
 def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
-                           lzq, lzr, lam, ei, ev, *, n_rows=None,
-                           block_w=512, min_scale=2.0 ** -30,
+                           lzq, lzr, lam, ei, ev, *, n_exec=None,
+                           n_rows=None, block_w=512, group=1,
+                           min_scale=2.0 ** -30,
                            inv_min_scale=2.0 ** 30, interpret=False):
     """Run a whole packed traversal in ONE pallas_call. clv [rows, K, W]
     (donated); lzq/lzr [L] f32 log branch lengths per op; lam [K] =
-    EIGN_k * gamma_c folded; ei/ev [K, K] block-diagonal; n_rows bounds
-    the VMEM-resident row range (ops must only touch rows < n_rows). Use
-    when the column working set fits VMEM (see the engine's fallback to
-    the level kernels)."""
+    EIGN_k * gamma_c folded; ei/ev [G*K, G*K] block-diagonal (G copies
+    when group=G, see blockdiag_tile); n_rows bounds the VMEM-resident
+    row range (ops must only touch rows < n_rows). With group > 1 the
+    descriptor must come from traversal.pack_grouped (aligned independent
+    blocks of `group` ops). Use when the column working set fits VMEM
+    (see the engine's fallback to the level kernels)."""
     rows, k_dim, W = clv.shape
     L = p_idx.shape[0]
     n_rows = rows if n_rows is None else n_rows
     bw = min(block_w, W)
     assert W % bw == 0
+    assert L % group == 0
+    gk = group * k_dim
+    assert ei.shape == (gk, gk) and ev.shape == (gk, gk)
+    # executed slot count may be dynamic: the bucketed descriptor tail is
+    # pure padding the kernel never runs, so one compiled shape serves
+    # every traversal length at zero padding cost
+    nex = jnp.asarray(L if n_exec is None else n_exec,
+                      jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _traversal_fused_kernel, n_ops=L, n_rows=n_rows,
-        bw=bw, min_scale=min_scale, inv_min_scale=inv_min_scale)
+        _traversal_fused_kernel, n_rows=n_rows,
+        bw=bw, group=group, min_scale=min_scale,
+        inv_min_scale=inv_min_scale)
+
+    scratch = [pltpu.SemaphoreType.DMA((2,))]
+    if group > 1:
+        scratch += [pltpu.VMEM((gk, bw), jnp.float32),
+                    pltpu.VMEM((gk, bw), jnp.float32)]
+    else:                                   # unused tile-sized dummies
+        scratch += [pltpu.VMEM((8, 128), jnp.float32),
+                    pltpu.VMEM((8, 128), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(W // bw,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
             pl.BlockSpec((1, k_dim), lambda w, *_: (0, 0)),
-            pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
-            pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
+            pl.BlockSpec((gk, gk), lambda w, *_: (0, 0)),
+            pl.BlockSpec((gk, gk), lambda w, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((n_rows, k_dim, bw),
@@ -270,9 +343,7 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             pl.BlockSpec((n_rows, 1, bw),
                          lambda w, *_: (0, 0, w)),
         ],
-        scratch_shapes=[
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     # out_shape matches the full buffer and aliases it; the kernel only
     # ever writes the first n_rows rows' blocks — the scratch-row tail
@@ -283,9 +354,10 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             jax.ShapeDtypeStruct(clv.shape, clv.dtype),
             jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
         ],
-        input_output_aliases={6: 0, 7: 1},
+        input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
-    )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, clv, scaler, lam, ei, ev)
+    )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex, clv, scaler, lam, ei,
+      ev)
     return clv_out, scaler_out
 
 

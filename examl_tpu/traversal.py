@@ -82,6 +82,13 @@ class PackedTraversal:
     tip_tip: np.ndarray    # [L] bool
     qz: np.ndarray         # [L, B] float
     rz: np.ndarray         # [L, B] float
+    # leading descriptor slots that must execute (real work, incl. any
+    # interleaved in-chunk padding); the bucketed tail beyond n_exec is
+    # pure padding a kernel may skip. 0 means "execute everything".
+    n_exec: int = 0
+
+    def exec_count(self) -> int:
+        return self.n_exec if self.n_exec else len(self.p_idx)
 
 
 def _bucket(n: int) -> int:
@@ -118,7 +125,7 @@ def pack_traversal(tr: Tree, entries: List[TraversalEntry]) -> PackedTraversal:
         rz[i] = e.rz
 
     return PackedTraversal(count=n, p_idx=p_idx, q_idx=q_idx, r_idx=r_idx,
-                           tip_tip=tip_tip, qz=qz, rz=rz)
+                           tip_tip=tip_tip, qz=qz, rz=rz, n_exec=n)
 
 
 def full_traversal(tr: Tree, p: Node) -> List[TraversalEntry]:
@@ -183,6 +190,43 @@ def _pack_exact(tr: Tree, entries: List[TraversalEntry]) -> PackedTraversal:
         rz[i] = e.rz
     return PackedTraversal(count=n, p_idx=p_idx, q_idx=q_idx, r_idx=r_idx,
                            tip_tip=tip_tip, qz=qz, rz=rz)
+
+
+def pack_grouped(tr: Tree, entries: List[TraversalEntry],
+                 group: int = 8) -> PackedTraversal:
+    """Pack a traversal as aligned blocks of `group` mutually independent
+    ops (dependency-safe chunking, scratch-row padding): the grouped
+    fused Pallas kernel applies each block with one block-diagonal MXU
+    matmul. The block count is bucketed so one compiled kernel shape
+    serves many traversal lengths."""
+    chunks = chunk_entries(tr, entries, group)
+    # power-of-two buckets all the way up: the padded tail costs nothing
+    # at run time (the kernel executes only `count` leading slots), only
+    # descriptor bytes — so favour few compiled shapes over tight fit
+    nb = 4
+    while nb < len(chunks):
+        nb *= 2
+    dummy = 2 * tr.mxtips - 1
+    B = tr.num_branches
+    L = nb * group
+
+    p_idx = np.full(L, dummy, dtype=np.int32)
+    q_idx = np.zeros(L, dtype=np.int32)
+    r_idx = np.zeros(L, dtype=np.int32)
+    tip_tip = np.ones(L, dtype=bool)
+    qz = np.full((L, B), DEFAULTZ)
+    rz = np.full((L, B), DEFAULTZ)
+    for c, ch in enumerate(chunks):
+        s = c * group
+        p_idx[s:s + group] = ch.p_idx
+        q_idx[s:s + group] = ch.q_idx
+        r_idx[s:s + group] = ch.r_idx
+        tip_tip[s:s + group] = ch.tip_tip
+        qz[s:s + group] = ch.qz
+        rz[s:s + group] = ch.rz
+    return PackedTraversal(count=len(entries), p_idx=p_idx, q_idx=q_idx,
+                           r_idx=r_idx, tip_tip=tip_tip, qz=qz, rz=rz,
+                           n_exec=len(chunks) * group)
 
 
 def chunk_entries(tr: Tree, entries: List[TraversalEntry],

@@ -266,3 +266,77 @@ def test_pallas_psr_matches_reference(n_states):
         block_w=128, log_min_scale=lms, interpret=True)
     np.testing.assert_allclose(np.asarray(lnl2), np.asarray(lnl_ref),
                                rtol=1e-5)
+
+
+def test_traversal_grouped_matches_ungrouped():
+    """The grouped fused kernel (G independent ops per block-diagonal MXU
+    matmul, pack_grouped descriptor layout) must be numerically identical
+    to the per-op fused kernel on a real whole-tree traversal, including
+    the scaling counters."""
+    import sys
+    sys.path.insert(0, '/root/repo')
+    from __graft_entry__ import _synthetic
+    from examl_tpu.kernels.pallas_newview import (blockdiag_tile, fold_lam,
+                                                  traversal_fused_pallas)
+    from examl_tpu.traversal import pack_grouped, full_traversal
+    from examl_tpu.tree import Tree
+
+    args, consts, _ = _synthetic(n_taxa=24, sites=256, dtype=jnp.float32)
+    a = args
+    rows, C, S, W = a['clv'].shape
+    clv0 = a['clv'].reshape(rows, C * S, W)
+    sc0 = a['scaler'][:, :1, :]
+    # aggressive min_scale so the scaling path fires
+    ms, ims = 2.0 ** -6, 2.0 ** 6
+
+    jp = a['p_idx'].astype(jnp.int32)
+    jq = a['q_idx'].astype(jnp.int32)
+    jr = a['r_idx'].astype(jnp.int32)
+    jt = a['tip_tip'].astype(jnp.int32)
+    lzq = jnp.log(jnp.maximum(a['qz'], 1e-15)).astype(jnp.float32)
+    lzr = jnp.log(jnp.maximum(a['rz'], 1e-15)).astype(jnp.float32)
+    lam = fold_lam(a['eign'], a['gamma']).astype(jnp.float32)[None, :]
+    ei_bd = blockdiag(a['ei']).astype(jnp.float32)
+    ev_bd = blockdiag(a['ev']).astype(jnp.float32)
+
+    # re-pack the packed flat descriptor into aligned independent groups:
+    # easiest via the tree itself
+    from examl_tpu.traversal import TraversalEntry
+    ents = []
+    n_real = len(np.asarray(jp))
+    for i in range(n_real):
+        p, q, r = int(jp[i]), int(jq[i]), int(jr[i])
+        if p == rows - 1:                       # padding entry
+            continue
+        ents.append(TraversalEntry(
+            0 if int(jt[i]) else 2, p, q, r,
+            [float(np.exp(lzq[i]))], [float(np.exp(lzr[i]))]))
+
+    class _T:                                   # minimal tree facade
+        mxtips = rows // 2
+        num_branches = 1
+    g8 = pack_grouped(_T(), ents, 8)
+    gjp = jnp.asarray(g8.p_idx)
+    gjq = jnp.asarray(g8.q_idx)
+    gjr = jnp.asarray(g8.r_idx)
+    gjt = jnp.asarray(g8.tip_tip.astype(np.int32))
+    glzq = jnp.asarray(np.log(np.maximum(g8.qz[:, 0], 1e-15)),
+                       jnp.float32)
+    glzr = jnp.asarray(np.log(np.maximum(g8.rz[:, 0], 1e-15)),
+                       jnp.float32)
+
+    outs = {}
+    for g in (1, 2, 4, 8):
+        c, s = traversal_fused_pallas(
+            clv0, sc0, gjp, gjq, gjr, gjt, glzq, glzr, lam,
+            blockdiag_tile(ei_bd, g), blockdiag_tile(ev_bd, g),
+            n_rows=rows, block_w=128, group=g,
+            min_scale=ms, inv_min_scale=ims, interpret=True)
+        outs[g] = (np.asarray(c), np.asarray(s))
+
+    assert outs[1][1].sum() > 0                  # scaling fired
+    for g in (2, 4, 8):
+        # few-ULP drift: the [G*K, G*K] dot reassociates the K-term sums
+        np.testing.assert_allclose(outs[g][0], outs[1][0],
+                                   rtol=1e-5, atol=5e-6)
+        np.testing.assert_array_equal(outs[g][1], outs[1][1])
