@@ -281,6 +281,12 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
           f'\nLikelihood of best tree: {res.likelihood:f}\n'
           f'Overall Time for 1 Inference {time.time() - t0:f}\n'
           f'Final tree written to: {result_path}\n')
+    if args.op_stats:
+        stats = sorted(res.engine.op_stats.items(), key=lambda kv: -kv[1])
+        total = sum(res.engine.op_stats.values())
+        print(f'host-sync operations: {total} total')
+        for k, v in stats:
+            print(f'  {k:32s} {v}')
     return 0
 
 
@@ -341,6 +347,9 @@ def main(argv=None):
                    help='jax platform override (cpu|axon|tpu)')
     r.add_argument('--f64', action='store_true',
                    help='double-precision likelihood arithmetic')
+    r.add_argument('--op-stats', dest='op_stats', action='store_true',
+                   help='print host-sync operation counts at the end '
+                        '(each is one device round trip)')
     r.add_argument('--profile', default=None, metavar='DIR',
                    help='write a JAX profiler trace to DIR')
     r.set_defaults(fn=cmd_run)

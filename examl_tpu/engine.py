@@ -156,6 +156,10 @@ class LikelihoodEngine:
             use_pallas = (self.dtype == jnp.float32
                           and jax.default_backend() not in ('cpu',))
         self.use_pallas = bool(use_pallas)
+        # host-sync observability: every entry is one device->host value
+        # fetch (the dominant cost through a remote runtime; --op-stats)
+        self.op_stats = {}
+        self.op_context = ''                 # e.g. 'modopt:' during mod_opt
         if self.use_pallas and jax.default_backend() != 'cpu':
             # Mosaic DMA slices must be lane-tile aligned
             self.pad = max(self.pad, 128)
@@ -696,6 +700,7 @@ class LikelihoodEngine:
                      tuple(self.d_site_rates),
                      jnp.asarray(jp), jnp.asarray(jq),
                      jnp.asarray(z, dtype=self.dtype))
+        self._count('evaluate_batch')
         lhs = np.asarray(lhs, dtype=np.float64)
         return lhs[:, :N].sum(axis=0)
 
@@ -727,6 +732,7 @@ class LikelihoodEngine:
                     jnp.asarray(z, dtype=self.dtype))
                 self.clv = list(clvs)
                 self.scaler = list(scalers)
+                self._count('spr_lazy_wave')
                 lhs = np.asarray(lhs, dtype=np.float64)
                 return lhs[:, :N].sum(axis=0)
         self._run_traversal(entries)
@@ -1102,6 +1108,10 @@ class LikelihoodEngine:
         return (jp, jq, jr, jt, lzq, lzr, nex, tuple(self.d_gamma),
                 tuple(self.d_EIGN), tuple(self.d_EI), tuple(self.d_EV))
 
+    def _count(self, kind: str, n: int = 1):
+        kind = self.op_context + kind
+        self.op_stats[kind] = self.op_stats.get(kind, 0) + n
+
     def _run_traversal_fused(self, entries, exec_mask, interpret) -> bool:
         """Fused whole-traversal dispatch for ALL partitions in one jitted
         program (one device round trip). Returns False when the VMEM
@@ -1270,6 +1280,7 @@ class LikelihoodEngine:
                     jnp.asarray(qz, dtype=self.dtype))
                 self.clv = list(clvs)
                 self.scaler = list(scalers)
+                self._count('evaluate')
                 lhs = np.asarray(lhs, dtype=np.float64)
                 lhs = np.where(self.execute_model, lhs,
                                self.per_partition_lh)
@@ -1288,6 +1299,7 @@ class LikelihoodEngine:
                      tuple(self.wgts), tuple(self.d_site_rates),
                      p.number, q.number,
                      jnp.asarray(qz, dtype=self.dtype))
+        self._count('evaluate')
         lhs = np.asarray(lhs, dtype=np.float64)
         # per-partition execute mask: keep stored values for masked entries
         lhs = np.where(self.execute_model, lhs, self.per_partition_lh)
@@ -1601,6 +1613,7 @@ class LikelihoodEngine:
             jnp.asarray(z0, dtype=jnp.float32))
         self.clv = list(clvs)
         self.scaler = list(scalers)
+        self._count('spr_thorough_wave')
         return (np.asarray(scores, np.float64), np.asarray(e1, np.float64),
                 np.asarray(e2, np.float64), np.asarray(e3, np.float64))
 
@@ -1749,6 +1762,7 @@ class LikelihoodEngine:
                    jnp.asarray(z0, dtype=self.dtype),
                    jnp.asarray(ex), maxiter)
             self.execute_model[:] = True
+            self._count('makenewz_device')
             return np.asarray(z, dtype=np.float64)
 
         sum_fn = self._get_jit('sumtable', 0)
@@ -2179,6 +2193,7 @@ class LikelihoodEngine:
             jnp.asarray(maxtimes, jnp.int32))
         self.clv = list(clvs)
         self.scaler = list(scalers)
+        self._count('smooth_device')
         znew = np.asarray(z, dtype=np.float64)
         for p in tr.branches():
             e = emap[id(p)]

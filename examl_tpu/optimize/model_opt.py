@@ -589,6 +589,15 @@ class ModelOptimizer:
 
     def mod_opt(self, likelihood_epsilon, checkpointer=None):
         eng = self.engine
+        prev_ctx = eng.op_context
+        eng.op_context = 'modopt:'
+        try:
+            return self._mod_opt(likelihood_epsilon, checkpointer)
+        finally:
+            eng.op_context = prev_ctx
+
+    def _mod_opt(self, likelihood_epsilon, checkpointer=None):
+        eng = self.engine
         model_epsilon = 0.0001
 
         unlinked = list(range(eng.n_models))
