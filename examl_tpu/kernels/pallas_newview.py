@@ -554,7 +554,7 @@ def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
     for c in copies:
         c.wait()
 
-    dw = dw_ref[0]                             # [K]
+    dw = dw_ref[0, 0]                          # [K]
     term = jnp.sum(x1_s[...].astype(jnp.float32)
                    * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
@@ -576,6 +576,11 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
     assert W % bw == 0
     nb = W // bw
 
+    # Mosaic's block rules bind the LAST TWO dims: a (1, K) block over an
+    # [N, K] array puts a 1-row tile on the second-minor axis (rejected on
+    # hardware once N > 1); carried as [N, 1, K] the (1, K) tile covers the
+    # trailing dims fully and the candidate axis is a plain leading index.
+    dws = dws.reshape(N, 1, k_dim)
     kernel = functools.partial(_evaluate_batch_kernel, bw=bw,
                                log_min_scale=log_min_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -584,7 +589,7 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, k_dim), lambda n, w, p, q: (n, 0)),
+            pl.BlockSpec((1, 1, k_dim), lambda n, w, p, q: (n, 0, 0)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
         ],
         out_specs=pl.BlockSpec((N, nb), lambda n, w, p, q: (0, 0),
@@ -646,7 +651,7 @@ def _evaluate_batch_psr_kernel(p_rows, q_rows,
     for c in copies:
         c.wait()
 
-    lam = lam_ref[0]                           # [S] = EIGN * lz of cand n
+    lam = lam_ref[0, 0]                        # [S] = EIGN * lz of cand n
     rates = rates_ref[...]                     # [BW]
     term = jnp.sum(x1_s[...] * x2_s[...]
                    * jnp.exp(lam[:, None] * rates[None, :]), axis=0)
@@ -665,7 +670,9 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
     N = p_rows.shape[0]
     bw = min(block_w, W)
     nb = W // bw
-    lams = (eign[None, :] * lzs[:, None]).astype(jnp.float32)   # [N, S]
+    # [N, 1, S]: see evaluate_batch_pallas on Mosaic's last-two-dims rule
+    lams = (eign[None, :] * lzs[:, None]).astype(
+        jnp.float32).reshape(N, 1, n_states)
     kernel = functools.partial(_evaluate_batch_psr_kernel,
                                n_states=n_states, bw=bw,
                                log_min_scale=log_min_scale)
@@ -675,7 +682,7 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, n_states), lambda n, w, p, q: (n, 0)),
+            pl.BlockSpec((1, 1, n_states), lambda n, w, p, q: (n, 0, 0)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
         ],
@@ -908,8 +915,8 @@ def _newview_psr_kernel(p_idx, q_idx, r_idx, tip_tip,
         c.wait()
 
     rates = rates_ref[...]                     # [BW]
-    lamq = lamq_ref[0]                         # [S] = EIGN * lzq of node n
-    lamr = lamr_ref[0]
+    lamq = lamq_ref[0, 0]                      # [S] = EIGN * lzq of node n
+    lamr = lamr_ref[0, 0]
     dq = jnp.exp(lamq[:, None] * rates[None, :])    # [S, BW]
     dr = jnp.exp(lamr[:, None] * rates[None, :])
     ei = ei_ref[...]                           # [S, S]
@@ -944,6 +951,9 @@ def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     bw = min(block_w, W)
     assert W % bw == 0
 
+    # [N, 1, S]: see evaluate_batch_pallas on Mosaic's last-two-dims rule
+    lamq = jnp.asarray(lamq, jnp.float32).reshape(N, 1, n_states)
+    lamr = jnp.asarray(lamr, jnp.float32).reshape(N, 1, n_states)
     kernel = functools.partial(_newview_psr_kernel, n_states=n_states,
                                bw=bw, min_scale=min_scale,
                                inv_min_scale=inv_min_scale)
@@ -954,8 +964,10 @@ def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, n_states), lambda n, w, p, q, r, t: (n, 0)),
-            pl.BlockSpec((1, n_states), lambda n, w, p, q, r, t: (n, 0)),
+            pl.BlockSpec((1, 1, n_states),
+                         lambda n, w, p, q, r, t: (n, 0, 0)),
+            pl.BlockSpec((1, 1, n_states),
+                         lambda n, w, p, q, r, t: (n, 0, 0)),
             pl.BlockSpec((n_states, n_states),
                          lambda n, w, p, q, r, t: (0, 0)),
             pl.BlockSpec((n_states, n_states),
