@@ -282,11 +282,21 @@ def _run_analysis(args, aln, tree_newick, kwargs, workdir, info_path,
           f'Overall Time for 1 Inference {time.time() - t0:f}\n'
           f'Final tree written to: {result_path}\n')
     if args.op_stats:
-        stats = sorted(res.engine.op_stats.items(), key=lambda kv: -kv[1])
-        total = sum(res.engine.op_stats.values())
+        counts = {k: v for k, v in res.engine.op_stats.items()
+                  if not k.startswith('compile:')}
+        stats = sorted(counts.items(), key=lambda kv: -kv[1])
+        total = sum(counts.values())
         print(f'host-sync operations: {total} total')
         for k, v in stats:
             print(f'  {k:32s} {v}')
+        times = sorted(res.engine.op_time.items(), key=lambda kv: -kv[1])
+        total_t = sum(res.engine.op_time.values())
+        print(f'host-blocked time: {total_t:.1f}s '
+              f'(compile:* = trace+XLA compile, sync:* = value fetches)')
+        for k, v in times:
+            n = res.engine.op_stats.get(
+                k if k.startswith('compile:') else k[len('sync:'):], 0)
+            print(f'  {k:40s} {v:8.1f}s  ({n}x)')
     return 0
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from functools import partial
 from typing import List, Optional
 
@@ -53,6 +54,39 @@ from .tree import Node, Tree
 # descriptor block size for the grouped fused traversal kernel (aligned
 # blocks of this many mutually independent ops; see traversal.pack_grouped)
 PALLAS_GROUP = 8
+
+
+class _TimedJitCache(dict):
+    """Cache of jitted programs that also attributes host-blocked time:
+    any cached callable whose invocation blocks the host for more than
+    50 ms is charged to op_time['compile:<name>'] (tracing + XLA
+    compilation — dispatch of an already-compiled program only enqueues,
+    ~0.03 ms through the axon tunnel). Together with the sync:* entries
+    this lets --op-stats separate remote-compile latency from host-sync
+    latency, the two costs that dominate tunneled runtimes."""
+
+    def __init__(self, engine):
+        super().__init__()
+        self._eng = engine
+
+    def __setitem__(self, key, fn):
+        if callable(fn):
+            eng = self._eng
+            name = key[0] if isinstance(key, tuple) else str(key)
+            inner = fn
+
+            def timed(*a, **k):
+                t0 = time.perf_counter()
+                out = inner(*a, **k)
+                dt = time.perf_counter() - t0
+                if dt > 0.05:
+                    k2 = 'compile:' + name
+                    eng.op_time[k2] = eng.op_time.get(k2, 0.0) + dt
+                    eng.op_stats[k2] = eng.op_stats.get(k2, 0) + 1
+                return out
+
+            fn = timed
+        super().__setitem__(key, fn)
 
 
 @dataclasses.dataclass
@@ -159,6 +193,7 @@ class LikelihoodEngine:
         # host-sync observability: every entry is one device->host value
         # fetch (the dominant cost through a remote runtime; --op-stats)
         self.op_stats = {}
+        self.op_time = {}                    # seconds per compile:/sync: key
         self.op_context = ''                 # e.g. 'modopt:' during mod_opt
         if self.use_pallas and jax.default_backend() != 'cpu':
             # Mosaic DMA slices must be lane-tile aligned
@@ -217,7 +252,7 @@ class LikelihoodEngine:
         if num_branches > 1:
             assert num_branches == self.n_models
 
-        self._jit_cache = {}
+        self._jit_cache = _TimedJitCache(self)
         self._build_buffers()
         self.update_eigen(range(self.n_models))
 
@@ -673,12 +708,7 @@ class LikelihoodEngine:
 
         return run
 
-    def evaluate_batch(self, p_rows, q_rows, zs) -> np.ndarray:
-        """Log likelihood of N branches in one wave: candidate i is the
-        branch of length zs[i] (per branch class) between the CLVs in
-        buffer rows p_rows[i] and q_rows[i]. Returns [N] summed over
-        partitions. Rows may be scratch rows written by a synthetic
-        traversal (see SprSearch batched scoring)."""
+    def _pad_batch(self, p_rows, q_rows, zs):
         N = len(p_rows)
         L = 4
         while L < N:
@@ -690,53 +720,87 @@ class LikelihoodEngine:
         jq[:N] = q_rows
         z = np.full((L, self.num_branches), C.DEFAULTZ)
         z[:N] = zs
+        return jp, jq, z
+
+    def fetch(self, handles, kind='fetch'):
+        """Materialize a batch of device values with ONE synchronization
+        point: all transfers start asynchronously, then each is awaited.
+        Through a remote runtime every separate value fetch costs a full
+        round trip (~34 ms on the axon tunnel); the speculative SPR driver
+        funnels a whole wave of lazily dispatched programs through one
+        fetch. numpy entries pass through unchanged."""
+        t0 = time.perf_counter()
+        for h in handles:
+            if hasattr(h, 'copy_to_host_async'):
+                h.copy_to_host_async()
+        out = [np.asarray(h, dtype=np.float64) for h in handles]
+        self._count(kind)
+        self._time(kind, time.perf_counter() - t0)
+        return out
+
+    def evaluate_batch_lazy(self, p_rows, q_rows, zs):
+        """evaluate_batch without the host sync: returns a device (or
+        host, on the jnp path) handle [M, L] of per-partition candidate
+        lnls; slice [:, :N] and sum axis 0 after fetch."""
+        jp, jq, z = self._pad_batch(p_rows, q_rows, zs)
         if self.use_pallas:
-            lhs = self._evaluate_batch_pallas(jp, jq, z)
-        else:
-            fn = self._get_jit('evaluate_batch', L)
-            lhs = fn(tuple(self.clv), tuple(self.scaler),
-                     tuple(self.d_EIGN), tuple(self.d_gamma),
-                     tuple(self.d_rate_weights), tuple(self.wgts),
-                     tuple(self.d_site_rates),
-                     jnp.asarray(jp), jnp.asarray(jq),
-                     jnp.asarray(z, dtype=self.dtype))
-        self._count('evaluate_batch')
-        lhs = np.asarray(lhs, dtype=np.float64)
+            return self._evaluate_batch_pallas(jp, jq, z)
+        fn = self._get_jit('evaluate_batch', len(jp))
+        return fn(tuple(self.clv), tuple(self.scaler),
+                  tuple(self.d_EIGN), tuple(self.d_gamma),
+                  tuple(self.d_rate_weights), tuple(self.wgts),
+                  tuple(self.d_site_rates),
+                  jnp.asarray(jp), jnp.asarray(jq),
+                  jnp.asarray(z, dtype=self.dtype))
+
+    def evaluate_batch(self, p_rows, q_rows, zs) -> np.ndarray:
+        """Log likelihood of N branches in one wave: candidate i is the
+        branch of length zs[i] (per branch class) between the CLVs in
+        buffer rows p_rows[i] and q_rows[i]. Returns [N] summed over
+        partitions. Rows may be scratch rows written by a synthetic
+        traversal (see SprSearch batched scoring)."""
+        N = len(p_rows)
+        lhs = self.fetch([self.evaluate_batch_lazy(p_rows, q_rows, zs)],
+                         kind='evaluate_batch')[0]
         return lhs[:, :N].sum(axis=0)
+
+    def traverse_and_score_lazy(self, entries, p_rows, q_rows, zs,
+                                sub_mask=None, zqr_sub=None):
+        """Dispatch a synthetic traversal + batched branch scoring WITHOUT
+        fetching: returns a handle [M, L] of per-partition candidate lnls
+        (slice [:, :N], sum axis 0 after engine.fetch). sub_mask marks
+        traversal slots whose rz branch is replaced on device by zqr_sub
+        (the device-resident prune-branch NR result of the speculative
+        SPR driver)."""
+        if self.use_pallas and not self.is_psr:
+            packed = pack_traversal(self.tree, entries)
+            fn = self._pallas_program('trav_evalbatch', packed)
+            if fn is not None:
+                jp, jq, z = self._pad_batch(p_rows, q_rows, zs)
+                clvs, scalers, lhs = fn(
+                    tuple(self.clv), tuple(self.scaler),
+                    jnp.ones(self.n_models, dtype=bool),
+                    *self._trav_args(packed, sub_mask, zqr_sub),
+                    tuple(self.d_rate_weights), tuple(self.wgts),
+                    jnp.asarray(jp), jnp.asarray(jq),
+                    jnp.asarray(z, dtype=self.dtype))
+                self.clv = list(clvs)
+                self.scaler = list(scalers)
+                return lhs
+        assert sub_mask is None or not any(sub_mask), \
+            'branch substitution requires the fused program'
+        self._run_traversal(entries)
+        return self.evaluate_batch_lazy(p_rows, q_rows, np.asarray(zs))
 
     def traverse_and_score(self, entries, p_rows, q_rows, zs) -> np.ndarray:
         """Synthetic traversal (proximal/junction CLV ops) + batched
         branch scoring — ONE device dispatch on the accelerator path (the
         whole lazy-SPR candidate wave of a pruned subtree)."""
         N = len(p_rows)
-        if self.use_pallas and not self.is_psr:
-            packed = pack_traversal(self.tree, entries)
-            fn = self._pallas_program('trav_evalbatch', packed)
-            if fn is not None:
-                L = 4
-                while L < N:
-                    L *= 2
-                dummy = self.scratch_base - 1
-                jp = np.full(L, dummy, dtype=np.int32)
-                jp[:N] = p_rows
-                jq = np.full(L, dummy, dtype=np.int32)
-                jq[:N] = q_rows
-                z = np.full((L, self.num_branches), C.DEFAULTZ)
-                z[:N] = zs
-                clvs, scalers, lhs = fn(
-                    tuple(self.clv), tuple(self.scaler),
-                    jnp.ones(self.n_models, dtype=bool),
-                    *self._trav_args(packed),
-                    tuple(self.d_rate_weights), tuple(self.wgts),
-                    jnp.asarray(jp), jnp.asarray(jq),
-                    jnp.asarray(z, dtype=self.dtype))
-                self.clv = list(clvs)
-                self.scaler = list(scalers)
-                self._count('spr_lazy_wave')
-                lhs = np.asarray(lhs, dtype=np.float64)
-                return lhs[:, :N].sum(axis=0)
-        self._run_traversal(entries)
-        return self.evaluate_batch(p_rows, q_rows, np.asarray(zs))
+        lhs = self.fetch([self.traverse_and_score_lazy(entries, p_rows,
+                                                       q_rows, zs)],
+                         kind='spr_lazy_wave')[0]
+        return lhs[:, :N].sum(axis=0)
 
     def _evaluate_batch_pallas(self, jp, jq, zs):
         from .kernels.pallas_newview import (evaluate_batch_gamma,
@@ -780,7 +844,7 @@ class LikelihoodEngine:
                               block_w=min(8192, self.widths[m]),
                               log_min_scale=self.log_min_scale,
                               interpret=interpret))
-        return np.stack([np.asarray(o) for o in out])
+        return jnp.stack(out)
 
     def _build_sumtable_fn(self):
         n_models = self.n_models
@@ -1005,10 +1069,17 @@ class LikelihoodEngine:
         interpret = jax.default_backend() == 'cpu'
 
         def traverse(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                     nex, gammas, eigns, eis, evs):
+                     sub, zqrs, nex, gammas, eigns, eis, evs):
             # exec_mask is a dynamic [M] bool vector (one compiled program
             # serves every evaluateChange mask pattern); masked partitions
-            # keep their stale CLVs via a select
+            # keep their stale CLVs via a select. Slots with sub[i] True
+            # take their rz branch length from the device value zqrs
+            # (speculative SPR: the prune-branch NR result never visits
+            # the host).
+            lzr = jnp.where(
+                sub[:, None],
+                jnp.log(jnp.maximum(zqrs, C.ZMIN)).astype(jnp.float32)[None, :],
+                lzr)
             out_c = list(clvs)
             out_s = list(scalers)
             for m in range(M):
@@ -1031,16 +1102,17 @@ class LikelihoodEngine:
 
         if kind == 'trav':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                    nex, gammas, eigns, eis, evs):
+                    sub, zqrs, nex, gammas, eigns, eis, evs):
                 return traverse(clvs, scalers, exec_mask, jp, jq, jr, jt,
-                                lzq, lzr, nex, gammas, eigns, eis, evs)
+                                lzq, lzr, sub, zqrs, nex, gammas, eigns,
+                                eis, evs)
         elif kind == 'trav_eval':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                    nex, gammas, eigns, eis, evs, rate_weights, wgts, p_row,
-                    q_row, qz):
+                    sub, zqrs, nex, gammas, eigns, eis, evs, rate_weights,
+                    wgts, p_row, q_row, qz):
                 clvs, scalers = traverse(clvs, scalers, exec_mask, jp, jq,
-                                         jr, jt, lzq, lzr, nex, gammas,
-                                         eigns, eis, evs)
+                                         jr, jt, lzq, lzr, sub, zqrs, nex,
+                                         gammas, eigns, eis, evs)
                 lhs = []
                 for m in range(M):
                     col = self._branch_col(m)
@@ -1058,11 +1130,11 @@ class LikelihoodEngine:
                 return clvs, scalers, jnp.stack(lhs)
         elif kind == 'trav_evalbatch':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                    nex, gammas, eigns, eis, evs, rate_weights, wgts,
-                    bp_rows, bq_rows, bzs):
+                    sub, zqrs, nex, gammas, eigns, eis, evs, rate_weights,
+                    wgts, bp_rows, bq_rows, bzs):
                 clvs, scalers = traverse(clvs, scalers, exec_mask, jp, jq,
-                                         jr, jt, lzq, lzr, nex, gammas,
-                                         eigns, eis, evs)
+                                         jr, jt, lzq, lzr, sub, zqrs, nex,
+                                         gammas, eigns, eis, evs)
                 lhs = []
                 for m in range(M):
                     col = self._branch_col(m)
@@ -1095,7 +1167,7 @@ class LikelihoodEngine:
             self._jit_cache[key] = fn
         return fn
 
-    def _trav_args(self, packed):
+    def _trav_args(self, packed, sub_mask=None, zqr_sub=None):
         jp = jnp.asarray(packed.p_idx)
         jq = jnp.asarray(packed.q_idx)
         jr = jnp.asarray(packed.r_idx)
@@ -1105,14 +1177,34 @@ class LikelihoodEngine:
         lzr = jnp.asarray(
             np.log(np.maximum(packed.rz, C.ZMIN)).astype(np.float32))
         nex = jnp.asarray([packed.exec_count()], dtype=jnp.int32)
-        return (jp, jq, jr, jt, lzq, lzr, nex, tuple(self.d_gamma),
+        # device-side branch substitution: slots with sub[i] True read
+        # their rz from zqr_sub — a device-resident value such as the
+        # in-flight prune-branch NR result of the speculative SPR driver —
+        # instead of the host descriptor (which then only carries a
+        # placeholder)
+        L = packed.p_idx.shape[0]
+        sub = np.zeros(L, dtype=bool)
+        if sub_mask is not None:
+            sub[:len(sub_mask)] = sub_mask
+        if zqr_sub is None:
+            zqr_sub = jnp.full((self.num_branches,), C.DEFAULTZ,
+                               jnp.float32)
+        else:
+            zqr_sub = jnp.asarray(zqr_sub).astype(jnp.float32)
+        return (jp, jq, jr, jt, lzq, lzr, jnp.asarray(sub), zqr_sub, nex,
+                tuple(self.d_gamma),
                 tuple(self.d_EIGN), tuple(self.d_EI), tuple(self.d_EV))
 
     def _count(self, kind: str, n: int = 1):
         kind = self.op_context + kind
         self.op_stats[kind] = self.op_stats.get(kind, 0) + n
 
-    def _run_traversal_fused(self, entries, exec_mask, interpret) -> bool:
+    def _time(self, kind: str, dt: float):
+        kind = 'sync:' + self.op_context + kind
+        self.op_time[kind] = self.op_time.get(kind, 0.0) + dt
+
+    def _run_traversal_fused(self, entries, exec_mask, interpret,
+                             sub_mask=None, zqr_sub=None) -> bool:
         """Fused whole-traversal dispatch for ALL partitions in one jitted
         program (one device round trip). Returns False when the VMEM
         working set does not fit (caller falls back to level kernels).
@@ -1124,7 +1216,8 @@ class LikelihoodEngine:
         ex = (np.ones(self.n_models, dtype=bool) if exec_mask is None
               else np.asarray(exec_mask, dtype=bool))
         clvs, scalers = fn(tuple(self.clv), tuple(self.scaler),
-                           jnp.asarray(ex), *self._trav_args(packed))
+                           jnp.asarray(ex),
+                           *self._trav_args(packed, sub_mask, zqr_sub))
         self.clv = list(clvs)
         self.scaler = list(scalers)
         return True
@@ -1204,8 +1297,17 @@ class LikelihoodEngine:
                     interpret=interpret)
 
     def _run_traversal(self, entries: List[TraversalEntry],
-                       exec_mask: Optional[np.ndarray] = None):
+                       exec_mask: Optional[np.ndarray] = None,
+                       sub_mask=None, zqr_sub=None):
         if not entries:
+            return
+        if sub_mask is not None and any(sub_mask):
+            # device branch substitution exists only on the fused path
+            interpret = jax.default_backend() == 'cpu'
+            if not self._run_traversal_fused(entries, exec_mask, interpret,
+                                             sub_mask, zqr_sub):
+                raise RuntimeError('branch substitution requires the fused '
+                                   'traversal program (VMEM plan failed)')
             return
         if self.use_pallas:
             self._run_traversal_pallas(entries, exec_mask)
@@ -1281,7 +1383,9 @@ class LikelihoodEngine:
                 self.clv = list(clvs)
                 self.scaler = list(scalers)
                 self._count('evaluate')
+                t0 = time.perf_counter()
                 lhs = np.asarray(lhs, dtype=np.float64)
+                self._time('evaluate', time.perf_counter() - t0)
                 lhs = np.where(self.execute_model, lhs,
                                self.per_partition_lh)
                 self.per_partition_lh = lhs
@@ -1300,7 +1404,9 @@ class LikelihoodEngine:
                      p.number, q.number,
                      jnp.asarray(qz, dtype=self.dtype))
         self._count('evaluate')
+        t0 = time.perf_counter()
         lhs = np.asarray(lhs, dtype=np.float64)
+        self._time('evaluate', time.perf_counter() - t0)
         # per-partition execute mask: keep stored values for masked entries
         lhs = np.where(self.execute_model, lhs, self.per_partition_lh)
         self.per_partition_lh = lhs
@@ -1591,12 +1697,9 @@ class LikelihoodEngine:
 
         return jax.jit(run, donate_argnums=(0, 1))
 
-    def thorough_score_wave(self, s_row, u_rows, v_rows, j_rows, z0):
-        """Scores + fitted junction branch lengths (e1 = junction-u,
-        e2 = junction-v, e3 = junction-prunedSubtree) for N thorough SPR
-        insertions in one dispatch. Rows index the CLV buffer (v_rows are
-        proximal scratch CLVs written beforehand). Returns float64
-        (scores, e1, e2, e3)."""
+    def thorough_score_wave_lazy(self, s_row, u_rows, v_rows, j_rows, z0):
+        """thorough_score_wave without the host sync: returns device
+        handles (scores, e1, e2, e3)."""
         fn = self._jit_cache.get('thoroughprog')
         if fn is None:
             fn = self._build_thorough_program()
@@ -1613,9 +1716,17 @@ class LikelihoodEngine:
             jnp.asarray(z0, dtype=jnp.float32))
         self.clv = list(clvs)
         self.scaler = list(scalers)
-        self._count('spr_thorough_wave')
-        return (np.asarray(scores, np.float64), np.asarray(e1, np.float64),
-                np.asarray(e2, np.float64), np.asarray(e3, np.float64))
+        return scores, e1, e2, e3
+
+    def thorough_score_wave(self, s_row, u_rows, v_rows, j_rows, z0):
+        """Scores + fitted junction branch lengths (e1 = junction-u,
+        e2 = junction-v, e3 = junction-prunedSubtree) for N thorough SPR
+        insertions in one dispatch. Rows index the CLV buffer (v_rows are
+        proximal scratch CLVs written beforehand). Returns float64
+        (scores, e1, e2, e3)."""
+        handles = self.thorough_score_wave_lazy(s_row, u_rows, v_rows,
+                                                j_rows, z0)
+        return tuple(self.fetch(handles, kind='spr_thorough_wave'))
 
     # ------------------------------------------------------------------
     # Newton-Raphson branch-length optimization
@@ -1729,6 +1840,65 @@ class LikelihoodEngine:
         return jax.jit(nr_loop, static_argnames=())
 
 
+    def _makenewz_dispatch(self, p, q, z0, maxiter, mask=False):
+        """Dispatch the on-device NR while_loop; returns the optimized z
+        as a DEVICE handle [B] (no host sync). Inputs are assumed already
+        refreshed (x-flags honored by the caller)."""
+        fn = self._jit_cache.get('pallas_nr_loop')
+        if fn is None:
+            fn = self._build_nr_loop_fn()
+            self._jit_cache['pallas_nr_loop'] = fn
+        ex = (self.execute_model if mask
+              else np.ones(self.n_models, dtype=bool))
+        z = fn(tuple(self.clv), tuple(self.scaler),
+               jnp.asarray([p.number], dtype=jnp.int32),
+               jnp.asarray([q.number], dtype=jnp.int32),
+               tuple(self.d_EIGN), tuple(self.d_gamma),
+               tuple(self.d_rate_weights), tuple(self.wgts),
+               tuple(self.d_site_rates),
+               jnp.asarray(z0, dtype=self.dtype),
+               jnp.asarray(ex), maxiter)
+        self.execute_model[:] = True
+        return z
+
+    def makenewz_lazy(self, p: Node, q: Node, z0, maxiter: int):
+        """makenewz with the optimized z left ON DEVICE: the speculative
+        SPR driver feeds it straight into subsequent wave programs
+        (branch substitution) and fetches it together with the batch
+        scores — zero extra round trips per prune."""
+        assert self.use_pallas
+        tr = self.tree
+        entries: List[TraversalEntry] = []
+        if not p.x:
+            entries += partial_traversal(tr, p)
+        if not q.x:
+            entries += partial_traversal(tr, q)
+        self._run_traversal(entries)
+        return self._makenewz_dispatch(p, q, np.array(z0, dtype=np.float64),
+                                       maxiter)
+
+    def speculation_supported(self) -> bool:
+        """Whether the lazy/speculative SPR path can run: needs the fused
+        Pallas traversal program (branch substitution lives there) at the
+        full buffer row count."""
+        if not self.use_pallas or self.is_psr:
+            return False
+        key = 'spec_ok'
+        ok = self._jit_cache.get(key)
+        if ok is None:
+            # worst-case plan: scratch rows in range -> n_rows = self.rows
+            dummy = PackedTraversal(
+                count=1,
+                p_idx=np.array([self.rows - 1], np.int32),
+                q_idx=np.array([1], np.int32),
+                r_idx=np.array([2], np.int32),
+                tip_tip=np.array([True]),
+                qz=np.full((1, self.num_branches), C.DEFAULTZ),
+                rz=np.full((1, self.num_branches), C.DEFAULTZ), n_exec=1)
+            ok = self._fused_plan(dummy) is not None
+            self._jit_cache[key] = ok
+        return ok
+
     def makenewz(self, p: Node, q: Node, z0, maxiter: int,
                  mask: bool = False):
         """Optimize the branch (p, q) starting from z0
@@ -1747,23 +1917,12 @@ class LikelihoodEngine:
         self._run_traversal(entries, self.execute_model if mask else None)
 
         if self.use_pallas:
-            fn = self._jit_cache.get('pallas_nr_loop')
-            if fn is None:
-                fn = self._build_nr_loop_fn()
-                self._jit_cache['pallas_nr_loop'] = fn
-            ex = (self.execute_model if mask
-                  else np.ones(self.n_models, dtype=bool))
-            z = fn(tuple(self.clv), tuple(self.scaler),
-                   jnp.asarray([p.number], dtype=jnp.int32),
-                   jnp.asarray([q.number], dtype=jnp.int32),
-                   tuple(self.d_EIGN), tuple(self.d_gamma),
-                   tuple(self.d_rate_weights), tuple(self.wgts),
-                   tuple(self.d_site_rates),
-                   jnp.asarray(z0, dtype=self.dtype),
-                   jnp.asarray(ex), maxiter)
-            self.execute_model[:] = True
+            z = self._makenewz_dispatch(p, q, z0, maxiter, mask)
             self._count('makenewz_device')
-            return np.asarray(z, dtype=np.float64)
+            t0 = time.perf_counter()
+            z = np.asarray(z, dtype=np.float64)
+            self._time('makenewz_device', time.perf_counter() - t0)
+            return z
 
         sum_fn = self._get_jit('sumtable', 0)
         sumtables, srels = sum_fn(tuple(self.clv), tuple(self.scaler),
@@ -2194,7 +2353,9 @@ class LikelihoodEngine:
         self.clv = list(clvs)
         self.scaler = list(scalers)
         self._count('smooth_device')
+        t0 = time.perf_counter()
         znew = np.asarray(z, dtype=np.float64)
+        self._time('smooth_device', time.perf_counter() - t0)
         for p in tr.branches():
             e = emap[id(p)]
             p.z = [float(znew[e])]

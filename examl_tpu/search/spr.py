@@ -115,6 +115,21 @@ class SprSearch:
         # vectorized NR program is single-branch-class GAMMA only
         self.batch_thorough = (engine.use_pallas and not engine.is_psr
                                and engine.num_branches == 1)
+        # Speculative prune-node batching (accelerator): dispatch the
+        # device programs of several consecutive prune nodes WITHOUT
+        # fetching (the junction NR result flows into the wave programs by
+        # device-side branch substitution), fetch the whole batch in ONE
+        # round trip, replay the bookkeeping, and discard + re-dispatch
+        # from the first applied improvement. Through a remote runtime a
+        # fetch costs ~34 ms, so this divides the search's dominant cost
+        # by the speculation depth.
+        # sub_capable: the fused program's device branch substitution is
+        # available; the SYNC driver then routes zqr through it too, so
+        # toggling self.speculate never changes the device computation
+        self.sub_capable = (engine.use_pallas
+                            and engine.speculation_supported())
+        self.speculate = self.sub_capable
+        self.spec_depth = 16
         # constraint vector (tip group ids); inner entries are resolved by
         # recursion to the first tip (searchAlgo.c checker :69)
         self.constraint = constraint
@@ -161,6 +176,21 @@ class SprSearch:
         tr.hookup(q, r, result)
         p.next.back = p.next.next.back = None
         return q
+
+    def remove_node_big_lazy(self, p: Node):
+        """remove_node_big with the junction NR result left ON DEVICE: the
+        tree is hooked up with the pre-NR product placeholder (never read
+        by device math — the wave programs substitute the device value
+        into the marked descriptor slots) and the handle is fetched with
+        the whole speculative batch."""
+        tr = self.tr
+        q = p.next.back
+        r = p.next.next.back
+        zqr0 = [qz * rz for qz, rz in zip(q.z, r.z)]
+        zdev = self.eng.makenewz_lazy(q, r, zqr0, C.ITERATIONS)
+        tr.hookup(q, r, zqr0)
+        p.next.back = p.next.next.back = None
+        return q, zdev
 
     def remove_node_restore_big(self, p: Node):
         tr = self.tr
@@ -316,9 +346,12 @@ class SprSearch:
         prox_ops: List[dict] = []
         walked: List[Node] = []
 
-        def new_prox(src1, z1, src2, z2, tip_tip):
+        def new_prox(src1, z1, src2, z2, tip_tip, sub=False):
+            # sub: z2 is the pruned junction branch (the makenewz result) —
+            # under speculation a placeholder whose real value the device
+            # substitutes from the in-flight NR handle
             prox_ops.append(dict(src1=src1, z1=list(z1), src2=src2,
-                                 z2=list(z2), tip_tip=tip_tip))
+                                 z2=list(z2), tip_tip=tip_tip, sub=sub))
             return len(prox_ops) - 1
 
         def walk(q, mintrav, maxtrav, parent, vkey):
@@ -360,23 +393,32 @@ class SprSearch:
             # root proximal views at a: the pruned branch is now the
             # direct a--b hookup with the freshly optimized zqr (= a.z)
             k0 = new_prox(('row', r1.number), r1.z, ('row', b.number), a.z,
-                          tr.is_tip(r1.number) and tr.is_tip(b.number))
+                          tr.is_tip(r1.number) and tr.is_tip(b.number),
+                          sub=True)
             k1 = new_prox(('row', r0.number), r0.z, ('row', b.number), a.z,
-                          tr.is_tip(r0.number) and tr.is_tip(b.number))
+                          tr.is_tip(r0.number) and tr.is_tip(b.number),
+                          sub=True)
             walk(r0, mintrav, maxtrav, -1, k0)
             walk(r1, mintrav, maxtrav, -1, k1)
 
         return cands, prox_ops, walked
 
-    def _batched_rearrange_side(self, p: Node, p1: Node, p2: Node,
-                                mintrav: int, maxtrav: int):
+    def _dispatch_side(self, p: Node, p1: Node, p2: Node,
+                       mintrav: int, maxtrav: int, zqr_dev=None):
+        """Dispatch every candidate wave of one pruned side WITHOUT
+        fetching. Returns a side spec (None when no candidates): cands
+        metadata plus device handles per segment; _fetch_sides
+        materializes the handles and _replay_side runs the sequential
+        testInsertBIG bookkeeping. zqr_dev is the device-resident junction
+        NR result under speculation (the root proximal ops' descriptors
+        then carry placeholders substituted on device)."""
         tr = self.tr
         eng = self.eng
         s = p.back
         cands, prox_ops, walked = self._batched_dfs(p, p1, p2, mintrav,
                                                     maxtrav)
         if not cands:
-            return
+            return None
 
         # 1. make every distal source CLV valid in the main buffer
         entries: List[TraversalEntry] = []
@@ -387,7 +429,7 @@ class SprSearch:
             eng._run_traversal(entries)
 
         # 2. score in segments bounded by the scratch-row pool
-        scores = np.empty(len(cands))
+        segs = []
         cap = eng.n_scratch
         i0 = 0
         while i0 < len(cands):
@@ -411,6 +453,7 @@ class SprSearch:
             base = eng.scratch_base
             prox_row = {}
             syn: List[TraversalEntry] = []
+            sub: List[bool] = []
             for j, k in enumerate(needed):
                 row = base + j
                 prox_row[k] = row
@@ -420,6 +463,9 @@ class SprSearch:
                 syn.append(TraversalEntry(
                     TIP_TIP if op['tip_tip'] else INNER_INNER,
                     row, q_num, op['src2'][1], op['z1'], op['z2']))
+                sub.append(op['sub'])
+            if zqr_dev is None:
+                sub = None
             jbase = base + len(needed)
             if self.thorough:
                 # batched thorough wave: the whole insertBIG + localSmooth
@@ -431,13 +477,10 @@ class SprSearch:
                     v_rows.append(prox_row[c['vkey']])
                     j_rows.append(jbase + jj)
                     z0.append(c['z0'][0])
-                eng._run_traversal(syn)
-                sc, e1, e2, e3 = eng.thorough_score_wave(
+                eng._run_traversal(syn, sub_mask=sub, zqr_sub=zqr_dev)
+                handles = eng.thorough_score_wave_lazy(
                     s.number, u_rows, v_rows, j_rows, z0)
-                scores[seg] = sc
-                for jj, ci in enumerate(seg):
-                    cands[ci]['lz'] = (float(e1[jj]), float(e2[jj]),
-                                       float(e3[jj]))
+                segs.append(dict(idx=seg, handles=handles, n=len(seg)))
             else:
                 p_rows, q_rows, zs = [], [], []
                 for jj, ci in enumerate(seg):
@@ -454,11 +497,56 @@ class SprSearch:
                     p_rows.append(jrow)
                     q_rows.append(prox_row[c['vkey']])
                     zs.append(c['zprime'])
-                scores[seg] = eng.traverse_and_score(syn, p_rows, q_rows,
-                                                     np.asarray(zs))
+                if sub is not None:
+                    sub = sub + [False] * len(seg)
+                handle = eng.traverse_and_score_lazy(
+                    syn, p_rows, q_rows, np.asarray(zs),
+                    sub_mask=sub, zqr_sub=zqr_dev)
+                segs.append(dict(idx=seg, handle=handle, n=len(seg)))
             i0 = i
+        return dict(p=p, cands=cands, segs=segs)
 
-        # 3. replay testInsertBIG bookkeeping in traversal order
+    def _fetch_sides(self, sides):
+        """Materialize every device handle of the given side specs in ONE
+        synchronization point."""
+        handles, slots = [], []
+        for side in sides:
+            if 'zqr_handle' in side:
+                handles.append(side['zqr_handle'])
+                slots.append((side, 'zqr'))
+            for seg in side['segs']:
+                if 'handles' in seg:                       # thorough
+                    for h, f in zip(seg['handles'],
+                                    ('scores', 'e1', 'e2', 'e3')):
+                        handles.append(h)
+                        slots.append((seg, f))
+                else:
+                    handles.append(seg['handle'])
+                    slots.append((seg, 'raw'))
+        if not handles:
+            return
+        vals = self.eng.fetch(handles, kind='spec_fetch')
+        for (obj, f), v in zip(slots, vals):
+            obj[f] = v
+        for side in sides:
+            for seg in side['segs']:
+                if 'raw' in seg:
+                    seg['scores'] = seg['raw'][:, :seg['n']].sum(axis=0)
+
+    def _replay_side(self, side):
+        """Step 3: replay testInsertBIG bookkeeping in traversal order
+        over the fetched scores (each lazy score is independent of
+        evaluation order, so this matches the reference walk exactly)."""
+        p = side['p']
+        cands = side['cands']
+        scores = np.empty(len(cands))
+        for seg in side['segs']:
+            scores[seg['idx']] = seg['scores'][:seg['n']]
+            if self.thorough:
+                for jj, ci in enumerate(seg['idx']):
+                    cands[ci]['lz'] = (float(seg['e1'][jj]),
+                                       float(seg['e2'][jj]),
+                                       float(seg['e3'][jj]))
         cut = [False] * len(cands)
         for i, c in enumerate(cands):
             if c['parent'] >= 0 and cut[c['parent']]:
@@ -490,6 +578,23 @@ class SprSearch:
                 self.lh_dec += 1
                 if not ((start_lh - lh) < self.lh_cutoff):
                     cut[i] = True
+
+    def _batched_rearrange_side(self, p: Node, p1: Node, p2: Node,
+                                mintrav: int, maxtrav: int):
+        """Synchronous batched side scoring: dispatch, fetch, replay. On
+        the fused-program path the junction branch still flows through the
+        device substitution (re-uploading the fetched zqr bit-exactly), so
+        the speculative and synchronous drivers run the identical device
+        computation."""
+        import jax.numpy as jnp
+        zdev = (jnp.asarray(self.zqr, jnp.float32)
+                if self.sub_capable else None)
+        side = self._dispatch_side(p, p1, p2, mintrav, maxtrav,
+                                   zqr_dev=zdev)
+        if side is None:
+            return
+        self._fetch_sides([side])
+        self._replay_side(side)
 
     def add_traverse_big(self, p: Node, q: Node, mintrav: int, maxtrav: int):
         mintrav -= 1
@@ -564,6 +669,106 @@ class SprSearch:
                 tr.hookup(q.next.next, q2, q2z)
                 self.eng.newview(q)
         return 1
+
+    def rearrange_dispatch(self, p: Node, mintrav: int, maxtrav: int):
+        """rearrange_big's dispatch phase for the speculative driver:
+        prune both positions, dispatch the candidate waves lazily (the
+        junction NR runs on device and its result is substituted into the
+        wave descriptors there), restore the tree. Returns a node spec for
+        rearrange_replay, or None when rearrange_big would return 0."""
+        tr = self.tr
+        if maxtrav < 1 or mintrav > maxtrav:
+            return None
+        q = p.back
+        sides = []
+
+        if not tr.is_tip(p.number):
+            p1 = p.next.back
+            p2 = p.next.next.back
+            if not tr.is_tip(p1.number) or not tr.is_tip(p2.number):
+                p1z = list(p1.z)
+                p2z = list(p2.z)
+                _, zdev = self.remove_node_big_lazy(p)
+                side = self._dispatch_side(p, p1, p2, mintrav, maxtrav,
+                                           zqr_dev=zdev)
+                if side is not None:
+                    side['zqr_handle'] = zdev
+                    sides.append(side)
+                tr.hookup(p.next, p1, p1z)
+                tr.hookup(p.next.next, p2, p2z)
+                self.eng.newview(p)
+
+        if not tr.is_tip(q.number) and maxtrav > 0:
+            q1 = q.next.back
+            q2 = q.next.next.back
+            if ((not tr.is_tip(q1.number)
+                 and (not tr.is_tip(q1.next.back.number)
+                      or not tr.is_tip(q1.next.next.back.number)))
+                    or (not tr.is_tip(q2.number)
+                        and (not tr.is_tip(q2.next.back.number)
+                             or not tr.is_tip(q2.next.next.back.number)))):
+                q1z = list(q1.z)
+                q2z = list(q2.z)
+                _, zdev = self.remove_node_big_lazy(q)
+                side = self._dispatch_side(q, q1, q2, max(mintrav, 2),
+                                           maxtrav, zqr_dev=zdev)
+                if side is not None:
+                    side['zqr_handle'] = zdev
+                    sides.append(side)
+                tr.hookup(q.next, q1, q1z)
+                tr.hookup(q.next.next, q2, q2z)
+                self.eng.newview(q)
+        return dict(node=p, sides=sides)
+
+    def rearrange_replay(self, spec):
+        """Replay the bookkeeping of one dispatched node after its handles
+        were fetched (mutates best_of_node / end_lh / cutoff state exactly
+        like the synchronous rearrange_big)."""
+        for side in spec['sides']:
+            self.zqr = [float(v) for v in side['zqr']]
+            self._replay_side(side)
+
+    def _spr_pass(self, nodes, mintrav: int, maxtrav: int, on_node):
+        """Run the rearrangement loop over `nodes`, calling on_node(node)
+        after each node's bookkeeping (on_node returns True when it
+        APPLIED an improvement, i.e. changed the tree).
+
+        On accelerators this speculates: the device programs of up to
+        spec_depth consecutive prune nodes are dispatched without any
+        host sync (assuming no intervening applies), the whole batch is
+        fetched in ONE round trip, and the sequential bookkeeping is
+        replayed; at the first applied improvement the remaining
+        speculated results are discarded and re-dispatched against the
+        updated tree. A misprediction leaves only benignly-stale CLV
+        refreshes — the same staleness class the reference's lazy SPR
+        embraces (it trusts x-flags across restoreTreeFast,
+        newviewGenericSpecial.c:691-813)."""
+        batched = self.batch_thorough if self.thorough else self.batch_lazy
+        if not (self.speculate and batched):
+            for node in nodes:
+                self.best_of_node = C.UNLIKELY
+                if self.rearrange_big(node, mintrav, maxtrav):
+                    on_node(node)
+            return
+        i = 0
+        depth = 1
+        while i < len(nodes):
+            batch = nodes[i:i + depth]
+            specs = [self.rearrange_dispatch(n, mintrav, maxtrav)
+                     for n in batch]
+            self._fetch_sides([side for spec in specs if spec
+                               for side in spec['sides']])
+            mispredicted = False
+            for j, spec in enumerate(specs):
+                i += 1
+                if spec is None:
+                    continue
+                self.best_of_node = C.UNLIKELY
+                self.rearrange_replay(spec)
+                if on_node(batch[j]) and j < len(specs) - 1:
+                    mispredicted = True
+                    break
+            depth = 1 if mispredicted else min(2 * depth, self.spec_depth)
 
     def test_insert_restore_big(self, p: Node, q: Node):
         tr = self.tr
@@ -653,39 +858,46 @@ class SprSearch:
             self.lh_avg = 0.0
             self.lh_dec = 0
 
-        for i in range(1, 2 * tr.mxtips - 1):
-            self.best_of_node = C.UNLIKELY
-            if self.rearrange_big(tr.nodep[i], mintrav, maxtrav):
-                if self.thorough:
-                    if self.end_lh > self.start_lh:
-                        self.restore_tree_fast()
-                        self.start_lh = self.end_lh = eng.likelihood
-                        bt.save(tr, eng.likelihood, keep_identical=True)
-                        if self.best_ml is not None:
-                            self.best_ml.save(tr, eng.likelihood,
-                                              keep_identical=False)
-                    elif self.best_of_node != C.UNLIKELY:
-                        self.restore_topology_only(bt)
-                else:
-                    self.ilist.insert(tr.nodep[i], self.best_of_node)
-                    if self.end_lh > self.start_lh:
-                        self.restore_tree_fast()
-                        self.start_lh = self.end_lh = eng.likelihood
+        def on_node(node):
+            if self.thorough:
+                if self.end_lh > self.start_lh:
+                    self.restore_tree_fast()
+                    self.start_lh = self.end_lh = eng.likelihood
+                    bt.save(tr, eng.likelihood, keep_identical=True)
+                    if self.best_ml is not None:
+                        self.best_ml.save(tr, eng.likelihood,
+                                          keep_identical=False)
+                    return True
+                elif self.best_of_node != C.UNLIKELY:
+                    self.restore_topology_only(bt)
+                return False
+            self.ilist.insert(node, self.best_of_node)
+            if self.end_lh > self.start_lh:
+                self.restore_tree_fast()
+                self.start_lh = self.end_lh = eng.likelihood
+                return True
+            return False
+
+        self._spr_pass([tr.nodep[i] for i in range(1, 2 * tr.mxtips - 1)],
+                       mintrav, maxtrav, on_node)
 
         if not self.thorough:
             self.thorough = True
-            for i in range(self.ilist.valid):
-                node = self.ilist.nodes[i]
-                if node is None:
-                    continue
-                self.best_of_node = C.UNLIKELY
-                if self.rearrange_big(node, mintrav, maxtrav):
-                    if self.end_lh > self.start_lh:
-                        self.restore_tree_fast()
-                        self.start_lh = self.end_lh = eng.likelihood
-                        bt.save(tr, eng.likelihood, keep_identical=True)
-                    elif self.best_of_node != C.UNLIKELY:
-                        self.restore_topology_only(bt)
+
+            def on_best(node):
+                if self.end_lh > self.start_lh:
+                    self.restore_tree_fast()
+                    self.start_lh = self.end_lh = eng.likelihood
+                    bt.save(tr, eng.likelihood, keep_identical=True)
+                    return True
+                elif self.best_of_node != C.UNLIKELY:
+                    self.restore_topology_only(bt)
+                return False
+
+            self._spr_pass(
+                [n for n in self.ilist.nodes[:self.ilist.valid]
+                 if n is not None],
+                mintrav, maxtrav, on_best)
             self.thorough = False
 
         return self.start_lh
@@ -725,12 +937,16 @@ class SprSearch:
             maxtrav = min(maxtrav, tr.mxtips - 3)
             self.start_lh = self.end_lh = eng.likelihood
 
-            for i in range(1, 2 * tr.mxtips - 1):
-                self.best_of_node = C.UNLIKELY
-                if self.rearrange_big(tr.nodep[i], 1, maxtrav):
-                    if self.end_lh > self.start_lh:
-                        self.restore_tree_fast()
-                        self.start_lh = self.end_lh = eng.likelihood
+            def on_node(node):
+                if self.end_lh > self.start_lh:
+                    self.restore_tree_fast()
+                    self.start_lh = self.end_lh = eng.likelihood
+                    return True
+                return False
+
+            self._spr_pass(
+                [tr.nodep[i] for i in range(1, 2 * tr.mxtips - 1)],
+                1, maxtrav, on_node)
 
             eng.tree_evaluate(0.25)
             bt.save(tr, eng.likelihood, keep_identical=True)

@@ -1,0 +1,100 @@
+"""The speculative SPR driver (lazy dispatch of several prune nodes' device
+programs, ONE fetch per batch, discard-and-redispatch on applied
+improvements) against the synchronous batched walk.
+
+Without applies the two drivers are exactly equivalent: the junction NR
+result flows through the identical device substitution in both, and the
+replay sees the same values in the same order. With applies, a discarded
+speculation leaves benignly-stale CLV refreshes — the same staleness class
+the reference's lazy SPR embraces (it trusts x-flags across
+restoreTreeFast, searchAlgo.c:1090) — so full cycles are compared to
+tolerance."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from examl_tpu.engine import LikelihoodEngine
+from examl_tpu.io.bytefile import read_bytefile
+from examl_tpu.io.newick import parse_newick, write_newick
+from examl_tpu.search.spr import SprSearch
+from examl_tpu.search.topologies import BestList
+from examl_tpu.tree import Tree
+
+REF = pathlib.Path('/root/reference/testData')
+DATA = pathlib.Path(__file__).resolve().parent / 'data'
+
+
+def _engine():
+    import jax
+    aln = read_bytefile(str(DATA / '49.binary'))
+    tree = Tree(aln.taxon_names)
+    parse_newick((REF / '49.tree').read_text(), tree)
+    # pad=128 aligns the site widths so the fused whole-traversal program
+    # (which hosts the device branch substitution) plans on CPU too
+    eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                           use_pallas=True, pad=128)
+    eng.evaluate(tree.start, full_traversal_=True)
+    eng.tree_evaluate(1.0)
+    return eng, tree
+
+
+def _score_pass(speculate, thorough=False):
+    """Pure scoring sweep (no applies): per-node best_of_node/end_lh must
+    be BIT-IDENTICAL between the drivers."""
+    eng, tree = _engine()
+    s = SprSearch(eng)
+    assert s.speculate              # fused program available
+    s.speculate = speculate
+    s.spec_depth = 4
+    s.thorough = thorough
+    s.start_lh = s.end_lh = eng.likelihood
+    out = []
+
+    def on_node(node):
+        out.append((node.number, s.best_of_node, s.end_lh))
+        return False
+
+    s._spr_pass([tree.nodep[i] for i in range(1, 2 * tree.mxtips - 1)],
+                1, 4, on_node)
+    return out, eng.op_stats.get('spec_fetch', 0)
+
+
+@pytest.mark.slow
+def test_speculative_scoring_exact():
+    a, fa = _score_pass(True)
+    b, fb = _score_pass(False)
+    assert a == b
+    assert fa < fb / 2              # the point: far fewer sync points
+
+
+@pytest.mark.slow
+def test_speculative_scoring_exact_thorough():
+    a, fa = _score_pass(True, thorough=True)
+    b, fb = _score_pass(False, thorough=True)
+    assert a == b
+    assert fa < fb
+
+
+@pytest.mark.slow
+def test_speculative_cycle_quality():
+    """A full FAST cycle with applies: the speculative trajectory may
+    diverge benignly after an apply (discarded speculations leave
+    reference-style stale CLV refreshes), so lnL is compared to a small
+    tolerance; measured on this dataset the trajectories coincide
+    exactly. The fetch count is the point: one sync per speculated
+    batch instead of two per prune node."""
+
+    def cycle(speculate):
+        eng, tree = _engine()
+        s = SprSearch(eng)
+        s.speculate = speculate
+        bt = BestList(20)
+        lh = s.tree_optimize_rapid(1, 5, bt)
+        return lh, eng.op_stats.get('spec_fetch', 0)
+
+    lh_a, fa = cycle(True)
+    lh_b, fb = cycle(False)
+    assert lh_a == pytest.approx(lh_b, abs=3.0)
+    assert lh_a > -17990            # improved over the smoothed start tree
+    assert fa < fb / 4
