@@ -773,7 +773,8 @@ class LikelihoodEngine:
         (the device-resident prune-branch NR result of the speculative
         SPR driver)."""
         if self.use_pallas and not self.is_psr:
-            packed = pack_traversal(self.tree, entries)
+            packed = pack_traversal(self.tree, entries,
+                                    slots=self._fused_slots(len(entries)))
             fn = self._pallas_program('trav_evalbatch', packed)
             if fn is not None:
                 jp, jq, z = self._pad_batch(p_rows, q_rows, zs)
@@ -1060,45 +1061,12 @@ class LikelihoodEngine:
         ~5 ms; the reference instead pays an MPI reduction per operation).
         kind: 'trav' (fused traversal), 'trav_eval' (+ root lnL per
         partition), 'trav_evalbatch' (+ batched candidate lnLs)."""
-        from .kernels.pallas_newview import (blockdiag, blockdiag_tile,
-                                             evaluate_batch_gamma,
+        from .kernels.pallas_newview import (evaluate_batch_gamma,
                                              evaluate_pallas, fold_lam,
-                                             fold_rw,
-                                             traversal_fused_pallas)
+                                             fold_rw)
         M = self.n_models
         interpret = jax.default_backend() == 'cpu'
-
-        def traverse(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                     sub, zqrs, nex, gammas, eigns, eis, evs):
-            # exec_mask is a dynamic [M] bool vector (one compiled program
-            # serves every evaluateChange mask pattern); masked partitions
-            # keep their stale CLVs via a select. Slots with sub[i] True
-            # take their rz branch length from the device value zqrs
-            # (speculative SPR: the prune-branch NR result never visits
-            # the host).
-            lzr = jnp.where(
-                sub[:, None],
-                jnp.log(jnp.maximum(zqrs, C.ZMIN)).astype(jnp.float32)[None, :],
-                lzr)
-            out_c = list(clvs)
-            out_s = list(scalers)
-            for m in range(M):
-                col = self._branch_col(m)
-                lam = fold_lam(eigns[m], gammas[m]).astype(jnp.float32)
-                g = self._pallas_group(m)
-                c2, s2 = traversal_fused_pallas(
-                    clvs[m], scalers[m], jp, jq, jr, jt,
-                    lzq[:, col], lzr[:, col], lam[None, :],
-                    blockdiag_tile(blockdiag(eis[m]).astype(jnp.float32),
-                                   g),
-                    blockdiag_tile(blockdiag(evs[m]).astype(jnp.float32),
-                                   g),
-                    n_exec=nex[0], n_rows=n_rows, block_w=plan[m], group=g,
-                    min_scale=self.min_scale,
-                    inv_min_scale=self.inv_min_scale, interpret=interpret)
-                out_c[m] = jnp.where(exec_mask[m], c2, clvs[m])
-                out_s[m] = jnp.where(exec_mask[m], s2, scalers[m])
-            return tuple(out_c), tuple(out_s)
+        traverse = self._make_traverse(n_rows, plan, interpret)
 
         if kind == 'trav':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
@@ -1155,6 +1123,60 @@ class LikelihoodEngine:
 
         return jax.jit(run, donate_argnums=(0, 1))
 
+    def _make_traverse(self, n_rows, plan, interpret):
+        """The fused multi-partition traversal as a reusable jnp-level
+        function (consumed by the trav/trav_eval/trav_evalbatch programs
+        and the on-device model-optimization programs)."""
+        from .kernels.pallas_newview import (blockdiag, blockdiag_tile,
+                                             fold_lam,
+                                             traversal_fused_pallas)
+        M = self.n_models
+
+        def traverse(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
+                     sub, zqrs, nex, gammas, eigns, eis, evs):
+            # exec_mask is a dynamic [M] bool vector (one compiled program
+            # serves every evaluateChange mask pattern); masked partitions
+            # keep their stale CLVs via a select. Slots with sub[i] True
+            # take their rz branch length from the device value zqrs
+            # (speculative SPR: the prune-branch NR result never visits
+            # the host).
+            lzr = jnp.where(
+                sub[:, None],
+                jnp.log(jnp.maximum(zqrs, C.ZMIN)).astype(jnp.float32)[None, :],
+                lzr)
+            out_c = list(clvs)
+            out_s = list(scalers)
+            for m in range(M):
+                col = self._branch_col(m)
+                lam = fold_lam(eigns[m], gammas[m]).astype(jnp.float32)
+                g = self._pallas_group(m)
+                c2, s2 = traversal_fused_pallas(
+                    clvs[m], scalers[m], jp, jq, jr, jt,
+                    lzq[:, col], lzr[:, col], lam[None, :],
+                    blockdiag_tile(blockdiag(eis[m]).astype(jnp.float32),
+                                   g),
+                    blockdiag_tile(blockdiag(evs[m]).astype(jnp.float32),
+                                   g),
+                    n_exec=nex[0], n_rows=n_rows, block_w=plan[m], group=g,
+                    min_scale=self.min_scale,
+                    inv_min_scale=self.inv_min_scale, interpret=interpret)
+                out_c[m] = jnp.where(exec_mask[m], c2, clvs[m])
+                out_s[m] = jnp.where(exec_mask[m], s2, scalers[m])
+            return tuple(out_c), tuple(out_s)
+
+        return traverse
+
+    def _fused_slots(self, n: int) -> int:
+        """Canonical descriptor length for the fused traversal programs:
+        few, coarse buckets (the kernel's dynamic n_exec makes the padded
+        tail free, so the only cost of a big bucket is host-side numpy
+        fill) keep the number of remote XLA compiles small — measured
+        6 s per shape through the tunnel."""
+        b = 32
+        while b < n:
+            b *= 4
+        return b
+
     def _pallas_program(self, kind, packed):
         plan = self._fused_plan(packed)
         if plan is None:
@@ -1209,7 +1231,8 @@ class LikelihoodEngine:
         program (one device round trip). Returns False when the VMEM
         working set does not fit (caller falls back to level kernels).
         GAMMA only; PSR uses the level path."""
-        packed = pack_traversal(self.tree, entries)
+        packed = pack_traversal(self.tree, entries,
+                                slots=self._fused_slots(len(entries)))
         fn = self._pallas_program('trav', packed)
         if fn is None:
             return False
@@ -1368,7 +1391,8 @@ class LikelihoodEngine:
         if self.use_pallas and not self.is_psr:
             # single-dispatch path: traversal + all partitions' root lnL
             # in one jitted program
-            packed = pack_traversal(tr, entries)
+            packed = pack_traversal(tr, entries,
+                                    slots=self._fused_slots(len(entries)))
             fn = self._pallas_program('trav_eval', packed)
             if fn is not None:
                 ex = (np.ones(self.n_models, dtype=bool) if mask is None
@@ -1602,10 +1626,11 @@ class LikelihoodEngine:
                 out_s.append(s2)
             return tuple(out_c), tuple(out_s)
 
-        def run(clvs, scalers, model, s_row, u_rows, v_rows, j_rows, z0):
+        def run(clvs, scalers, model, s_row, u_rows, v_rows, j_rows, z0,
+                pad):
             gammas, eigns, eis, evs, rate_weights, wgts = model
             N = u_rows.shape[0]
-            live = jnp.zeros(N, bool)          # frozen mask for batch_nr
+            live = pad                         # frozen mask for batch_nr
             s_rows = jnp.broadcast_to(s_row.astype(jnp.int32), (N,))
             tt_uv = jnp.zeros(N, jnp.int32)    # junction rows: never tips
             defaultz = jnp.full(N, C.DEFAULTZ, z0.dtype)
@@ -1673,7 +1698,7 @@ class LikelihoodEngine:
             k, clvs, scalers, e1, e2, e3, active = jax.lax.while_loop(
                 round_cond, round_body,
                 (jnp.asarray(0, jnp.int32), clvs, scalers, e1, e2, e3,
-                 jnp.ones(N, bool)))
+                 ~pad))
 
             # final state: junction toward v (last rebuilt orientation in
             # localSmooth is toward v); evaluate at branch (junction, v)
@@ -1699,21 +1724,40 @@ class LikelihoodEngine:
 
     def thorough_score_wave_lazy(self, s_row, u_rows, v_rows, j_rows, z0):
         """thorough_score_wave without the host sync: returns device
-        handles (scores, e1, e2, e3)."""
+        handles (scores, e1, e2, e3); entries beyond len(u_rows) are
+        shape-bucket padding (frozen lanes writing a spare scratch row)
+        the caller must slice away."""
         fn = self._jit_cache.get('thoroughprog')
         if fn is None:
             fn = self._build_thorough_program()
             self._jit_cache['thoroughprog'] = fn
+        # coarse power-of-two lane buckets: every distinct N would
+        # otherwise recompile the whole program (measured 6 s per shape
+        # through the remote tunnel, 29 shapes per search); padded lanes
+        # start frozen and do no NR work
+        N = len(u_rows)
+        L = 16
+        while L < N:
+            L *= 2
+        spare = self.scratch_base + self.n_scratch - 1
+        ju = np.full(L, int(s_row), np.int32)
+        ju[:N] = u_rows
+        jv = np.full(L, int(s_row), np.int32)
+        jv[:N] = v_rows
+        jj = np.full(L, spare, np.int32)
+        jj[:N] = j_rows
+        z = np.full(L, C.DEFAULTZ, np.float32)
+        z[:N] = z0
+        pad = np.zeros(L, bool)
+        pad[N:] = True
         model = (tuple(self.d_gamma), tuple(self.d_EIGN),
                  tuple(self.d_EI), tuple(self.d_EV),
                  tuple(self.d_rate_weights), tuple(self.wgts))
         clvs, scalers, scores, e1, e2, e3 = fn(
             tuple(self.clv), tuple(self.scaler), model,
             jnp.asarray(s_row, dtype=jnp.int32),
-            jnp.asarray(u_rows, dtype=jnp.int32),
-            jnp.asarray(v_rows, dtype=jnp.int32),
-            jnp.asarray(j_rows, dtype=jnp.int32),
-            jnp.asarray(z0, dtype=jnp.float32))
+            jnp.asarray(ju), jnp.asarray(jv), jnp.asarray(jj),
+            jnp.asarray(z), jnp.asarray(pad))
         self.clv = list(clvs)
         self.scaler = list(scalers)
         return scores, e1, e2, e3
@@ -1726,7 +1770,8 @@ class LikelihoodEngine:
         (scores, e1, e2, e3)."""
         handles = self.thorough_score_wave_lazy(s_row, u_rows, v_rows,
                                                 j_rows, z0)
-        return tuple(self.fetch(handles, kind='spr_thorough_wave'))
+        vals = self.fetch(handles, kind='spr_thorough_wave')
+        return tuple(v[:len(u_rows)] for v in vals)
 
     # ------------------------------------------------------------------
     # Newton-Raphson branch-length optimization

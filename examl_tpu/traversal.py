@@ -103,9 +103,15 @@ def _bucket(n: int) -> int:
     return b
 
 
-def pack_traversal(tr: Tree, entries: List[TraversalEntry]) -> PackedTraversal:
+def pack_traversal(tr: Tree, entries: List[TraversalEntry],
+                   slots: int = 0) -> PackedTraversal:
+    """slots: fixed descriptor length overriding the default bucket — the
+    fused whole-traversal kernel skips the padded tail dynamically
+    (n_exec), so callers on that path canonicalize slots to a single
+    shape and avoid per-length XLA recompiles."""
     n = len(entries)
-    L = _bucket(n)
+    L = slots if slots else _bucket(n)
+    assert n <= L
     dummy = 2 * tr.mxtips - 1
     B = tr.num_branches
 
