@@ -87,6 +87,30 @@ class ModelOptimizer:
         self.engine = engine
         self.auto_prot_selection = auto_prot_selection
         self._cat_opt = 0   # PSR categorization passes (max 3 per modOpt)
+        self._dev_opt = None  # lazy DeviceParamOptimizer (accelerator)
+
+    def _device_opt_for(self, which, ll: LinkageList):
+        """The on-device brak+brent path when the engine and parameter
+        type support it (optimize/device_opt.py): returns
+        (optimizer, lane_of) or None. lane_of maps partition -> valid-
+        group lane in _evaluate_change's ordering."""
+        eng = self.engine
+        if not eng.use_pallas:
+            return None
+        lane_of = [-1] * eng.n_models
+        pos = 0
+        for group in ll.groups:
+            if not group.valid:
+                continue
+            for k in group.partitions:
+                lane_of[k] = pos
+            pos += 1
+        if self._dev_opt is None:
+            from .device_opt import DeviceParamOptimizer
+            self._dev_opt = DeviceParamOptimizer(eng)
+        if not self._dev_opt.supported(which, lane_of):
+            return None
+        return self._dev_opt, tuple(lane_of)
 
     # ------------------------------------------------------------------
 
@@ -425,19 +449,26 @@ class ModelOptimizer:
             pos += 1
         assert pos == n
 
-        a = np.clip(start_values + 0.1, lim_inf, lim_sup)
-        b = np.clip(start_values - 0.1, lim_inf, lim_sup)
-        c = np.zeros(n)
-        fa = np.zeros(n)
-        fb = np.zeros(n)
-        fc = np.zeros(n)
-        x = np.zeros(n)
-        end_lh = np.full(n, C.UNLIKELY)
+        dev = self._device_opt_for(which, ll)
+        if dev is not None:
+            opt, lane_of = dev
+            x, end_lh = opt.optimize(which, rate_number, lane_of, n,
+                                     start_values, lim_inf, lim_sup,
+                                     model_epsilon)
+        else:
+            a = np.clip(start_values + 0.1, lim_inf, lim_sup)
+            b = np.clip(start_values - 0.1, lim_inf, lim_sup)
+            c = np.zeros(n)
+            fa = np.zeros(n)
+            fb = np.zeros(n)
+            fc = np.zeros(n)
+            x = np.zeros(n)
+            end_lh = np.full(n, C.UNLIKELY)
 
-        self._brak(a, b, c, fa, fb, fc, lim_inf, lim_sup, n, rate_number,
-                   which, ll)
-        self._brent(a, b, c, fb, model_epsilon, x, end_lh, n, which,
-                    rate_number, ll, lim_inf, lim_sup)
+            self._brak(a, b, c, fa, fb, fc, lim_inf, lim_sup, n,
+                       rate_number, which, ll)
+            self._brent(a, b, c, fb, model_epsilon, x, end_lh, n, which,
+                        rate_number, ll, lim_inf, lim_sup)
 
         pos = 0
         for group in ll.groups:

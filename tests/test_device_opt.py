@@ -1,0 +1,74 @@
+"""The on-device brak+brent programs (optimize/device_opt.py) against the
+host state machines, on the CPU Pallas engine (f32 kernels, f64 state —
+the same f-values the host machines consume). Trajectories can differ by
+float-cast ulps in the rebuilt model tensors (scipy vs jnp gamma
+quantiles, LAPACK vs jnp eigh), so parameters are compared to tight
+tolerances rather than bitwise."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from examl_tpu.engine import LikelihoodEngine
+from examl_tpu.io.bytefile import read_bytefile
+from examl_tpu.io.newick import parse_newick
+from examl_tpu.optimize.model_opt import ModelOptimizer, init_linkage_list
+from examl_tpu.tree import Tree
+
+REF = pathlib.Path('/root/reference/testData')
+DATA = pathlib.Path(__file__).resolve().parent / 'data'
+
+
+def _setup(device: bool):
+    import jax
+    aln = read_bytefile(str(DATA / '49.binary'))
+    tree = Tree(aln.taxon_names)
+    parse_newick((REF / '49.tree').read_text(), tree)
+    eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                           use_pallas=True, pad=128)
+    eng.evaluate(tree.start, full_traversal_=True)
+    eng.tree_evaluate(1.0)
+    mod = ModelOptimizer(eng)
+    if not device:
+        mod._device_opt_for = lambda which, ll: None
+    ll = init_linkage_list(list(range(eng.n_models)))
+    return eng, mod, ll
+
+
+@pytest.mark.slow
+def test_device_alpha_matches_host():
+    eng_d, mod_d, ll_d = _setup(device=True)
+    # device path must actually engage
+    assert mod_d._device_opt_for(0, ll_d) is not None
+    mod_d.opt_alphas_generic(0.0001, ll_d)
+    n_dev = eng_d.op_stats.get('devopt_param', 0)
+    assert n_dev >= 1
+    assert eng_d.op_stats.get('evaluate', 0) < 10   # probes stayed on device
+
+    eng_h, mod_h, ll_h = _setup(device=False)
+    mod_h.opt_alphas_generic(0.0001, ll_h)
+
+    for pd, ph in zip(eng_d.partitions, eng_h.partitions):
+        assert pd.alpha == pytest.approx(ph.alpha, rel=2e-3)
+
+    lh_d = eng_d.evaluate(eng_d.tree.start, full_traversal_=True)
+    lh_h = eng_h.evaluate(eng_h.tree.start, full_traversal_=True)
+    assert lh_d == pytest.approx(lh_h, abs=0.05)
+
+
+@pytest.mark.slow
+def test_device_rates_match_host():
+    eng_d, mod_d, ll_d = _setup(device=True)
+    mod_d.opt_rates_generic(0.0001, ll_d)
+    assert eng_d.op_stats.get('devopt_param', 0) >= 5   # 5 DNA rates
+
+    eng_h, mod_h, ll_h = _setup(device=False)
+    mod_h.opt_rates_generic(0.0001, ll_h)
+
+    for pd, ph in zip(eng_d.partitions, eng_h.partitions):
+        assert np.allclose(pd.subst_rates, ph.subst_rates, rtol=5e-3,
+                           atol=5e-4)
+
+    lh_d = eng_d.evaluate(eng_d.tree.start, full_traversal_=True)
+    lh_h = eng_h.evaluate(eng_h.tree.start, full_traversal_=True)
+    assert lh_d == pytest.approx(lh_h, abs=0.05)
