@@ -47,8 +47,9 @@ from .kernels import reference_jnp as K
 from .models.eigen import make_eigen
 from .models.gamma import make_gamma_cats
 from .models.protein import prot_rates_freqs, wag_rates
-from .traversal import (PackedTraversal, full_traversal, partial_traversal,
-                        pack_grouped, pack_traversal, TraversalEntry)
+from .traversal import (PackedTraversal, TIP_TIP, full_traversal,
+                        partial_traversal, pack_grouped, pack_traversal,
+                        TraversalEntry)
 from .tree import Node, Tree
 
 # descriptor block size for the grouped fused traversal kernel (aligned
@@ -1717,8 +1718,13 @@ class LikelihoodEngine:
                     block_w=min(8192, self.widths[m]),
                     log_min_scale=self.log_min_scale,
                     interpret=interpret))
-            scores = jnp.sum(jnp.stack(lhs), axis=0)
-            return clvs, scalers, scores, e1, e2, e3
+            # per-partition [M, N] — callers sum over partitions (the
+            # fused apply path also needs per_partition_lh)
+            import os
+            if os.environ.get('EXAML_DEBUG_THOROUGH'):
+                return (clvs, scalers, jnp.stack(lhs), e1, e2, e3,
+                        zqr, zqs, zrs)
+            return clvs, scalers, jnp.stack(lhs), e1, e2, e3
 
         return jax.jit(run, donate_argnums=(0, 1))
 
@@ -1727,10 +1733,13 @@ class LikelihoodEngine:
         handles (scores, e1, e2, e3); entries beyond len(u_rows) are
         shape-bucket padding (frozen lanes writing a spare scratch row)
         the caller must slice away."""
-        fn = self._jit_cache.get('thoroughprog')
+        import os
+        dbg = bool(os.environ.get('EXAML_DEBUG_THOROUGH'))
+        ck = 'thoroughprog_dbg' if dbg else 'thoroughprog'
+        fn = self._jit_cache.get(ck)
         if fn is None:
             fn = self._build_thorough_program()
-            self._jit_cache['thoroughprog'] = fn
+            self._jit_cache[ck] = fn
         # coarse power-of-two lane buckets: every distinct N would
         # otherwise recompile the whole program (measured 6 s per shape
         # through the remote tunnel, 29 shapes per search); padded lanes
@@ -1753,13 +1762,15 @@ class LikelihoodEngine:
         model = (tuple(self.d_gamma), tuple(self.d_EIGN),
                  tuple(self.d_EI), tuple(self.d_EV),
                  tuple(self.d_rate_weights), tuple(self.wgts))
-        clvs, scalers, scores, e1, e2, e3 = fn(
+        clvs, scalers, scores, e1, e2, e3, *extra = fn(
             tuple(self.clv), tuple(self.scaler), model,
             jnp.asarray(s_row, dtype=jnp.int32),
             jnp.asarray(ju), jnp.asarray(jv), jnp.asarray(jj),
             jnp.asarray(z), jnp.asarray(pad))
         self.clv = list(clvs)
         self.scaler = list(scalers)
+        if extra:
+            return (scores, e1, e2, e3) + tuple(extra)
         return scores, e1, e2, e3
 
     def thorough_score_wave(self, s_row, u_rows, v_rows, j_rows, z0):
@@ -1770,8 +1781,36 @@ class LikelihoodEngine:
         (scores, e1, e2, e3)."""
         handles = self.thorough_score_wave_lazy(s_row, u_rows, v_rows,
                                                 j_rows, z0)
-        vals = self.fetch(handles, kind='spr_thorough_wave')
-        return tuple(v[:len(u_rows)] for v in vals)
+        lhs, e1, e2, e3 = self.fetch(handles, kind='spr_thorough_wave')
+        N = len(u_rows)
+        return lhs[:, :N].sum(axis=0), e1[:N], e2[:N], e3[:N]
+
+    def apply_thorough(self, p: Node, q: Node):
+        """The thorough-insertion APPLY (insertBIG + localSmooth +
+        evaluate, searchAlgo.c:495-536 + :270) as ONE dispatch + ONE
+        fetch. Called with the tree still pruned (q.back is the junction
+        partner r; p dangling with p.back = s). Returns
+        (per_partition_lh [M], e1, e2, e3); the caller performs the
+        hookups with the fitted branch lengths and refreshes p's CLV."""
+        tr = self.tree
+        r = q.back
+        s = p.back
+        # the sequential path's makenewz calls refresh stale views first
+        # (makenewzGeneric :1355); mirror that
+        entries: List[TraversalEntry] = []
+        for node in (q, r, s):
+            if not tr.is_tip(node.number) and not node.x:
+                entries += partial_traversal(tr, node)
+        self._run_traversal(entries)
+        # the real lane's junction row must NOT be the spare row the
+        # shape-bucket padding lanes write (the grid runs lanes in order,
+        # so pad lanes would overwrite the junction before localSmooth
+        # reads it back) — use the first scratch row instead
+        handles = self.thorough_score_wave_lazy(
+            s.number, [q.number], [r.number], [self.scratch_base],
+            [q.z[0]])
+        lhs, e1, e2, e3 = self.fetch(handles, kind='apply_thorough')
+        return lhs[:, 0], float(e1[0]), float(e2[0]), float(e3[0])
 
     # ------------------------------------------------------------------
     # Newton-Raphson branch-length optimization
@@ -2122,8 +2161,13 @@ class LikelihoodEngine:
 
     def tree_evaluate(self, smooth_factor: float) -> float:
         """treeEvaluate (searchAlgo.c:2635): smooth all branches, then a
-        full-traversal evaluation rooted at tr.start."""
-        self.smooth_tree(int(C.SMOOTHINGS * smooth_factor))
+        full-traversal evaluation rooted at tr.start. On the accelerator
+        both steps run as ONE device program (one sync instead of two)."""
+        maxtimes = int(C.SMOOTHINGS * smooth_factor)
+        lnl = self._tree_evaluate_device(maxtimes)
+        if lnl is not None:
+            return lnl
+        self.smooth_tree(maxtimes)
         return self.evaluate(self.tree.start, full_traversal_=True)
 
     # ------------------------------------------------------------------
@@ -2224,8 +2268,9 @@ class LikelihoodEngine:
                 eq[i] = e
         return tuple(jnp.asarray(x) for x in (t, pr, qr, rr, eq, er, tt))
 
-    def _build_smooth_program(self):
-        from .kernels.pallas_newview import (blockdiag, fold_lam, fold_rw,
+    def _build_smooth_program(self, with_eval: bool = False):
+        from .kernels.pallas_newview import (blockdiag, evaluate_pallas,
+                                            fold_lam, fold_rw,
                                             make_p_batch,
                                             newview_level_pallas,
                                             nr_derivatives_pallas)
@@ -2360,15 +2405,44 @@ class LikelihoodEngine:
                              smoothed))
             return clvs, scalers, z, smoothed, k
 
-        return jax.jit(smooth, donate_argnums=(0, 1), static_argnums=())
+        if not with_eval:
+            return jax.jit(smooth, donate_argnums=(0, 1),
+                           static_argnums=())
 
-    def _smooth_tree_device(self, maxtimes: int) -> bool:
-        """Whole smooth_tree as one device dispatch (accelerator, GAMMA,
-        single branch class). Returns False when unsupported."""
+        def smooth_eval(clvs, scalers, z, model, ops1, ops2, maxtimes,
+                        ops3, p_row, q_row, e_root):
+            # treeEvaluate = smooth + full-traversal evaluate
+            # (searchAlgo.c:2635) in ONE program: the final z's never
+            # visit the host between the smooth and the evaluation
+            clvs, scalers, z, smoothed, k = smooth(
+                clvs, scalers, z, model, ops1, ops2, maxtimes)
+            clvs, scalers, z, _ = run_ops(
+                (clvs, scalers, z, jnp.asarray(True)), model, ops3)
+            gammas, eigns, eis, evs, rate_weights, wgts = model
+            lz = jnp.log(jnp.maximum(z[e_root], C.ZMIN))
+            lhs = []
+            for m in range(M):
+                lam = fold_lam(eigns[m], gammas[m])
+                dw = (fold_rw(rate_weights[m], eigns[m].shape[1])
+                      * jnp.exp(lam * lz))
+                lhs.append(evaluate_pallas(
+                    clvs[m], scalers[m], p_row, q_row,
+                    dw[None, :].astype(jnp.float32),
+                    wgts[m].astype(jnp.float32),
+                    block_w=min(8192, self.widths[m]),
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            return clvs, scalers, z, smoothed, k, jnp.stack(lhs)
+
+        return jax.jit(smooth_eval, donate_argnums=(0, 1),
+                       static_argnums=())
+
+    def _smooth_schedules(self, maxtimes: int):
+        """(emap, z0, ops1, ops2, vflags) for the device smoothing
+        program, or None when the device path is unsupported."""
         if (not self.use_pallas or self.is_psr or self.num_branches != 1
                 or maxtimes < 1):
-            return False
-        tr = self.tree
+            return None
         emap, z0 = self._edge_index()
         vflags = {}
         ops1 = self._build_smooth_schedule(emap, vflags)
@@ -2378,9 +2452,122 @@ class LikelihoodEngine:
         # ops and every pass ends in the same orientation state (so the
         # host-side flag restore below is exact however many passes ran)
         if end_of_p1 != vflags:
-            return False
+            return None
         if self._build_smooth_schedule(emap, dict(vflags)) != ops2:
+            return None
+        return emap, z0, ops1, ops2, vflags
+
+    def _apply_smooth_result(self, tr, emap, vflags, znew):
+        for p in tr.branches():
+            e = emap[id(p)]
+            p.z = [float(znew[e])]
+            p.back.z = [float(znew[e])]
+        # apply the simulated x-flag end state to the real records
+        # (identical after every pass — checked in _smooth_schedules)
+        for i in range(tr.mxtips + 1, 2 * tr.mxtips - 1):
+            base = tr.nodep[i]
+            if base is None:
+                continue
+            for rec in (base, base.next, base.next.next):
+                if id(rec) in vflags:
+                    rec.x = 1 if vflags[id(rec)] else 0
+        self.partition_smoothed[:] = True
+        self.partition_converged[:] = False
+
+    def tree_evaluate_lazy(self, smooth_factor: float, maxtimes=None):
+        """Dispatch the fused smooth+evaluate program WITHOUT fetching:
+        returns a spec dict with device handles (z, lhs) and the edge map
+        needed by tree_evaluate_finish, or None when the device path is
+        unsupported. The BestList re-evaluation scans funnel a whole set
+        of candidate trees through ONE fetch this way."""
+        if maxtimes is None:
+            maxtimes = int(C.SMOOTHINGS * smooth_factor)
+        sched = self._smooth_schedules(maxtimes)
+        if sched is None:
+            return None
+        tr = self.tree
+        emap, z0, ops1, ops2, vflags = sched
+        # post-smooth flag state must be live BEFORE planning the final
+        # full traversal (the sequential path runs it after smoothing)
+        for i in range(tr.mxtips + 1, 2 * tr.mxtips - 1):
+            base = tr.nodep[i]
+            if base is None:
+                continue
+            for rec in (base, base.next, base.next.next):
+                if id(rec) in vflags:
+                    rec.x = 1 if vflags[id(rec)] else 0
+        q = tr.start.back
+        entries = full_traversal(tr, q)
+        pair2e = {}
+        for p in tr.branches():
+            pair2e[frozenset((p.number, p.back.number))] = emap[id(p)]
+        ops3 = [('nv', e.p_number, e.q_number, e.r_number,
+                 pair2e[frozenset((e.p_number, e.q_number))],
+                 pair2e[frozenset((e.p_number, e.r_number))],
+                 e.tip_case == TIP_TIP) for e in entries]
+        e_root = pair2e[frozenset((tr.start.number, q.number))]
+
+        fn = self._jit_cache.get('smoothevalprog')
+        if fn is None:
+            fn = self._build_smooth_program(with_eval=True)
+            self._jit_cache['smoothevalprog'] = fn
+        p1 = self._pack_smooth_ops(ops1)
+        p2 = self._pack_smooth_ops(ops2)
+        p3 = self._pack_smooth_ops(ops3)
+        model = (tuple(self.d_gamma), tuple(self.d_EIGN),
+                 tuple(self.d_EI), tuple(self.d_EV),
+                 tuple(self.d_rate_weights), tuple(self.wgts))
+        clvs, scalers, z, smoothed, k, lhs = fn(
+            tuple(self.clv), tuple(self.scaler),
+            jnp.asarray(z0[:, 0], dtype=jnp.float32), model, p1, p2,
+            jnp.asarray(maxtimes, jnp.int32), p3,
+            jnp.asarray([tr.start.number], jnp.int32),
+            jnp.asarray([q.number], jnp.int32),
+            jnp.asarray(e_root, jnp.int32))
+        self.clv = list(clvs)
+        self.scaler = list(scalers)
+        # flags were already set (vflags, then full_traversal's
+        # orientations — same order as the sequential path); only the
+        # fitted branch lengths remain to apply after the fetch
+        return dict(z=z, lhs=lhs, emap=emap)
+
+    def tree_evaluate_finish(self, spec, znew, lhs) -> float:
+        """Apply a fetched tree_evaluate_lazy result to the CURRENT tree
+        (the caller must have the same topology restored; the edge map is
+        keyed by ring-record identity, which recall preserves)."""
+        tr = self.tree
+        emap = spec['emap']
+        for p in tr.branches():
+            e = emap[id(p)]
+            p.z = [float(znew[e])]
+            p.back.z = [float(znew[e])]
+        self.partition_smoothed[:] = True
+        self.partition_converged[:] = False
+        lhs = np.where(self.execute_model, lhs, self.per_partition_lh)
+        self.per_partition_lh = lhs
+        self.likelihood = float(lhs.sum())
+        return self.likelihood
+
+    def _tree_evaluate_device(self, maxtimes: int):
+        """treeEvaluate as ONE dispatch + ONE fetch: the smoothing
+        program plus the final full-traversal root evaluation composed in
+        a single jitted program (the host path costs two separate syncs).
+        Returns the likelihood, or None when unsupported."""
+        spec = self.tree_evaluate_lazy(0.0, maxtimes=maxtimes)
+        if spec is None:
+            return None
+        znew, lhs = self.fetch([spec['z'], spec['lhs']],
+                               kind='tree_eval_device')
+        return self.tree_evaluate_finish(spec, znew, lhs)
+
+    def _smooth_tree_device(self, maxtimes: int) -> bool:
+        """Whole smooth_tree as one device dispatch (accelerator, GAMMA,
+        single branch class). Returns False when unsupported."""
+        sched = self._smooth_schedules(maxtimes)
+        if sched is None:
             return False
+        tr = self.tree
+        emap, z0, ops1, ops2, vflags = sched
 
         fn = self._jit_cache.get('smoothprog')
         if fn is None:
@@ -2401,19 +2588,5 @@ class LikelihoodEngine:
         t0 = time.perf_counter()
         znew = np.asarray(z, dtype=np.float64)
         self._time('smooth_device', time.perf_counter() - t0)
-        for p in tr.branches():
-            e = emap[id(p)]
-            p.z = [float(znew[e])]
-            p.back.z = [float(znew[e])]
-        # apply the simulated x-flag end state to the real records
-        # (identical after every pass — checked above)
-        for i in range(tr.mxtips + 1, 2 * tr.mxtips - 1):
-            base = tr.nodep[i]
-            if base is None:
-                continue
-            for rec in (base, base.next, base.next.next):
-                if id(rec) in vflags:
-                    rec.x = 1 if vflags[id(rec)] else 0
-        self.partition_smoothed[:] = True
-        self.partition_converged[:] = False
+        self._apply_smooth_result(tr, emap, vflags, znew)
         return True

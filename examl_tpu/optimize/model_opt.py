@@ -94,8 +94,11 @@ class ModelOptimizer:
         type support it (optimize/device_opt.py): returns
         (optimizer, lane_of) or None. lane_of maps partition -> valid-
         group lane in _evaluate_change's ordering."""
+        import os
         eng = self.engine
         if not eng.use_pallas:
+            return None
+        if os.environ.get('EXAML_DEVICE_OPT', '1') == '0':
             return None
         lane_of = [-1] * eng.n_models
         pos = 0

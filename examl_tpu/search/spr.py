@@ -517,7 +517,7 @@ class SprSearch:
             for seg in side['segs']:
                 if 'handles' in seg:                       # thorough
                     for h, f in zip(seg['handles'],
-                                    ('scores', 'e1', 'e2', 'e3')):
+                                    ('raw', 'e1', 'e2', 'e3')):
                         handles.append(h)
                         slots.append((seg, f))
                 else:
@@ -530,8 +530,8 @@ class SprSearch:
             obj[f] = v
         for side in sides:
             for seg in side['segs']:
-                if 'raw' in seg:
-                    seg['scores'] = seg['raw'][:, :seg['n']].sum(axis=0)
+                # raw is per-partition [M, L] for both wave kinds
+                seg['scores'] = seg['raw'][:, :seg['n']].sum(axis=0)
 
     def _replay_side(self, side):
         """Step 3: replay testInsertBIG bookkeeping in traversal order
@@ -670,6 +670,48 @@ class SprSearch:
                 self.eng.newview(q)
         return 1
 
+    def _scan_best_list(self, bt: BestList, previous_lh: float, lh: float,
+                        best_t: BestList, epsilon: float):
+        """Re-evaluate every bt candidate (recall + treeEvaluate(0.25) +
+        improvement bookkeeping, searchAlgo.c computeBIGRAPID's bt scan).
+        On the accelerator all candidates' smooth+evaluate programs are
+        dispatched lazily and fetched in ONE round trip; the bookkeeping
+        replays sequentially. Returns (impr, lh)."""
+        eng = self.eng
+        impr = False
+        specs = None
+        if self.speculate:
+            specs = []
+            for i in range(1, bt.nvalid + 1):
+                self._recall(bt, i)
+                spec = eng.tree_evaluate_lazy(0.25)
+                if spec is None:
+                    specs = None
+                    break
+                specs.append(spec)
+        if specs is not None:
+            handles = [h for s in specs for h in (s['z'], s['lhs'])]
+            vals = eng.fetch(handles, kind='bestlist_scan')
+            for i, spec in enumerate(specs):
+                znew, lhs = vals[2 * i], vals[2 * i + 1]
+                self._recall(bt, i + 1)
+                lnl = eng.tree_evaluate_finish(spec, znew, lhs)
+                difference = abs(lnl - previous_lh)
+                if lnl > lh and difference > epsilon:
+                    impr = True
+                    lh = lnl
+                    best_t.save(self.tr, lnl, keep_identical=True)
+            return impr, lh
+        for i in range(1, bt.nvalid + 1):
+            self._recall(bt, i)
+            eng.tree_evaluate(0.25)
+            difference = abs(eng.likelihood - previous_lh)
+            if eng.likelihood > lh and difference > epsilon:
+                impr = True
+                lh = eng.likelihood
+                best_t.save(self.tr, eng.likelihood, keep_identical=True)
+        return impr, lh
+
     def rearrange_dispatch(self, p: Node, mintrav: int, maxtrav: int):
         """rearrange_big's dispatch phase for the speculative driver:
         prune both positions, dispatch the candidate waves lazily (the
@@ -773,6 +815,26 @@ class SprSearch:
     def test_insert_restore_big(self, p: Node, q: Node):
         tr = self.tr
         if self.thorough:
+            if self.batch_thorough:
+                # fused apply: insertBIG's three NR fits + localSmooth +
+                # evaluate in ONE dispatch/fetch (the host path costs 4
+                # separate syncs; searchAlgo.c:495-536 + :270)
+                eng = self.eng
+                B = eng.num_branches
+                r = q.back
+                s = p.back
+                self.lzi = list(q.z)
+                per, e1, e2, e3 = eng.apply_thorough(p, q)
+                tr.hookup(p.next, q, [e1] * B)
+                tr.hookup(p.next.next, r, [e2] * B)
+                tr.hookup(p, s, [e3] * B)
+                eng.newview(p)
+                self.lzq = list(p.next.z)
+                self.lzr = list(p.next.next.z)
+                self.lzs = list(p.z)
+                eng.per_partition_lh = np.asarray(per, np.float64)
+                eng.likelihood = float(eng.per_partition_lh.sum())
+                return
             self.insert_big(p, q)
             self.eng.evaluate(p.next.next)
         else:
@@ -1146,15 +1208,8 @@ class SprSearch:
 
                 self.tree_optimize_rapid(1, best_trav, bt)
 
-                impr = False
-                for i in range(1, bt.nvalid + 1):
-                    self._recall(bt, i)
-                    eng.tree_evaluate(0.25)
-                    difference = abs(eng.likelihood - previous_lh)
-                    if eng.likelihood > lh and difference > epsilon:
-                        impr = True
-                        lh = eng.likelihood
-                        best_t.save(tr, eng.likelihood, keep_identical=True)
+                impr, lh = self._scan_best_list(bt, previous_lh, lh,
+                                                best_t, epsilon)
 
             # ------------- thorough (slow) SPR phase setup -------------
             self.rf_slots = [None, None]
@@ -1210,15 +1265,8 @@ class SprSearch:
 
             self.tree_optimize_rapid(rearrangements_min, rearrangements_max,
                                      bt)
-            impr = False
-            for i in range(1, bt.nvalid + 1):
-                self._recall(bt, i)
-                eng.tree_evaluate(0.25)
-                difference = abs(eng.likelihood - previous_lh)
-                if eng.likelihood > lh and difference > epsilon:
-                    impr = True
-                    lh = eng.likelihood
-                    best_t.save(tr, eng.likelihood, keep_identical=True)
+            impr, lh = self._scan_best_list(bt, previous_lh, lh, best_t,
+                                            epsilon)
 
         self._recall(best_t, 1)
         eng.evaluate(tr.start, full_traversal_=True)

@@ -136,18 +136,13 @@ def test_device_smoothing_matches_host(monkeypatch):
         return eng
 
     eng_dev = build()
-    used = {'n': 0}
-    orig = LikelihoodEngine._smooth_tree_device
-
-    def counting(self, maxtimes):
-        ok = orig(self, maxtimes)
-        used['n'] += int(ok)
-        return ok
-
-    monkeypatch.setattr(LikelihoodEngine, '_smooth_tree_device', counting)
     lnl_dev = eng_dev.tree_evaluate(1.0)
-    assert used['n'] == 1               # the device program actually ran
+    # the fused smooth+evaluate program actually ran: one sync total
+    assert eng_dev.op_stats.get('tree_eval_device', 0) == 1
+    assert eng_dev.op_stats.get('smooth_device', 0) == 0
 
+    monkeypatch.setattr(LikelihoodEngine, '_tree_evaluate_device',
+                        lambda self, maxtimes: None)
     monkeypatch.setattr(LikelihoodEngine, '_smooth_tree_device',
                         lambda self, maxtimes: False)
     eng_host = build()

@@ -98,3 +98,68 @@ def test_speculative_cycle_quality():
     assert lh_a == pytest.approx(lh_b, abs=3.0)
     assert lh_a > -17990            # improved over the smoothed start tree
     assert fa < fb / 4
+
+
+@pytest.mark.slow
+def test_fused_thorough_apply_matches_sequential():
+    """The one-dispatch thorough apply (engine.apply_thorough: insertBIG's
+    three NR fits + localSmooth + evaluate fused) against the sequential
+    host apply over a THOROUGH cycle with real applies."""
+    import types
+    from examl_tpu.search.spr import SprSearch as S
+
+    def run(fused):
+        eng, tree = _engine()
+        s = SprSearch(eng)
+        s.thorough = True
+        if not fused:
+            orig = S.test_insert_restore_big
+
+            def seq_apply(self, p, q):
+                keep = self.batch_thorough
+                self.batch_thorough = False
+                try:
+                    return orig(self, p, q)
+                finally:
+                    self.batch_thorough = keep
+
+            s.test_insert_restore_big = types.MethodType(seq_apply, s)
+        bt = BestList(20)
+        lh = s.tree_optimize_rapid(1, 5, bt)
+        zs = sorted(round(float(b.z[0]), 6) for b in tree.branches())
+        return lh, zs, eng.op_stats
+
+    lh_a, za, st_a = run(True)
+    lh_b, zb, st_b = run(False)
+    assert st_a.get('apply_thorough', 0) >= 1
+    assert lh_a == pytest.approx(lh_b, abs=0.02)
+    assert np.allclose(za, zb, atol=1e-4)
+    # the fused apply eliminates the 3 NR syncs + 1 evaluate per apply
+    assert (st_a.get('makenewz_device', 0)
+            < st_b.get('makenewz_device', 1))
+
+
+@pytest.mark.slow
+def test_batched_bestlist_scan_matches_sequential():
+    """The one-fetch BestList re-evaluation scan (recall + fused
+    smooth+evaluate per candidate, all fetched together) against the
+    sequential scan: same improvement decisions, same lnls, same saved
+    trees."""
+
+    def run(speculate):
+        eng, tree = _engine()
+        s = SprSearch(eng)
+        s.speculate = speculate
+        bt = BestList(20)
+        s.tree_optimize_rapid(1, 5, bt)       # populate candidates
+        assert bt.nvalid >= 5
+        best_t = BestList(5)
+        prev = eng.likelihood
+        impr, lh = s._scan_best_list(bt, prev, prev, best_t, 0.01)
+        return (impr, round(lh, 6),
+                [round(e.likelihood, 6) for e in best_t.entries],
+                round(eng.likelihood, 6))
+
+    a = run(True)
+    b = run(False)
+    assert a == b
