@@ -1527,15 +1527,16 @@ class LikelihoodEngine:
     # ONE device dispatch — a vectorized Newton-Raphson state machine over
     # candidates with per-round junction CLV rebuilds in scratch rows
 
-    def _build_thorough_program(self):
+    def _make_wave_ops(self, interpret):
+        """(batch_nr, junctions): the vectorized branch-NR state machine
+        and the batched junction-CLV builder shared by the thorough-
+        insertion and quartet wave programs."""
         from .kernels.pallas_newview import (blockdiag,
-                                             evaluate_batch_gamma,
                                              fold_lam, fold_rw,
                                              make_p_batch,
                                              newview_level_pallas,
                                              nr_derivatives_batch_pallas)
         M = self.n_models
-        interpret = jax.default_backend() == 'cpu'
 
         def batch_nr(clvs, scalers, model, jp, jq, z0, maxiter, frozen):
             """topLevelMakenewz vectorized over N branches (rows jp/jq);
@@ -1626,6 +1627,143 @@ class LikelihoodEngine:
                 out_c.append(c2)
                 out_s.append(s2)
             return tuple(out_c), tuple(out_s)
+
+        return batch_nr, junctions
+
+    def _build_quartet_program(self):
+        """N quartet topologies per dispatch: each lane hooks four tip
+        rows to two per-lane scratch junction rows, runs the nniSmooth
+        five-branch loop (quartets.c:170) with the vectorized NR state
+        machine, and evaluates — the whole -f q inner loop in ONE device
+        program instead of ~30 host syncs per topology."""
+        from .kernels.pallas_newview import evaluate_batch_gamma, fold_lam, fold_rw
+        M = self.n_models
+        interpret = jax.default_backend() == 'cpu'
+        batch_nr, junctions = self._make_wave_ops(interpret)
+
+        def run(clvs, scalers, model, t1, t2, t3, t4, ja, jb, tt12, tt34,
+                pad):
+            gammas, eigns, eis, evs, rate_weights, wgts = model
+            N = t1.shape[0]
+            z = jnp.full((N, 5), C.DEFAULTZ, jnp.float32)
+            tt0 = jnp.zeros(N, jnp.int32)
+
+            def passes(carry):
+                k, clvs, scalers, z, smoothed = carry
+                frozen = pad | smoothed
+                # orientations mirror nniSmooth's update_branch sequence:
+                # (j1-j2), (j1-t1), (j1-t2), (j2-t3), (j2-t4)
+                clvs, scalers = junctions(clvs, scalers, model, ja, t1,
+                                          t2, z[:, 0], z[:, 1], tt12)
+                clvs, scalers = junctions(clvs, scalers, model, jb, t3,
+                                          t4, z[:, 2], z[:, 3], tt34)
+                z5 = batch_nr(clvs, scalers, model, ja, jb, z[:, 4],
+                              C.NEWZPERCYCLE, frozen)
+                clvs, scalers = junctions(clvs, scalers, model, ja, t2,
+                                          jb, z[:, 1], z5, tt0)
+                z1 = batch_nr(clvs, scalers, model, ja, t1, z[:, 0],
+                              C.NEWZPERCYCLE, frozen)
+                clvs, scalers = junctions(clvs, scalers, model, ja, t1,
+                                          jb, z1, z5, tt0)
+                z2 = batch_nr(clvs, scalers, model, ja, t2, z[:, 1],
+                              C.NEWZPERCYCLE, frozen)
+                clvs, scalers = junctions(clvs, scalers, model, ja, t1,
+                                          t2, z1, z2, tt12)
+                clvs, scalers = junctions(clvs, scalers, model, jb, t4,
+                                          ja, z[:, 3], z5, tt0)
+                z3 = batch_nr(clvs, scalers, model, jb, t3, z[:, 2],
+                              C.NEWZPERCYCLE, frozen)
+                clvs, scalers = junctions(clvs, scalers, model, jb, t3,
+                                          ja, z3, z5, tt0)
+                z4 = batch_nr(clvs, scalers, model, jb, t4, z[:, 3],
+                              C.NEWZPERCYCLE, frozen)
+                zn = jnp.stack([z1, z2, z3, z4, z5], axis=1)
+                moved = jnp.any(jnp.abs(zn - z) > C.DELTAZ, axis=1)
+                smoothed = smoothed | ~moved
+                z = jnp.where(frozen[:, None], z, zn)
+                return (k + 1, clvs, scalers, z, smoothed)
+
+            def cond(carry):
+                k, _c, _s, _z, smoothed = carry
+                return (k < 16) & ~jnp.all(pad | smoothed)
+
+            k, clvs, scalers, z, smoothed = jax.lax.while_loop(
+                cond, passes,
+                (jnp.asarray(0, jnp.int32), clvs, scalers, z,
+                 jnp.zeros(N, bool)))
+
+            # final state: jb = view at j2 away from t4 (the last
+            # junction of the pass); evaluate the (j2, t4) branch exactly
+            # like the host's evaluate(q1.back.next.next)
+            lz4 = jnp.log(jnp.maximum(z[:, 3], C.ZMIN)).astype(jnp.float32)
+            lhs = []
+            for m in range(M):
+                lhs.append(evaluate_batch_gamma(
+                    clvs[m], scalers[m], jb, t4, lz4,
+                    fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
+                    fold_rw(rate_weights[m],
+                            eigns[m].shape[1]).astype(jnp.float32),
+                    wgts[m].astype(jnp.float32),
+                    block_w=min(8192, self.widths[m]),
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            return clvs, scalers, jnp.sum(jnp.stack(lhs), axis=0)
+
+        return jax.jit(run, donate_argnums=(0, 1))
+
+    def quartet_wave(self, topologies):
+        """Log likelihood of N quartet topologies [(t1, t2, t3, t4), ...]
+        (tip numbers; topology ((t1,t2),(t3,t4))) in ONE dispatch + ONE
+        fetch. Lanes are padded to power-of-two buckets; each lane owns
+        two scratch junction rows."""
+        N = len(topologies)
+        cap = self.n_scratch // 2
+        assert N <= cap
+        # power-of-two lane buckets capped at the scratch pool: EVERY
+        # lane (padding included) gets its own junction row pair — pad
+        # lanes still execute the junction writes, and sharing rows with
+        # real lanes would corrupt them mid-loop
+        L = 16
+        while L < N:
+            L *= 2
+        L = min(L, cap)
+        L = max(L, N)
+        tr = self.tree
+        t = np.ones((4, L), np.int32)          # pad lanes read tip row 1
+        for i, (a, b, c, d) in enumerate(topologies):
+            t[0, i], t[1, i], t[2, i], t[3, i] = a, b, c, d
+        ja = np.arange(L, dtype=np.int32) * 2 + self.scratch_base
+        jb = ja + 1
+        pad = np.zeros(L, bool)
+        pad[N:] = True
+        tt12 = np.zeros(L, np.int32)
+        tt34 = np.zeros(L, np.int32)
+        for i, (a, b, c, d) in enumerate(topologies):
+            tt12[i] = int(tr.is_tip(a) and tr.is_tip(b))
+            tt34[i] = int(tr.is_tip(c) and tr.is_tip(d))
+        fn = self._jit_cache.get('quartetprog')
+        if fn is None:
+            fn = self._build_quartet_program()
+            self._jit_cache['quartetprog'] = fn
+        model = (tuple(self.d_gamma), tuple(self.d_EIGN),
+                 tuple(self.d_EI), tuple(self.d_EV),
+                 tuple(self.d_rate_weights), tuple(self.wgts))
+        clvs, scalers, lhs = fn(
+            tuple(self.clv), tuple(self.scaler), model,
+            jnp.asarray(t[0]), jnp.asarray(t[1]), jnp.asarray(t[2]),
+            jnp.asarray(t[3]), jnp.asarray(ja), jnp.asarray(jb),
+            jnp.asarray(tt12), jnp.asarray(tt34), jnp.asarray(pad))
+        self.clv = list(clvs)
+        self.scaler = list(scalers)
+        (lhs,) = self.fetch([lhs], kind='quartet_wave')
+        return lhs[:N]
+
+    def _build_thorough_program(self):
+        from .kernels.pallas_newview import (evaluate_batch_gamma,
+                                             fold_lam, fold_rw)
+        M = self.n_models
+        interpret = jax.default_backend() == 'cpu'
+        batch_nr, junctions = self._make_wave_ops(interpret)
 
         def run(clvs, scalers, model, s_row, u_rows, v_rows, j_rows, z0,
                 pad):

@@ -63,7 +63,8 @@ def compute_quartets(eng: LikelihoodEngine, *,
                      checkpoint_interval: int = 1000,
                      checkpoint_fn=None,
                      skip: int = 0,
-                     append: bool = False) -> List[Tuple]:
+                     append: bool = False,
+                     use_wave: Optional[bool] = None) -> List[Tuple]:
     """Evaluate quartets; returns [(t1, t2, t3, t4, lnL), ...] covering the
     three topologies per 4-taxon set in the reference's order and output
     format.
@@ -89,10 +90,49 @@ def compute_quartets(eng: LikelihoodEngine, *,
     out = open(out_path, 'a' if append else 'w') if out_path else None
     n_sets = 0
 
+    # accelerator path: batch whole waves of quartet topologies through
+    # one device program dispatch + one fetch (engine.quartet_wave); the
+    # sequential host path below stays for the f64/multi-branch engines
+    if use_wave is None:
+        use_wave = (eng.use_pallas and not eng.is_psr
+                    and eng.num_branches == 1)
+    wave_cap = (eng.n_scratch // 2) if use_wave else 0
+    pending: List[Tuple] = []   # (t1, t2, t3, t4) topologies, lane order
+    pending_sets = 0
+
+    def flush_wave():
+        nonlocal pending_sets
+        if not pending:
+            return
+        lnls = eng.quartet_wave(pending)
+        for (a, b, c, d), lnl in zip(pending, lnls):
+            lnl = float(lnl)
+            results.append((a, b, c, d, lnl))
+            if out:
+                out.write(f'{a} {b} | {c} {d}: {lnl:f}\n')
+        pending.clear()
+        pending_sets = 0
+        if checkpoint_fn and n_sets % checkpoint_interval == 0:
+            offset = 0
+            if out:
+                out.flush()
+                offset = out.tell()
+            checkpoint_fn(n_sets, offset)
+
     def emit(t1, t2, t3, t4):
-        nonlocal n_sets
+        nonlocal n_sets, pending_sets
         n_sets += 1
         if n_sets <= skip:
+            return
+        if use_wave:
+            for a, b, c, d in ((t1, t2, t3, t4), (t1, t3, t2, t4),
+                               (t1, t4, t2, t3)):
+                pending.append((a, b, c, d))
+            pending_sets += 1
+            if (len(pending) + 3 > wave_cap
+                    or (checkpoint_fn
+                        and n_sets % checkpoint_interval == 0)):
+                flush_wave()
             return
         p1, p2, p3, p4 = (tr.nodep[t] for t in (t1, t2, t3, t4))
         for a, b, c, d in ((p1, p2, p3, p4), (p1, p3, p2, p4),
@@ -127,6 +167,8 @@ def compute_quartets(eng: LikelihoodEngine, *,
         for t1, t2, t3, t4 in itertools.product(*groups):
             emit(t1, t2, t3, t4)
 
+    if use_wave:
+        flush_wave()
     if out:
         out.close()
     return results
