@@ -31,3 +31,17 @@ def test_full_search_49():
     rf = rf_distance(res.engine.tree, ref_tree)
     assert rf is not None, 'native treekernel failed to build'
     assert rf == 0
+
+
+@pytest.mark.veryslow
+def test_full_search_49_f32_pallas():
+    """The accelerator stack end to end at f32 on CPU interpret: full -f d
+    through the Pallas engine (speculative SPR, device modOpt, fused
+    applies, batched scans) must reach the reference-quality optimum.
+    Guards the hardware path's semantics where the f64 gate cannot."""
+    import jax
+    aln = read_bytefile(str(DATA / '49.binary'))
+    res = run_search(aln, (REF / '49.tree').read_text(),
+                     dtype=jax.numpy.float32, use_pallas=True, pad=128)
+    # f32 end-to-end lands within ~0.5 lnL of the f64 optimum
+    assert res.likelihood >= GOLDEN_SEARCH_LNL - 1.0
