@@ -87,7 +87,7 @@ class DeviceParamOptimizer:
         return np.array([[(int(v) >> s) & 1 for s in range(S)]
                          for v in inf.bit_vectors], dtype=np.float64)
 
-    def _build(self, which, lane_of, n):
+    def _build(self, which, lane_of, n, sweep=False):
         eng = self.eng
         M = eng.n_models
         n_cats = eng.n_cats
@@ -393,7 +393,66 @@ class DeviceParamOptimizer:
                 f, ax, bx, cx, fb, tol, lim_inf, lim_sup, clvs, scalers)
             return clvs, scalers, xmin, result, conv
 
-        return jax.jit(run, donate_argnums=(0, 1))
+        if not sweep:
+            return jax.jit(run, donate_argnums=(0, 1))
+
+        # representative partition per lane (value source for the
+        # sweep's per-rate start points)
+        rep = [0] * n
+        for m in range(M):
+            if lane_of[m] >= 0:
+                rep[lane_of[m]] = m
+
+        def run_sweep(clvs, scalers, trav_desc, p_row, q_row, qz, codes,
+                      base, num_rates, lim_inf, lim_sup, tol, model,
+                      rate_weights, wgts):
+            """optRatesGeneric's WHOLE rate sweep (optimizeModel.c:1634)
+            in one program: lax.fori over the rate index, each step
+            evaluating the start point, bracketing, Brent-optimizing and
+            applying the guarded winner to the device-resident rate
+            state before the next rate sees it."""
+            rates0 = tuple(base[m][0] for m in range(M))
+            freqs = tuple(base[m][1] for m in range(M))
+            Rmax = rates0[0].shape[0]
+            fdt = lim_inf.dtype
+
+            def clampv(x):
+                return jnp.clip(x, lim_inf, lim_sup)
+
+            def body(rn, carry):
+                clvs, scalers, rates, winners, endl, conv = carry
+                basei = tuple((rates[m], freqs[m]) for m in range(M))
+                f = make_f(tuple(trav_desc) + (p_row, q_row, qz, codes,
+                                               rate_weights, wgts, rn,
+                                               basei, model))
+                v0 = jnp.stack([rates[rep[l]][rn].astype(fdt)
+                                for l in range(n)])
+                res0, clvs, scalers = f(v0, clvs, scalers)
+                start_lh = -res0
+                ax, bx, cx, fa, fb, fc, clvs, scalers = brak(
+                    f, clampv(v0 + 0.1), clampv(v0 - 0.1), lim_inf,
+                    lim_sup, clvs, scalers)
+                xmin, result, cfl, clvs, scalers = brent(
+                    f, ax, bx, cx, fb, tol, lim_inf, lim_sup, clvs,
+                    scalers)
+                w = jnp.where(start_lh > result, v0, xmin)
+                rates = tuple(
+                    rates[m].at[rn].set(w[lane_of[m]].astype(
+                        rates[m].dtype))
+                    if lane_of[m] >= 0 else rates[m] for m in range(M))
+                winners = winners.at[rn].set(w)
+                endl = endl.at[rn].set(jnp.maximum(start_lh, result))
+                conv = conv & jnp.all(cfl)
+                return (clvs, scalers, rates, winners, endl, conv)
+
+            carry = (clvs, scalers, rates0,
+                     jnp.zeros((Rmax, n), fdt), jnp.zeros((Rmax, n), fdt),
+                     jnp.asarray(True))
+            clvs, scalers, rates, winners, endl, conv = jax.lax.fori_loop(
+                0, num_rates, body, carry)
+            return clvs, scalers, winners, endl, conv
+
+        return jax.jit(run_sweep, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
 
@@ -447,3 +506,49 @@ class DeviceParamOptimizer:
         if not bool(np.all(conv)):
             raise RuntimeError('Too many iterations in BRENT')
         return np.asarray(xmin, np.float64), np.asarray(result, np.float64)
+
+    def optimize_rates_sweep(self, lane_of, n, num_rates, lim_inf,
+                             lim_sup, tol):
+        """Run the whole optRatesGeneric sweep (all num_rates rate
+        indices, winners applied on device between rates) with ONE host
+        sync. Returns the guarded winners [num_rates, n]."""
+        eng = self.eng
+        key = ('devoptsweep', tuple(lane_of), n)
+        fn = eng._jit_cache.get(key)
+        if fn is None:
+            fn = self._build(RATE_F, lane_of, n, sweep=True)
+            eng._jit_cache[key] = fn
+            fn = eng._jit_cache[key]
+
+        tr = eng.tree
+        p = tr.start
+        q = p.back
+        entries = full_traversal(tr, q)
+        packed = pack_traversal(tr, entries,
+                                slots=eng._fused_slots(len(entries)))
+        trav_desc = eng._trav_args(packed)[:9]
+        fdtype = (np.float64 if jax.config.jax_enable_x64
+                  else np.float32)
+        base = tuple(
+            (jnp.asarray(eng.partitions[m].subst_rates, fdtype),
+             jnp.asarray(eng.partitions[m].frequencies, fdtype))
+            for m in range(eng.n_models))
+        model = (tuple(eng.d_gamma), tuple(eng.d_EIGN), tuple(eng.d_EI),
+                 tuple(eng.d_EV), tuple(eng.d_tipvec))
+        clvs, scalers, winners, endl, conv = fn(
+            tuple(eng.clv), tuple(eng.scaler), trav_desc,
+            jnp.asarray([p.number], jnp.int32),
+            jnp.asarray([q.number], jnp.int32),
+            jnp.asarray(np.array(q.z), dtype=eng.dtype),
+            tuple(eng.tip_codes), base,
+            jnp.asarray(num_rates, jnp.int32),
+            jnp.asarray(np.full(n, lim_inf), fdtype),
+            jnp.asarray(np.full(n, lim_sup), fdtype),
+            jnp.asarray(tol, fdtype), model, tuple(eng.d_rate_weights),
+            tuple(eng.wgts))
+        eng.clv = list(clvs)
+        eng.scaler = list(scalers)
+        winners, conv = eng.fetch([winners, conv], kind='devopt_sweep')
+        if not bool(np.all(conv)):
+            raise RuntimeError('Too many iterations in BRENT')
+        return np.asarray(winners, np.float64)[:num_rates]

@@ -544,6 +544,24 @@ class ModelOptimizer:
 
     def _opt_rates(self, model_epsilon, ll, n, states):
         num_rates = states * (states - 1) // 2 - 1
+        dev = self._device_opt_for(RATE_F, ll)
+        if dev is not None:
+            # whole-sweep device program: all rate indices optimized and
+            # applied on device, ONE host sync for the sweep
+            opt, lane_of = dev
+            winners = opt.optimize_rates_sweep(
+                lane_of, n, num_rates, C.RATE_MIN, C.RATE_MAX,
+                model_epsilon)
+            pos = 0
+            for group in ll.groups:
+                if not group.valid:
+                    continue
+                for k in group.partitions:
+                    pm = self.engine.partitions[k]
+                    pm.subst_rates[:num_rates] = winners[:, pos]
+                    self.engine.update_eigen([k])
+                pos += 1
+            return
         for rate_number in range(num_rates):
             self._opt_param_generic(model_epsilon, ll, n, rate_number,
                                     C.RATE_MIN, C.RATE_MAX, RATE_F)

@@ -60,7 +60,8 @@ def test_device_alpha_matches_host():
 def test_device_rates_match_host():
     eng_d, mod_d, ll_d = _setup(device=True)
     mod_d.opt_rates_generic(0.0001, ll_d)
-    assert eng_d.op_stats.get('devopt_param', 0) >= 5   # 5 DNA rates
+    # whole-sweep program: ONE sync for all 5 DNA rates
+    assert eng_d.op_stats.get('devopt_sweep', 0) == 1
 
     eng_h, mod_h, ll_h = _setup(device=False)
     mod_h.opt_rates_generic(0.0001, ll_h)
