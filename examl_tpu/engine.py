@@ -1237,8 +1237,10 @@ class LikelihoodEngine:
         fn = self._pallas_program('trav', packed)
         if fn is None:
             return False
+        # np.array (copy): the caller may mutate its mask after this
+        # async dispatch and jax CPU can alias host numpy zero-copy
         ex = (np.ones(self.n_models, dtype=bool) if exec_mask is None
-              else np.asarray(exec_mask, dtype=bool))
+              else np.array(exec_mask, dtype=bool))
         clvs, scalers = fn(tuple(self.clv), tuple(self.scaler),
                            jnp.asarray(ex),
                            *self._trav_args(packed, sub_mask, zqr_sub))
@@ -1339,6 +1341,9 @@ class LikelihoodEngine:
         packed = pack_traversal(self.tree, entries)
         if exec_mask is None:
             exec_mask = np.ones(self.n_models, dtype=bool)
+        else:
+            # copy: callers mutate their masks after this async dispatch
+            exec_mask = np.array(exec_mask, dtype=bool)
         fn = self._get_jit('traversal', packed.p_idx.shape[0])
         clvs, scalers = fn(
             tuple(self.clv), tuple(self.scaler),
@@ -2070,7 +2075,11 @@ class LikelihoodEngine:
         if fn is None:
             fn = self._build_nr_loop_fn()
             self._jit_cache['pallas_nr_loop'] = fn
-        ex = (self.execute_model if mask
+        # COPY the mask: jax CPU may alias host numpy buffers zero-copy,
+        # and execute_model is mutated right after this dispatch — the
+        # async program must not observe that (cost a load-dependent
+        # flaky -M race to find)
+        ex = (self.execute_model.copy() if mask
               else np.ones(self.n_models, dtype=bool))
         z = fn(tuple(self.clv), tuple(self.scaler),
                jnp.asarray([p.number], dtype=jnp.int32),

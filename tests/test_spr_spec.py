@@ -163,3 +163,28 @@ def test_batched_bestlist_scan_matches_sequential():
     a = run(True)
     b = run(False)
     assert a == b
+
+
+@pytest.mark.slow
+def test_speculative_cycle_per_partition_branches():
+    """-M (per-partition branch lengths): the speculative driver must
+    match the synchronous one on the multi-branch-class engine (thorough
+    batching is disabled there; the lazy waves and junction-NR
+    substitution carry [B] branch vectors)."""
+    def cycle(spec):
+        import jax
+        aln = read_bytefile(str(DATA / '49.binary'))
+        tree = Tree(aln.taxon_names, num_branches=len(aln.partitions))
+        parse_newick((REF / '49.tree').read_text(), tree)
+        eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                               use_pallas=True, pad=128,
+                               num_branches=len(aln.partitions))
+        eng.evaluate(tree.start, full_traversal_=True)
+        eng.tree_evaluate(1.0)
+        s = SprSearch(eng)
+        assert not s.batch_thorough
+        s.speculate = spec
+        bt = BestList(20)
+        return s.tree_optimize_rapid(1, 5, bt)
+
+    assert cycle(True) == cycle(False)
