@@ -18,7 +18,7 @@ import numpy as np
 from .. import constants as C
 from ..engine import LikelihoodEngine
 from ..traversal import (TIP_TIP, INNER_INNER, TraversalEntry,
-                         partial_traversal)
+                         full_traversal, partial_traversal)
 from ..tree import Node, Tree
 from .topologies import BestList, canonical_key
 
@@ -678,12 +678,18 @@ class SprSearch:
         dispatched lazily and fetched in ONE round trip; the bookkeeping
         replays sequentially. Returns (impr, lh)."""
         eng = self.eng
+        tr = self.tr
         impr = False
         specs = None
         if self.speculate:
             specs = []
             for i in range(1, bt.nvalid + 1):
-                self._recall(bt, i)
+                # restore the candidate and repair its CLVs with a
+                # dispatch-only full traversal — the sequential path's
+                # _recall pays a full evaluate SYNC here whose lnl value
+                # is never used by the scan
+                bt.recall(i, tr)
+                eng._run_traversal(full_traversal(tr, tr.start.back))
                 spec = eng.tree_evaluate_lazy(0.25)
                 if spec is None:
                     specs = None
@@ -694,7 +700,8 @@ class SprSearch:
             vals = eng.fetch(handles, kind='bestlist_scan')
             for i, spec in enumerate(specs):
                 znew, lhs = vals[2 * i], vals[2 * i + 1]
-                self._recall(bt, i + 1)
+                # topology-only restore: bt.save snapshots the host tree
+                bt.recall(i + 1, tr)
                 lnl = eng.tree_evaluate_finish(spec, znew, lhs)
                 difference = abs(lnl - previous_lh)
                 if lnl > lh and difference > epsilon:
