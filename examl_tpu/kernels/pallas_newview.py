@@ -1227,3 +1227,612 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
         out_shape=jax.ShapeDtypeStruct((W,), jnp.float32),
         interpret=interpret,
     )(p_row, q_row, clv, scaler, eign, site_rates, lz)
+
+
+# ---------------------------------------------------------------------------
+# Partition-stacked kernel variants (docs/STACKING.md). Partitions sharing a
+# geometry (states, n_cats) are stored stacked on a NEW leading axis:
+# clv [P, rows, K, W], scaler [P, rows, 1, W] with W the group's max padded
+# width (short members carry wgt = 0 columns). Each engine operation then
+# runs ONE pallas_call with a leading grid axis p instead of one launch per
+# partition (~0.3 ms on-device launch overhead each; whole-genome partition
+# counts multiply it). Per-p model tensors are selected by BlockSpec index
+# maps -- no indirection inside the kernel. The p-slices are mutually
+# independent; within a slice the compute is the SAME matmul sequence as the
+# per-partition kernels, so results are bit-identical.
+# (Reference counterpart: one MPI rank processes all its partitions in one
+# newviewIterative pass, examl/newviewGenericSpecial.c:917.)
+
+def _traversal_fused_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
+                                    nex, ex,            # scalar prefetch
+                                    clv_hbm, scaler_hbm, lam_ref, ei_ref,
+                                    ev_ref,
+                                    out_clv, out_scaler,
+                                    sems,
+                                    *, n_rows, bw, min_scale,
+                                    inv_min_scale):
+    pid = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+
+    cp_in = pltpu.make_async_copy(
+        clv_hbm.at[pid, pl.ds(0, n_rows), :, pl.ds(col, bw)],
+        out_clv.at[0], sems.at[0])
+    cp_in2 = pltpu.make_async_copy(
+        scaler_hbm.at[pid, pl.ds(0, n_rows), :, pl.ds(col, bw)],
+        out_scaler.at[0], sems.at[1])
+    cp_in.start()
+    cp_in2.start()
+    cp_in.wait()
+    cp_in2.wait()
+
+    lam = lam_ref[0]                           # [K] of partition pid
+    ei = ei_ref[0]                             # [K, K]
+    ev = ev_ref[0]
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(n, _):
+        q = q_idx[n]
+        r = r_idx[n]
+        p = p_idx[n]
+        x1 = out_clv[0, q].astype(jnp.float32)     # [K, BW]
+        x2 = out_clv[0, r].astype(jnp.float32)
+        pls = jnp.exp(lam * lzq[n, pid])[None, :] * ei
+        prs = jnp.exp(lam * lzr[n, pid])[None, :] * ei
+        is_tt = tip_tip[n] != 0
+        a = jnp.dot(pls, x1, preferred_element_type=jnp.float32,
+                    precision=hi)
+        b = jnp.dot(prs, x2, preferred_element_type=jnp.float32,
+                    precision=hi)
+        x3 = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
+                     precision=hi)
+        m = jnp.max(jnp.abs(x3), axis=0)
+        scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tt))
+        x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
+        out_clv[0, p] = x3.astype(out_clv.dtype)
+        out_scaler[0, p] = (out_scaler[0, q] + out_scaler[0, r]
+                            + scale.astype(jnp.int32))
+        return 0
+
+    # masked partitions (execute-mask / evaluateChange semantics) skip the
+    # op loop entirely: the DMA'd-in block writes back unchanged
+    @pl.when(ex[pid] != 0)
+    def _():
+        jax.lax.fori_loop(0, nex[0], body, 0)
+
+
+def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
+                            lzq, lzr, lam, ei, ev, exec_mask, *,
+                            n_exec=None, n_rows=None, block_w=512,
+                            min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
+                            interpret=False):
+    """Stacked fused traversal: clv [P, rows, K, W] (donated), lzq/lzr
+    [L, P] f32 (per-partition branch columns pre-gathered), lam [P, K],
+    ei/ev [P, K, K] block-diagonal, exec_mask [P] int32 (0 = keep stale
+    CLVs)."""
+    P, rows, k_dim, W = clv.shape
+    L = p_idx.shape[0]
+    n_rows = rows if n_rows is None else n_rows
+    bw = min(block_w, W)
+    assert W % bw == 0
+    assert lzq.shape == (L, P) and lzr.shape == (L, P)
+    nex = jnp.asarray(L if n_exec is None else n_exec,
+                      jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _traversal_fused_stacked_kernel, n_rows=n_rows, bw=bw,
+        min_scale=min_scale, inv_min_scale=inv_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(P, W // bw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
+            pl.BlockSpec((1, k_dim), lambda p, w, *_: (p, 0)),
+            pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_rows, k_dim, bw),
+                         lambda p, w, *_: (p, 0, 0, w)),
+            pl.BlockSpec((1, n_rows, 1, bw),
+                         lambda p, w, *_: (p, 0, 0, w)),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+    clv_out, scaler_out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+        ],
+        input_output_aliases={8: 0, 9: 1},
+        interpret=interpret,
+    )(p_idx, q_idx, r_idx, tip_tip,
+      jnp.asarray(lzq, jnp.float32), jnp.asarray(lzr, jnp.float32),
+      nex, exec_mask, clv, scaler, lam, ei, ev)
+    return clv_out, scaler_out
+
+
+def _newview_level_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
+                                  clv_hbm, scaler_hbm, pl_ref, pr_ref,
+                                  ev_ref,
+                                  x3_ref, s3_ref,
+                                  x1_s, x2_s, s1_s, s2_s, sems,
+                                  *, bw, min_scale, inv_min_scale):
+    pid = pl.program_id(0)
+    n = pl.program_id(1)
+    wb = pl.program_id(2)
+    q = q_idx[n]
+    r = r_idx[n]
+    col = wb * bw
+
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, r, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, r, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    is_tip_tip = tip_tip[n] != 0
+    hi = jax.lax.Precision.HIGHEST
+    a = jnp.dot(pl_ref[0, 0], x1_s[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32, precision=hi)
+    b = jnp.dot(pr_ref[0, 0], x2_s[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32, precision=hi)
+    x3 = jnp.dot(ev_ref[0].T, a * b,
+                 preferred_element_type=jnp.float32, precision=hi)
+    m = jnp.max(jnp.abs(x3), axis=0)
+    scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tip_tip))
+    x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
+    x3_ref[0, 0] = x3.astype(x3_ref.dtype)
+    s3_ref[0, 0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
+
+
+def newview_level_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
+                          pls, prs, ev, *, block_w=2048,
+                          min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
+                          interpret=False):
+    """Stacked level/junction updates in place: clv [P, rows, K, W]
+    (donated), pls/prs [P, N, K, K], ev [P, K, K]. The descriptor
+    (p/q/r_idx, tip_tip) is shared by all partitions (same tree)."""
+    P, rows, k_dim, W = clv.shape
+    N = p_idx.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+
+    kernel = functools.partial(
+        _newview_level_stacked_kernel, bw=bw,
+        min_scale=min_scale, inv_min_scale=inv_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(P, N, W // bw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, k_dim, k_dim),
+                         lambda p, n, w, *_: (p, n, 0, 0)),
+            pl.BlockSpec((1, 1, k_dim, k_dim),
+                         lambda p, n, w, *_: (p, n, 0, 0)),
+            pl.BlockSpec((1, k_dim, k_dim),
+                         lambda p, n, w, *_: (p, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, k_dim, bw),
+                         lambda p, n, w, pi, q, r, t: (p, pi[n], 0, w)),
+            pl.BlockSpec((1, 1, 1, bw),
+                         lambda p, n, w, pi, q, r, t: (p, pi[n], 0, w)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    clv_out, scaler_out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(p_idx, q_idx, r_idx, tip_tip, clv, scaler, pls, prs, ev)
+    return clv_out, scaler_out
+
+
+def _evaluate_stacked_kernel(p_row, q_row,
+                             clv_hbm, scaler_hbm, dw_ref, wgt_ref,
+                             out_ref,
+                             x1_s, x2_s, s1_s, s2_s, sems,
+                             *, bw, log_min_scale):
+    pid = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    dw = dw_ref[0, 0]                          # [K] of partition pid
+    term = jnp.sum(x1_s[...].astype(jnp.float32)
+                   * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
+    wgt = wgt_ref[0]
+    site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
+    out_ref[pid, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def evaluate_stacked(clv, scaler, p_row, q_row, dw, wgt,
+                     *, block_w=8192,
+                     log_min_scale=float(np.log(2.0 ** -30)),
+                     interpret=False):
+    """Stacked root log likelihood -> [P]. dw [P, 1, K] folded
+    weight-diagonals, wgt [P, W]."""
+    P, rows, k_dim, W = clv.shape
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+
+    kernel = functools.partial(_evaluate_stacked_kernel, bw=bw,
+                               log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, bw), lambda p, w, *_: (p, w)),
+        ],
+        out_specs=pl.BlockSpec((P, nb), lambda p, w, *_: (0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, nb), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, dw, wgt)
+    return jnp.sum(partials, axis=1)
+
+
+def _evaluate_batch_stacked_kernel(p_rows, q_rows,
+                                   clv_hbm, scaler_hbm, dw_ref, wgt_ref,
+                                   out_ref,
+                                   x1_s, x2_s, s1_s, s2_s, sems,
+                                   *, bw, log_min_scale):
+    pid = pl.program_id(0)
+    n = pl.program_id(1)
+    wb = pl.program_id(2)
+    col = wb * bw
+    p = p_rows[n]
+    q = q_rows[n]
+
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    dw = dw_ref[0, 0, 0]                       # [K] of (pid, n)
+    term = jnp.sum(x1_s[...].astype(jnp.float32)
+                   * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
+    wgt = wgt_ref[0]
+    site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
+    out_ref[pid, n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
+                           *, block_w=8192,
+                           log_min_scale=float(np.log(2.0 ** -30)),
+                           interpret=False):
+    """Stacked batched root log likelihoods -> [P, N]; dws [P, N, 1, K]
+    per-(partition, candidate) folded weight-diagonals, wgt [P, W]."""
+    P, rows, k_dim, W = clv.shape
+    N = p_rows.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+
+    kernel = functools.partial(_evaluate_batch_stacked_kernel, bw=bw,
+                               log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, N, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, 1, k_dim),
+                         lambda p, n, w, *_: (p, n, 0, 0)),
+            pl.BlockSpec((1, bw), lambda p, n, w, *_: (p, w)),
+        ],
+        out_specs=pl.BlockSpec((P, N, nb), lambda p, n, w, *_: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, N, nb), jnp.float32),
+        interpret=interpret,
+    )(p_rows, q_rows, clv, scaler, dws, wgt)
+    return jnp.sum(partials, axis=2)
+
+
+def evaluate_batch_gamma_stacked(clv, scaler, p_rows, q_rows, lzs, lams,
+                                 rws, wgt, *, block_w=8192,
+                                 log_min_scale=float(np.log(2.0 ** -30)),
+                                 interpret=False):
+    """Stacked GAMMA batched evaluate -> [P, N]: builds the per-
+    (partition, candidate) folded weight-diagonals on device.
+    lzs [P, N] (per-partition branch columns pre-gathered), lams/rws
+    [P, K]."""
+    P, N = lzs.shape
+    dws = (rws[:, None, :]
+           * jnp.exp(lams[:, None, :] * lzs[:, :, None])).astype(
+               jnp.float32)
+    return evaluate_batch_stacked(clv, scaler, p_rows, q_rows,
+                                  dws[:, :, None, :], wgt,
+                                  block_w=block_w,
+                                  log_min_scale=log_min_scale,
+                                  interpret=interpret)
+
+
+def _nr_stacked_kernel(p_row, q_row,
+                       clv_hbm, scaler_hbm, lam_ref, d_ref, wgt_ref,
+                       out_ref,
+                       x1_s, x2_s, sems,
+                       *, bw):
+    pid = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    lam = lam_ref[0, 0]
+    d = d_ref[0, 0]
+    x12 = (x1_s[...].astype(jnp.float32)
+           * x2_s[...].astype(jnp.float32))
+    tmp = x12 * d[:, None]
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam[:, None], axis=0)
+    d2ln = jnp.sum(tmp * (lam * lam)[:, None], axis=0)
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    wgt = wgt_ref[0]
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    out_ref[pid, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[pid, wb, 1] = jnp.sum(
+        w * jnp.where(live, d2ln - dln * dln, 0.0))
+
+
+def nr_derivatives_stacked(clv, scaler, p_row, q_row, lam, d, wgt,
+                           *, block_w=8192,
+                           log_min_scale=float(np.log(2.0 ** -30)),
+                           interpret=False):
+    """Stacked NR derivatives -> (d1 [P], d2 [P]). lam [P, 1, K],
+    d [P, 1, K] = rw * exp(lam * lz_p) per partition, wgt [P, W]."""
+    P, rows, k_dim, W = clv.shape
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+
+    kernel = functools.partial(_nr_stacked_kernel, bw=bw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, bw), lambda p, w, *_: (p, w)),
+        ],
+        out_specs=pl.BlockSpec((P, nb, 2), lambda p, w, *_: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, nb, 2), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, lam, d, wgt)
+    sums = jnp.sum(partials, axis=1)
+    return sums[:, 0], sums[:, 1]
+
+
+def _nr_batch_stacked_kernel(p_rows, q_rows,
+                             clv_hbm, scaler_hbm, lam_ref, rw_ref,
+                             wgt_ref, lzs_ref,
+                             out_ref,
+                             x1_s, x2_s, sems,
+                             *, bw):
+    pid = pl.program_id(0)
+    n = pl.program_id(1)
+    wb = pl.program_id(2)
+    col = wb * bw
+    p = p_rows[n]
+    q = q_rows[n]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    lam = lam_ref[0, 0]
+    rw = rw_ref[0, 0]
+    lz = lzs_ref[n]
+    d = rw * jnp.exp(lam * lz)
+    x12 = (x1_s[...].astype(jnp.float32)
+           * x2_s[...].astype(jnp.float32))
+    tmp = x12 * d[:, None]
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam[:, None], axis=0)
+    d2ln = jnp.sum(tmp * (lam * lam)[:, None], axis=0)
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    wgt = wgt_ref[0]
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    out_ref[pid, n, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[pid, n, wb, 1] = jnp.sum(
+        w * jnp.where(live, d2ln - dln * dln, 0.0))
+
+
+def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
+                                 rate_weights, wgt, lzs, *, block_w=8192,
+                                 log_min_scale=float(np.log(2.0 ** -30)),
+                                 interpret=False):
+    """Stacked batched NR derivatives -> (d1 [P, N], d2 [P, N]).
+    lam/rate_weights [P, 1, K], wgt [P, W], lzs [N] (shared: wave branch
+    lengths are per candidate, not per partition)."""
+    P, rows, k_dim, W = clv.shape
+    N = p_rows.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+    kernel = functools.partial(_nr_batch_stacked_kernel, bw=bw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, N, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, k_dim), lambda p, n, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, k_dim), lambda p, n, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, bw), lambda p, n, w, *_: (p, w)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [N]
+        ],
+        out_specs=pl.BlockSpec((P, N, nb, 2),
+                               lambda p, n, w, *_: (0, 0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, N, nb, 2), jnp.float32),
+        interpret=interpret,
+    )(p_rows, q_rows, clv, scaler, lam, rate_weights, wgt, lzs)
+    sums = jnp.sum(partials, axis=2)
+    return sums[..., 0], sums[..., 1]
+
+
+def _tip_stacked_kernel(codes_ref, tipvec_ref, clv_in, out_clv,
+                        *, n_codes, bw, n_tips):
+    t = pl.program_id(1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_codes, bw), 0)
+    hi = jax.lax.Precision.HIGHEST
+    for i in range(8):
+        row = t * 8 + i
+        codes = codes_ref[0, i]                # [BW] int32
+        onehot = (codes[None, :] == iota).astype(jnp.float32)
+        tv = tipvec_ref[0]                     # [n_codes, K]
+        tip_block = jnp.dot(tv.T, onehot,
+                            preferred_element_type=jnp.float32,
+                            precision=hi).astype(out_clv.dtype)
+        is_tip = jnp.logical_and(row >= 1, row <= n_tips)
+        out_clv[0, i] = jnp.where(is_tip, tip_block, clv_in[0, i])
+
+
+def tip_rows_stacked(clv, codes, tipvec, n_tips, *, block_w=8192,
+                     interpret=False):
+    """Stacked tip materialization: clv [P, rows, K, W] (donated), codes
+    [P, T1p, W] int32, tipvec [P, n_codes, K] folded."""
+    P, rows, k_dim, W = clv.shape
+    T1p = codes.shape[1]
+    assert T1p % 8 == 0 and T1p <= rows
+    n_codes = tipvec.shape[1]
+    bw = min(block_w, W)
+    assert W % bw == 0
+
+    kernel = functools.partial(_tip_stacked_kernel, n_codes=n_codes,
+                               bw=bw, n_tips=n_tips)
+    out = pl.pallas_call(
+        kernel,
+        grid=(P, T1p // 8, W // bw),
+        in_specs=[
+            pl.BlockSpec((1, 8, bw), lambda p, t, w: (p, t, w)),
+            pl.BlockSpec((1, n_codes, k_dim), lambda p, t, w: (p, 0, 0)),
+            pl.BlockSpec((1, 8, k_dim, bw), lambda p, t, w: (p, t, 0, w)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, k_dim, bw),
+                               lambda p, t, w: (p, t, 0, w)),
+        out_shape=jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(codes, tipvec, clv)
+    return out
