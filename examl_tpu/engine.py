@@ -161,7 +161,8 @@ class LikelihoodEngine:
                  dtype=None, rate_het: str = 'GAMMA', pad: int = 8,
                  num_branches: int = 1, use_median: bool = False,
                  use_pallas: Optional[bool] = None, sharding=None,
-                 max_categories: int = 25, clv_dtype=None):
+                 max_categories: int = 25, clv_dtype=None,
+                 stack: Optional[bool] = None):
         assert rate_het in ('GAMMA', 'PSR')
         self.aln = alignment
         self.tree = tree
@@ -253,6 +254,21 @@ class LikelihoodEngine:
         if num_branches > 1:
             assert num_branches == self.n_models
 
+        # Partition-geometry stacking (docs/STACKING.md): partitions that
+        # share (data type, states) are stored stacked on a leading axis
+        # and each Pallas engine operation runs ONE kernel launch for the
+        # whole group (launch overhead ~0.3 ms each on-device). GAMMA
+        # Pallas path only; EXAML_STACK=0/1 overrides; default follows
+        # the backend until the Mosaic rules are hardware-validated.
+        import os
+        env = os.environ.get('EXAML_STACK')
+        if env is not None:
+            stack = env not in ('0', '', 'false')
+        if stack is None:
+            stack = (self.use_pallas and not self.is_psr
+                     and jax.default_backend() == 'cpu')
+        self.stack = bool(stack and self.use_pallas and not self.is_psr)
+
         self._jit_cache = _TimedJitCache(self)
         self._build_buffers()
         self.update_eigen(range(self.n_models))
@@ -322,29 +338,88 @@ class LikelihoodEngine:
         self.d_site_rates = [jnp.ones(W, dtype=self.dtype)
                              for W in self.widths]
 
+        # Partition groups (docs/STACKING.md): each group is a list of
+        # partition indices sharing (data type, states); multi-member
+        # groups store their CLVs stacked [P, rows, K, Wg] (Wg = max
+        # member width; short members carry wgt = 0 columns) and run ONE
+        # stacked kernel per engine op. Without stacking (or on the jnp /
+        # PSR paths) every group is a singleton and the storage layout is
+        # exactly the ungrouped one.
+        if self.stack:
+            by_key = {}
+            for m in range(self.n_models):
+                key = (self.partitions[m].data_type,
+                       self.partitions[m].states)
+                by_key.setdefault(key, []).append(m)
+            self.groups = list(by_key.values())
+        else:
+            self.groups = [[m] for m in range(self.n_models)]
+        self.n_groups = len(self.groups)
+        self.gslot = [None] * self.n_models      # m -> (g, slot)
+        for g, ms in enumerate(self.groups):
+            for j, m in enumerate(ms):
+                self.gslot[m] = (g, j)
+        self.g_width = [max(self.widths[m] for m in ms)
+                        for ms in self.groups]
+
+        # per-group weight / tip-code device tensors for the stacked
+        # kernels (singletons reuse the per-partition arrays unchanged)
+        self.g_wgt = []
+        self.g_codes = []
+        for g, ms in enumerate(self.groups):
+            if len(ms) == 1:
+                self.g_wgt.append(self.wgts[ms[0]])
+                self.g_codes.append(self.tip_codes[ms[0]])
+                continue
+            Wg = self.g_width[g]
+            wstk = np.zeros((len(ms), Wg), dtype=np.float64)
+            cstk = []
+            for j, m in enumerate(ms):
+                wstk[j, :self.widths[m]] = np.asarray(
+                    self.wgts[m], dtype=np.float64)
+                c = self.host_tip_codes[m]
+                inf = info_for(self.partitions[m].data_type)
+                cpad = np.full((c.shape[0], Wg), inf.undetermined,
+                               dtype=np.int32)
+                cpad[:, :c.shape[1]] = c
+                cstk.append(cpad)
+            self.g_wgt.append(self._put(
+                jnp.asarray(wstk, dtype=self.dtype), 'sites'))
+            self.g_codes.append(self._put(
+                jnp.asarray(np.stack(cstk)), 'codes'))
+
         # CLV buffers and scale counters (folded: per-site joint counter;
-        # jnp path: per-(category, site) counters)
+        # jnp path: per-(category, site) counters), one entry per GROUP
         self.clv = []
         self.scaler = []
-        for m in range(self.n_models):
-            S = self._padded_states(m)
-            if self.folded:
+        for g, ms in enumerate(self.groups):
+            m0 = ms[0]
+            S = self._padded_states(m0)
+            if len(ms) > 1:
+                assert self.folded
+                self.clv.append(self._put(jnp.zeros(
+                    (len(ms), self.rows, self.n_cats * S, self.g_width[g]),
+                    dtype=self.clv_dtype), 'clv'))
+                self.scaler.append(self._put(jnp.zeros(
+                    (len(ms), self.rows, 1, self.g_width[g]),
+                    dtype=jnp.int32), 'scaler'))
+            elif self.folded:
                 # scaler keeps a vestigial middle axis: Mosaic requires
                 # the last two block dims to be lane/sublane-aligned or
                 # full, and (1, bw) over [rows, 1, W] satisfies that where
                 # (1, bw) over [rows, W] does not
                 self.clv.append(self._put(jnp.zeros(
-                    (self.rows, self.n_cats * S, self.widths[m]),
+                    (self.rows, self.n_cats * S, self.widths[m0]),
                     dtype=self.clv_dtype), 'clv'))
                 self.scaler.append(self._put(jnp.zeros(
-                    (self.rows, 1, self.widths[m]), dtype=jnp.int32),
+                    (self.rows, 1, self.widths[m0]), dtype=jnp.int32),
                     'scaler'))
             else:
                 self.clv.append(self._put(jnp.zeros(
-                    (self.rows, self.n_cats, S, self.widths[m]),
+                    (self.rows, self.n_cats, S, self.widths[m0]),
                     dtype=self.clv_dtype), 'clv'))
                 self.scaler.append(self._put(jnp.zeros(
-                    (self.rows, self.n_cats, self.widths[m]),
+                    (self.rows, self.n_cats, self.widths[m0]),
                     dtype=jnp.int32), 'scaler'))
 
     def _put(self, arr, kind):
@@ -517,22 +592,15 @@ class LikelihoodEngine:
         tip kernel for every partition (only the tiny tipVector tables
         cross the host boundary); the CPU path gathers on the host."""
         if self.use_pallas:
-            from .kernels.pallas_newview import fold_tipvec, tip_rows_pallas
             interpret = jax.default_backend() == 'cpu'
             fn = self._jit_cache.get('tips_all')
             if fn is None:
                 def run(clvs, codes, tipvecs):
-                    return tuple(
-                        tip_rows_pallas(clvs[m], codes[m],
-                                        fold_tipvec(
-                                            tipvecs[m].astype(jnp.float32)),
-                                        self.mxtips,
-                                        block_w=min(8192, self.widths[m]),
-                                        interpret=interpret)
-                        for m in range(self.n_models))
+                    return self._g_tip_rows(clvs, codes, tipvecs,
+                                            interpret)
                 fn = jax.jit(run, donate_argnums=(0,))
                 self._jit_cache['tips_all'] = fn
-            self.clv = list(fn(tuple(self.clv), tuple(self.tip_codes),
+            self.clv = list(fn(tuple(self.clv), tuple(self.g_codes),
                                tuple(self.d_tipvec)))
             return
         for m in models:
@@ -544,6 +612,239 @@ class LikelihoodEngine:
             self.clv[m] = fn(self.clv[m],
                              self._put(jnp.asarray(tips, dtype=self.dtype),
                                        'clv'))
+
+    # ------------------------------------------------------------------
+    # group helpers (partition stacking, docs/STACKING.md): trace-time
+    # building blocks that run one kernel per GROUP — the per-partition
+    # kernel for singleton groups (the hardware-validated path), the
+    # stacked leading-axis kernel otherwise. Per-member model tensors are
+    # built with the exact per-partition expressions and stacked (tiny:
+    # K- and K^2-sized), so stacked results are bit-identical to the
+    # singleton path.
+
+    def _g_cols(self, ms):
+        return [self._branch_col(m) for m in ms]
+
+    def _unstack(self, outs):
+        """Per-group outputs (leading P axis for multi-member groups) ->
+        per-partition list in model order."""
+        res = [None] * self.n_models
+        for g, ms in enumerate(self.groups):
+            if len(ms) == 1:
+                res[ms[0]] = outs[g]
+            else:
+                for j, m in enumerate(ms):
+                    res[m] = outs[g][j]
+        return res
+
+    def _g_evaluate_all(self, clvs, scalers, gammas, eigns, rate_weights,
+                        gwgts, p_row, q_row, qz, interpret):
+        """Root lnL of every partition -> [M] at branch (p_row, q_row)
+        with branch lengths qz [B]."""
+        from .kernels.pallas_newview import (evaluate_pallas,
+                                             evaluate_stacked, fold_lam,
+                                             fold_rw)
+        outs = []
+        for g, ms in enumerate(self.groups):
+            bw = min(8192, self.g_width[g])
+            dws = []
+            for m in ms:
+                lz = jnp.log(jnp.maximum(qz[self._branch_col(m)], C.ZMIN))
+                lam = fold_lam(eigns[m], gammas[m])
+                dws.append((fold_rw(rate_weights[m], eigns[m].shape[1])
+                            * jnp.exp(lam * lz))[None, :].astype(
+                                jnp.float32))
+            if len(ms) == 1:
+                outs.append(evaluate_pallas(
+                    clvs[g], scalers[g], p_row, q_row, dws[0],
+                    gwgts[g].astype(jnp.float32), block_w=bw,
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            else:
+                outs.append(evaluate_stacked(
+                    clvs[g], scalers[g], p_row, q_row, jnp.stack(dws),
+                    gwgts[g].astype(jnp.float32), block_w=bw,
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+        return jnp.stack(self._unstack(outs))
+
+    def _g_evaluate_batch_all(self, clvs, scalers, gammas, eigns,
+                              rate_weights, gwgts, bp_rows, bq_rows, bzs,
+                              interpret):
+        """Batched root lnLs -> [M, N]; bzs [N, B]."""
+        from .kernels.pallas_newview import (evaluate_batch_gamma,
+                                             evaluate_batch_stacked,
+                                             fold_lam, fold_rw)
+        outs = []
+        for g, ms in enumerate(self.groups):
+            bw = min(8192, self.g_width[g])
+            if len(ms) == 1:
+                m = ms[0]
+                lzs = jnp.log(jnp.maximum(
+                    bzs[:, self._branch_col(m)],
+                    C.ZMIN)).astype(jnp.float32)
+                outs.append(evaluate_batch_gamma(
+                    clvs[g], scalers[g], bp_rows, bq_rows, lzs,
+                    fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
+                    fold_rw(rate_weights[m],
+                            eigns[m].shape[1]).astype(jnp.float32),
+                    gwgts[g].astype(jnp.float32), block_w=bw,
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            else:
+                dws = []
+                for m in ms:
+                    lzs = jnp.log(jnp.maximum(
+                        bzs[:, self._branch_col(m)],
+                        C.ZMIN)).astype(jnp.float32)
+                    lam = fold_lam(eigns[m],
+                                   gammas[m]).astype(jnp.float32)
+                    rw = fold_rw(rate_weights[m],
+                                 eigns[m].shape[1]).astype(jnp.float32)
+                    dws.append((rw[None, :]
+                                * jnp.exp(lam[None, :]
+                                          * lzs[:, None])).astype(
+                                              jnp.float32))
+                outs.append(evaluate_batch_stacked(
+                    clvs[g], scalers[g], bp_rows, bq_rows,
+                    jnp.stack(dws)[:, :, None, :],
+                    gwgts[g].astype(jnp.float32), block_w=bw,
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+        return jnp.stack(self._unstack(outs))
+
+    def _g_nr_derivs(self, clvs, scalers, gammas, eigns, rate_weights,
+                     gwgts, jp, jq, core_lz, interpret):
+        """(d1 [M], d2 [M]) NR derivatives at branch (jp, jq), core_lz
+        [B] log branch lengths."""
+        from .kernels.pallas_newview import (fold_lam, fold_rw,
+                                             nr_derivatives_pallas,
+                                             nr_derivatives_stacked)
+        d1o, d2o = [], []
+        for g, ms in enumerate(self.groups):
+            bw = min(8192, self.g_width[g])
+            lams, ds = [], []
+            for m in ms:
+                lam = fold_lam(eigns[m], gammas[m])
+                d = (fold_rw(rate_weights[m], eigns[m].shape[1])
+                     * jnp.exp(lam
+                               * core_lz[self._branch_col(m)])).astype(
+                                   jnp.float32)
+                lams.append(lam[None, :].astype(jnp.float32))
+                ds.append(d[None, :])
+            if len(ms) == 1:
+                d1, d2 = nr_derivatives_pallas(
+                    clvs[g], scalers[g], jp, jq, lams[0], ds[0],
+                    gwgts[g].astype(jnp.float32), block_w=bw,
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret)
+            else:
+                d1, d2 = nr_derivatives_stacked(
+                    clvs[g], scalers[g], jp, jq, jnp.stack(lams),
+                    jnp.stack(ds), gwgts[g].astype(jnp.float32),
+                    block_w=bw, log_min_scale=self.log_min_scale,
+                    interpret=interpret)
+            d1o.append(d1)
+            d2o.append(d2)
+        return (jnp.stack(self._unstack(d1o)),
+                jnp.stack(self._unstack(d2o)))
+
+    def _g_nr_derivs_batch(self, clvs, scalers, gammas, eigns,
+                           rate_weights, gwgts, jp, jq, lzs, interpret):
+        """([M, N], [M, N]) batched NR derivatives; lzs [N] per-candidate
+        log branch lengths shared by all partitions (wave semantics)."""
+        from .kernels.pallas_newview import (fold_lam, fold_rw,
+                                             nr_derivatives_batch_pallas,
+                                             nr_derivatives_batch_stacked)
+        d1o, d2o = [], []
+        for g, ms in enumerate(self.groups):
+            bw = min(8192, self.g_width[g])
+            lams, rws = [], []
+            for m in ms:
+                lams.append(fold_lam(eigns[m], gammas[m]).astype(
+                    jnp.float32)[None, :])
+                rws.append(fold_rw(rate_weights[m],
+                                   eigns[m].shape[1]).astype(
+                                       jnp.float32)[None, :])
+            if len(ms) == 1:
+                d1, d2 = nr_derivatives_batch_pallas(
+                    clvs[g], scalers[g], jp, jq, lams[0], rws[0],
+                    gwgts[g].astype(jnp.float32), lzs, block_w=bw,
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret)
+            else:
+                d1, d2 = nr_derivatives_batch_stacked(
+                    clvs[g], scalers[g], jp, jq, jnp.stack(lams),
+                    jnp.stack(rws), gwgts[g].astype(jnp.float32), lzs,
+                    block_w=bw, log_min_scale=self.log_min_scale,
+                    interpret=interpret)
+            d1o.append(d1)
+            d2o.append(d2)
+        return (jnp.stack(self._unstack(d1o)),
+                jnp.stack(self._unstack(d2o)))
+
+    def _g_junctions(self, clvs, scalers, gammas, eigns, eis, evs,
+                     j_rows, a_rows, b_rows, za, zb, tt, interpret):
+        """Junction CLV updates (scratch row j_i = combine(a_i via za_i,
+        b_i via zb_i)) for every partition; za/zb [N]."""
+        from .kernels.pallas_newview import (blockdiag, make_p_batch,
+                                             newview_level_pallas,
+                                             newview_level_stacked)
+        out_c = list(clvs)
+        out_s = list(scalers)
+        for g, ms in enumerate(self.groups):
+            bw = min(8192, self.g_width[g])
+            pls, prs, evb = [], [], []
+            for m in ms:
+                pl_m, pr_m = make_p_batch(za, zb, gammas[m], eigns[m],
+                                          eis[m])
+                pls.append(pl_m.astype(jnp.float32))
+                prs.append(pr_m.astype(jnp.float32))
+                evb.append(blockdiag(evs[m]).astype(jnp.float32))
+            if len(ms) == 1:
+                c2, s2 = newview_level_pallas(
+                    clvs[g], scalers[g], j_rows, a_rows, b_rows, tt,
+                    pls[0], prs[0], evb[0], block_w=bw,
+                    min_scale=self.min_scale,
+                    inv_min_scale=self.inv_min_scale,
+                    interpret=interpret)
+            else:
+                c2, s2 = newview_level_stacked(
+                    clvs[g], scalers[g], j_rows, a_rows, b_rows, tt,
+                    jnp.stack(pls), jnp.stack(prs), jnp.stack(evb),
+                    block_w=bw, min_scale=self.min_scale,
+                    inv_min_scale=self.inv_min_scale,
+                    interpret=interpret)
+            out_c[g] = c2
+            out_s[g] = s2
+        return tuple(out_c), tuple(out_s)
+
+    def _g_tip_rows(self, clvs, codes, tipvecs, interpret, refresh=None):
+        """Materialize tip rows for every partition (refresh: optional
+        per-m bool — partitions outside it keep their rows by rewriting
+        identical values in stacked groups, or are skipped when their
+        whole singleton group is excluded)."""
+        from .kernels.pallas_newview import (fold_tipvec, tip_rows_pallas,
+                                             tip_rows_stacked)
+        out = list(clvs)
+        for g, ms in enumerate(self.groups):
+            bw = min(8192, self.g_width[g])
+            if refresh is not None and not any(refresh[m] for m in ms):
+                continue
+            if len(ms) == 1:
+                m = ms[0]
+                out[g] = tip_rows_pallas(
+                    clvs[g], codes[g],
+                    fold_tipvec(tipvecs[m].astype(jnp.float32)),
+                    self.mxtips, block_w=bw, interpret=interpret)
+            else:
+                tv = jnp.stack([
+                    fold_tipvec(tipvecs[m].astype(jnp.float32))
+                    for m in ms])
+                out[g] = tip_rows_stacked(
+                    clvs[g], codes[g], tv, self.mxtips, block_w=bw,
+                    interpret=interpret)
+        return tuple(out)
 
     # ------------------------------------------------------------------
     # jitted kernels (built per partition / per signature, cached)
@@ -783,7 +1084,7 @@ class LikelihoodEngine:
                     tuple(self.clv), tuple(self.scaler),
                     jnp.ones(self.n_models, dtype=bool),
                     *self._trav_args(packed, sub_mask, zqr_sub),
-                    tuple(self.d_rate_weights), tuple(self.wgts),
+                    tuple(self.d_rate_weights), tuple(self.g_wgt),
                     jnp.asarray(jp), jnp.asarray(jq),
                     jnp.asarray(z, dtype=self.dtype))
                 self.clv = list(clvs)
@@ -805,31 +1106,22 @@ class LikelihoodEngine:
         return lhs[:, :N].sum(axis=0)
 
     def _evaluate_batch_pallas(self, jp, jq, zs):
-        from .kernels.pallas_newview import (evaluate_batch_gamma,
-                                             evaluate_batch_psr, fold_lam,
-                                             fold_rw)
+        from .kernels.pallas_newview import evaluate_batch_psr
         interpret = jax.default_backend() == 'cpu'
-        fn = self._jit_cache.get('pallas_eval_batch')
-        if fn is None:
-            def _eb_gamma(clv, scaler, jp, jq, lzs, eign, gamma, rw, wgt,
-                          *, block_w, log_min_scale, interpret):
-                return evaluate_batch_gamma(
-                    clv, scaler, jp, jq, lzs, fold_lam(eign, gamma),
-                    fold_rw(rw, eign.shape[1]), wgt, block_w=block_w,
-                    log_min_scale=log_min_scale, interpret=interpret)
-            fn = jax.jit(evaluate_batch_psr if self.is_psr
-                         else _eb_gamma,
-                         static_argnames=('block_w', 'log_min_scale',
-                                          'interpret'))
-            self._jit_cache['pallas_eval_batch'] = fn
         jpd = jnp.asarray(jp)
         jqd = jnp.asarray(jq)
-        out = []
-        for m in range(self.n_models):
-            col = self._branch_col(m)
-            lzs = jnp.asarray(np.log(np.maximum(zs[:, col], C.ZMIN)),
-                              dtype=jnp.float32)
-            if self.is_psr:
+        if self.is_psr:
+            fn = self._jit_cache.get('pallas_eval_batch')
+            if fn is None:
+                fn = jax.jit(evaluate_batch_psr,
+                             static_argnames=('block_w', 'log_min_scale',
+                                              'interpret'))
+                self._jit_cache['pallas_eval_batch'] = fn
+            out = []
+            for m in range(self.n_models):
+                col = self._branch_col(m)
+                lzs = jnp.asarray(np.log(np.maximum(zs[:, col], C.ZMIN)),
+                                  dtype=jnp.float32)
                 out.append(fn(self.clv[m], self.scaler[m], jpd, jqd, lzs,
                               self.d_EIGN[m][0].astype(jnp.float32),
                               self.wgts[m].astype(jnp.float32),
@@ -837,16 +1129,20 @@ class LikelihoodEngine:
                               block_w=min(8192, self.widths[m]),
                               log_min_scale=self.log_min_scale,
                               interpret=interpret))
-            else:
-                out.append(fn(self.clv[m], self.scaler[m], jpd, jqd, lzs,
-                              self.d_EIGN[m].astype(jnp.float32),
-                              self.d_gamma[m].astype(jnp.float32),
-                              self.d_rate_weights[m].astype(jnp.float32),
-                              self.wgts[m].astype(jnp.float32),
-                              block_w=min(8192, self.widths[m]),
-                              log_min_scale=self.log_min_scale,
-                              interpret=interpret))
-        return jnp.stack(out)
+            return jnp.stack(out)
+        fn = self._jit_cache.get('pallas_eval_batch')
+        if fn is None:
+            def run(clvs, scalers, gammas, eigns, rws, gwgts, jpd, jqd,
+                    bzs):
+                return self._g_evaluate_batch_all(
+                    clvs, scalers, gammas, eigns, rws, gwgts, jpd, jqd,
+                    bzs, interpret)
+            fn = jax.jit(run)
+            self._jit_cache['pallas_eval_batch'] = fn
+        return fn(tuple(self.clv), tuple(self.scaler),
+                  tuple(self.d_gamma), tuple(self.d_EIGN),
+                  tuple(self.d_rate_weights), tuple(self.g_wgt),
+                  jpd, jqd, jnp.asarray(zs, dtype=self.dtype))
 
     def _build_sumtable_fn(self):
         n_models = self.n_models
@@ -1032,13 +1328,14 @@ class LikelihoodEngine:
                   else self.rows)
         budget = 12 * 2 ** 20            # ~16 MB VMEM/core, leave slack
         plan = []
-        for m in range(self.n_models):
+        for g, ms in enumerate(self.groups):
+            m = ms[0]
             S = self._padded_states(m)
             K = self.n_cats * S
             gk = self._pallas_group(m) * K
             bw = None
             for cand in (1024, 512, 256, 128):
-                if cand > self.widths[m] or self.widths[m] % cand:
+                if cand > self.g_width[g] or self.g_width[g] % cand:
                     continue
                 # x2: Mosaic double-buffers the aliased out blocks across
                 # grid steps (measured: 128x17x1024x4 plans 8.9M, allocates
@@ -1062,10 +1359,6 @@ class LikelihoodEngine:
         ~5 ms; the reference instead pays an MPI reduction per operation).
         kind: 'trav' (fused traversal), 'trav_eval' (+ root lnL per
         partition), 'trav_evalbatch' (+ batched candidate lnLs)."""
-        from .kernels.pallas_newview import (evaluate_batch_gamma,
-                                             evaluate_pallas, fold_lam,
-                                             fold_rw)
-        M = self.n_models
         interpret = jax.default_backend() == 'cpu'
         traverse = self._make_traverse(n_rows, plan, interpret)
 
@@ -1078,47 +1371,25 @@ class LikelihoodEngine:
         elif kind == 'trav_eval':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
                     sub, zqrs, nex, gammas, eigns, eis, evs, rate_weights,
-                    wgts, p_row, q_row, qz):
+                    gwgts, p_row, q_row, qz):
                 clvs, scalers = traverse(clvs, scalers, exec_mask, jp, jq,
                                          jr, jt, lzq, lzr, sub, zqrs, nex,
                                          gammas, eigns, eis, evs)
-                lhs = []
-                for m in range(M):
-                    col = self._branch_col(m)
-                    lz = jnp.log(jnp.maximum(qz[col], C.ZMIN))
-                    lam = fold_lam(eigns[m], gammas[m])
-                    dw = (fold_rw(rate_weights[m], eigns[m].shape[1])
-                          * jnp.exp(lam * lz))
-                    lhs.append(evaluate_pallas(
-                        clvs[m], scalers[m], p_row, q_row,
-                        dw[None, :].astype(jnp.float32),
-                        wgts[m].astype(jnp.float32),
-                        block_w=min(8192, self.widths[m]),
-                        log_min_scale=self.log_min_scale,
-                        interpret=interpret))
-                return clvs, scalers, jnp.stack(lhs)
+                lhs = self._g_evaluate_all(clvs, scalers, gammas, eigns,
+                                           rate_weights, gwgts, p_row,
+                                           q_row, qz, interpret)
+                return clvs, scalers, lhs
         elif kind == 'trav_evalbatch':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
                     sub, zqrs, nex, gammas, eigns, eis, evs, rate_weights,
-                    wgts, bp_rows, bq_rows, bzs):
+                    gwgts, bp_rows, bq_rows, bzs):
                 clvs, scalers = traverse(clvs, scalers, exec_mask, jp, jq,
                                          jr, jt, lzq, lzr, sub, zqrs, nex,
                                          gammas, eigns, eis, evs)
-                lhs = []
-                for m in range(M):
-                    col = self._branch_col(m)
-                    lzs = jnp.log(jnp.maximum(bzs[:, col],
-                                              C.ZMIN)).astype(jnp.float32)
-                    lhs.append(evaluate_batch_gamma(
-                        clvs[m], scalers[m], bp_rows, bq_rows, lzs,
-                        fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
-                        fold_rw(rate_weights[m],
-                                eigns[m].shape[1]).astype(jnp.float32),
-                        wgts[m].astype(jnp.float32),
-                        block_w=min(8192, self.widths[m]),
-                        log_min_scale=self.log_min_scale,
-                        interpret=interpret))
-                return clvs, scalers, jnp.stack(lhs)
+                lhs = self._g_evaluate_batch_all(
+                    clvs, scalers, gammas, eigns, rate_weights, gwgts,
+                    bp_rows, bq_rows, bzs, interpret)
+                return clvs, scalers, lhs
         else:
             raise KeyError(kind)
 
@@ -1130,39 +1401,64 @@ class LikelihoodEngine:
         and the on-device model-optimization programs)."""
         from .kernels.pallas_newview import (blockdiag, blockdiag_tile,
                                              fold_lam,
-                                             traversal_fused_pallas)
-        M = self.n_models
+                                             traversal_fused_pallas,
+                                             traversal_fused_stacked)
 
         def traverse(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
                      sub, zqrs, nex, gammas, eigns, eis, evs):
             # exec_mask is a dynamic [M] bool vector (one compiled program
             # serves every evaluateChange mask pattern); masked partitions
-            # keep their stale CLVs via a select. Slots with sub[i] True
-            # take their rz branch length from the device value zqrs
-            # (speculative SPR: the prune-branch NR result never visits
-            # the host).
+            # keep their stale CLVs (singletons via a select, stacked
+            # groups in-kernel). Slots with sub[i] True take their rz
+            # branch length from the device value zqrs (speculative SPR:
+            # the prune-branch NR result never visits the host).
             lzr = jnp.where(
                 sub[:, None],
                 jnp.log(jnp.maximum(zqrs, C.ZMIN)).astype(jnp.float32)[None, :],
                 lzr)
             out_c = list(clvs)
             out_s = list(scalers)
-            for m in range(M):
-                col = self._branch_col(m)
-                lam = fold_lam(eigns[m], gammas[m]).astype(jnp.float32)
-                g = self._pallas_group(m)
-                c2, s2 = traversal_fused_pallas(
-                    clvs[m], scalers[m], jp, jq, jr, jt,
-                    lzq[:, col], lzr[:, col], lam[None, :],
-                    blockdiag_tile(blockdiag(eis[m]).astype(jnp.float32),
-                                   g),
-                    blockdiag_tile(blockdiag(evs[m]).astype(jnp.float32),
-                                   g),
-                    n_exec=nex[0], n_rows=n_rows, block_w=plan[m], group=g,
-                    min_scale=self.min_scale,
-                    inv_min_scale=self.inv_min_scale, interpret=interpret)
-                out_c[m] = jnp.where(exec_mask[m], c2, clvs[m])
-                out_s[m] = jnp.where(exec_mask[m], s2, scalers[m])
+            for gi, ms in enumerate(self.groups):
+                if len(ms) == 1:
+                    m = ms[0]
+                    col = self._branch_col(m)
+                    lam = fold_lam(eigns[m],
+                                   gammas[m]).astype(jnp.float32)
+                    g = self._pallas_group(m)
+                    c2, s2 = traversal_fused_pallas(
+                        clvs[gi], scalers[gi], jp, jq, jr, jt,
+                        lzq[:, col], lzr[:, col], lam[None, :],
+                        blockdiag_tile(
+                            blockdiag(eis[m]).astype(jnp.float32), g),
+                        blockdiag_tile(
+                            blockdiag(evs[m]).astype(jnp.float32), g),
+                        n_exec=nex[0], n_rows=n_rows, block_w=plan[gi],
+                        group=g, min_scale=self.min_scale,
+                        inv_min_scale=self.inv_min_scale,
+                        interpret=interpret)
+                    out_c[gi] = jnp.where(exec_mask[m], c2, clvs[gi])
+                    out_s[gi] = jnp.where(exec_mask[m], s2, scalers[gi])
+                else:
+                    cols = jnp.asarray(self._g_cols(ms))
+                    lams = jnp.stack([
+                        fold_lam(eigns[m], gammas[m]).astype(jnp.float32)
+                        for m in ms])
+                    eib = jnp.stack([
+                        blockdiag(eis[m]).astype(jnp.float32)
+                        for m in ms])
+                    evb = jnp.stack([
+                        blockdiag(evs[m]).astype(jnp.float32)
+                        for m in ms])
+                    ex_g = exec_mask[jnp.asarray(ms)].astype(jnp.int32)
+                    c2, s2 = traversal_fused_stacked(
+                        clvs[gi], scalers[gi], jp, jq, jr, jt,
+                        lzq[:, cols], lzr[:, cols], lams, eib, evb, ex_g,
+                        n_exec=nex[0], n_rows=n_rows, block_w=plan[gi],
+                        min_scale=self.min_scale,
+                        inv_min_scale=self.inv_min_scale,
+                        interpret=interpret)
+                    out_c[gi] = c2
+                    out_s[gi] = s2
             return tuple(out_c), tuple(out_s)
 
         return traverse
@@ -1299,6 +1595,7 @@ class LikelihoodEngine:
                          donate_argnums=(0, 1))
             self._jit_cache['pallas_nv'] = fn
 
+        sfn = None
         for lv in levels:
             qz = lv.qz
             rz = lv.rz
@@ -1306,18 +1603,75 @@ class LikelihoodEngine:
             jq = jnp.asarray(lv.q_idx)
             jr = jnp.asarray(lv.r_idx)
             jt = jnp.asarray(lv.tip_tip.astype(np.int32))
-            for m in range(self.n_models):
-                if exec_mask is not None and not exec_mask[m]:
+            for g, ms in enumerate(self.groups):
+                if (exec_mask is not None
+                        and not any(exec_mask[m] for m in ms)):
                     continue
-                col = self._branch_col(m)
-                zq = jnp.asarray(qz[:, col], dtype=self.dtype)
-                zr = jnp.asarray(rz[:, col], dtype=self.dtype)
-                third = (self.d_site_rates[m] if self.is_psr
-                         else self.d_gamma[m])
-                self.clv[m], self.scaler[m] = fn(
-                    self.clv[m], self.scaler[m], jp, jq, jr, jt, zq, zr,
-                    third, self.d_EIGN[m], self.d_EI[m],
-                    self.d_EV[m], block_w=min(8192, self.widths[m]),
+                if len(ms) == 1:
+                    m = ms[0]
+                    col = self._branch_col(m)
+                    zq = jnp.asarray(qz[:, col], dtype=self.dtype)
+                    zr = jnp.asarray(rz[:, col], dtype=self.dtype)
+                    third = (self.d_site_rates[m] if self.is_psr
+                             else self.d_gamma[m])
+                    self.clv[g], self.scaler[g] = fn(
+                        self.clv[g], self.scaler[g], jp, jq, jr, jt, zq,
+                        zr, third, self.d_EIGN[m], self.d_EI[m],
+                        self.d_EV[m], block_w=min(8192, self.widths[m]),
+                        min_scale=self.min_scale,
+                        inv_min_scale=self.inv_min_scale,
+                        interpret=interpret)
+                    continue
+                # stacked group (GAMMA): one kernel for the whole group;
+                # a partial execute-mask preserves stale members via an
+                # XLA-level select (the fused program path handles the
+                # mask in-kernel; this is the VMEM-overflow fallback)
+                if sfn is None:
+                    sfn = self._jit_cache.get('pallas_nv_stacked')
+                if sfn is None:
+                    from .kernels.pallas_newview import \
+                        newview_level_stacked
+
+                    def level_update_stacked(clv, scaler, jp, jq, jr, jt,
+                                             pls, prs, evb, ex, *,
+                                             block_w, min_scale,
+                                             inv_min_scale, interpret):
+                        c2, s2 = newview_level_stacked(
+                            clv, scaler, jp, jq, jr, jt, pls, prs, evb,
+                            block_w=block_w, min_scale=min_scale,
+                            inv_min_scale=inv_min_scale,
+                            interpret=interpret)
+                        c2 = jnp.where(ex[:, None, None, None], c2, clv)
+                        s2 = jnp.where(ex[:, None, None, None], s2,
+                                       scaler)
+                        return c2, s2
+
+                    sfn = jax.jit(level_update_stacked,
+                                  static_argnames=('block_w', 'min_scale',
+                                                   'inv_min_scale',
+                                                   'interpret'))
+                    self._jit_cache['pallas_nv_stacked'] = sfn
+                    sfn = self._jit_cache['pallas_nv_stacked']
+                from .kernels.pallas_newview import (blockdiag,
+                                                     make_p_batch)
+                pls, prs, evb = [], [], []
+                for m in ms:
+                    col = self._branch_col(m)
+                    pl_m, pr_m = make_p_batch(
+                        jnp.asarray(qz[:, col], dtype=self.dtype),
+                        jnp.asarray(rz[:, col], dtype=self.dtype),
+                        self.d_gamma[m], self.d_EIGN[m], self.d_EI[m])
+                    pls.append(pl_m.astype(jnp.float32))
+                    prs.append(pr_m.astype(jnp.float32))
+                    evb.append(blockdiag(
+                        self.d_EV[m]).astype(jnp.float32))
+                ex_g = (np.ones(len(ms), dtype=bool) if exec_mask is None
+                        else np.array([bool(exec_mask[m]) for m in ms]))
+                self.clv[g], self.scaler[g] = sfn(
+                    self.clv[g], self.scaler[g], jp, jq, jr, jt,
+                    jnp.stack(pls), jnp.stack(prs), jnp.stack(evb),
+                    jnp.asarray(ex_g),
+                    block_w=min(8192, self.g_width[g]),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,
                     interpret=interpret)
@@ -1406,7 +1760,7 @@ class LikelihoodEngine:
                 clvs, scalers, lhs = fn(
                     tuple(self.clv), tuple(self.scaler), jnp.asarray(ex),
                     *self._trav_args(packed),
-                    tuple(self.d_rate_weights), tuple(self.wgts),
+                    tuple(self.d_rate_weights), tuple(self.g_wgt),
                     jnp.asarray([p.number], dtype=jnp.int32),
                     jnp.asarray([q.number], dtype=jnp.int32),
                     jnp.asarray(qz, dtype=self.dtype))
@@ -1456,11 +1810,11 @@ class LikelihoodEngine:
             self._jit_cache['pallas_eval'] = fn
         jp = jnp.asarray([p_row], dtype=jnp.int32)
         jq = jnp.asarray([q_row], dtype=jnp.int32)
-        out = []
-        for m in range(self.n_models):
-            col = self._branch_col(m)
-            lz = math.log(max(qz[col], C.ZMIN))
-            if self.is_psr:
+        if self.is_psr:
+            out = []
+            for m in range(self.n_models):
+                col = self._branch_col(m)
+                lz = math.log(max(qz[col], C.ZMIN))
                 lam = (self.d_EIGN[m][0] * lz)[None, :]
                 out.append(fn(self.clv[m], self.scaler[m], jp, jq,
                               lam.astype(jnp.float32),
@@ -1469,19 +1823,43 @@ class LikelihoodEngine:
                               block_w=min(8192, self.widths[m]),
                               log_min_scale=self.log_min_scale,
                               interpret=interpret))
-            else:
-                from .kernels.pallas_newview import fold_lam, fold_rw
+            return np.array([float(o) for o in out])
+        from .kernels.pallas_newview import (evaluate_stacked, fold_lam,
+                                             fold_rw)
+        outs = []
+        for g, ms in enumerate(self.groups):
+            dws = []
+            for m in ms:
+                col = self._branch_col(m)
+                lz = math.log(max(qz[col], C.ZMIN))
                 lam = fold_lam(self.d_EIGN[m], self.d_gamma[m])
-                dw = (fold_rw(self.d_rate_weights[m],
-                              self.d_EIGN[m].shape[1])
-                      * jnp.exp(lam * lz))
-                out.append(fn(self.clv[m], self.scaler[m], jp, jq,
-                              dw[None, :].astype(jnp.float32),
-                              self.wgts[m].astype(jnp.float32),
-                              block_w=min(8192, self.widths[m]),
-                              log_min_scale=self.log_min_scale,
-                              interpret=interpret))
-        return np.array([float(o) for o in out])
+                dws.append((fold_rw(self.d_rate_weights[m],
+                                    self.d_EIGN[m].shape[1])
+                            * jnp.exp(lam * lz))[None, :].astype(
+                                jnp.float32))
+            if len(ms) == 1:
+                outs.append(fn(self.clv[g], self.scaler[g], jp, jq,
+                               dws[0], self.g_wgt[g].astype(jnp.float32),
+                               block_w=min(8192, self.g_width[g]),
+                               log_min_scale=self.log_min_scale,
+                               interpret=interpret))
+            else:
+                sfn = self._jit_cache.get('pallas_eval_stacked')
+                if sfn is None:
+                    sfn = jax.jit(evaluate_stacked,
+                                  static_argnames=('block_w',
+                                                   'log_min_scale',
+                                                   'interpret'))
+                    self._jit_cache['pallas_eval_stacked'] = sfn
+                    sfn = self._jit_cache['pallas_eval_stacked']
+                outs.append(sfn(self.clv[g], self.scaler[g], jp, jq,
+                                jnp.stack(dws),
+                                self.g_wgt[g].astype(jnp.float32),
+                                block_w=min(8192, self.g_width[g]),
+                                log_min_scale=self.log_min_scale,
+                                interpret=interpret))
+        return np.array([float(np.asarray(o)) for o in
+                         self._unstack([np.asarray(o) for o in outs])])
 
     def _nr_pallas(self, p_row, q_row, core_lz):
         from .kernels.pallas_newview import (nr_derivatives_pallas,
@@ -1497,6 +1875,9 @@ class LikelihoodEngine:
             self._jit_cache['pallas_nrd'] = fn
         jp = jnp.asarray([p_row], dtype=jnp.int32)
         jq = jnp.asarray([q_row], dtype=jnp.int32)
+        # only reachable on PSR/singleton layouts (the GAMMA accelerator
+        # path optimizes branches through _makenewz_dispatch instead)
+        assert all(len(ms) == 1 for ms in self.groups)
         d1s = np.zeros(self.n_models)
         d2s = np.zeros(self.n_models)
         for m in range(self.n_models):
@@ -1536,35 +1917,22 @@ class LikelihoodEngine:
         """(batch_nr, junctions): the vectorized branch-NR state machine
         and the batched junction-CLV builder shared by the thorough-
         insertion and quartet wave programs."""
-        from .kernels.pallas_newview import (blockdiag,
-                                             fold_lam, fold_rw,
-                                             make_p_batch,
-                                             newview_level_pallas,
-                                             nr_derivatives_batch_pallas)
         M = self.n_models
 
         def batch_nr(clvs, scalers, model, jp, jq, z0, maxiter, frozen):
             """topLevelMakenewz vectorized over N branches (rows jp/jq);
             frozen lanes keep z0."""
-            gammas, eigns, eis, evs, rate_weights, wgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts = model
 
             def derivs(core_lz):
+                d1m, d2m = self._g_nr_derivs_batch(
+                    clvs, scalers, gammas, eigns, rate_weights, gwgts,
+                    jp, jq, core_lz, interpret)
                 d1t = jnp.zeros_like(core_lz)
                 d2t = jnp.zeros_like(core_lz)
                 for m in range(M):
-                    lam = fold_lam(eigns[m],
-                                   gammas[m]).astype(jnp.float32)
-                    d1, d2 = nr_derivatives_batch_pallas(
-                        clvs[m], scalers[m], jp, jq, lam[None, :],
-                        fold_rw(rate_weights[m],
-                                eigns[m].shape[1]).astype(jnp.float32
-                                                          )[None, :],
-                        wgts[m].astype(jnp.float32), core_lz,
-                        block_w=min(8192, self.widths[m]),
-                        log_min_scale=self.log_min_scale,
-                        interpret=interpret)
-                    d1t = d1t + d1
-                    d2t = d2t + d2
+                    d1t = d1t + d1m[m]
+                    d2t = d2t + d2m[m]
                 return d1t, d2t
 
             N = z0.shape[0]
@@ -1617,21 +1985,10 @@ class LikelihoodEngine:
                       tt):
             """N junction CLVs: scratch row j_i = combine(a_i via za_i,
             b_i via zb_i)."""
-            gammas, eigns, eis, evs, rate_weights, wgts = model
-            out_c, out_s = [], []
-            for m in range(M):
-                pls, prs = make_p_batch(za, zb, gammas[m], eigns[m],
-                                        eis[m])
-                c2, s2 = newview_level_pallas(
-                    clvs[m], scalers[m], j_rows, a_rows, b_rows, tt,
-                    pls.astype(jnp.float32), prs.astype(jnp.float32),
-                    blockdiag(evs[m]).astype(jnp.float32),
-                    block_w=min(8192, self.widths[m]),
-                    min_scale=self.min_scale,
-                    inv_min_scale=self.inv_min_scale, interpret=interpret)
-                out_c.append(c2)
-                out_s.append(s2)
-            return tuple(out_c), tuple(out_s)
+            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            return self._g_junctions(clvs, scalers, gammas, eigns, eis,
+                                     evs, j_rows, a_rows, b_rows, za, zb,
+                                     tt, interpret)
 
         return batch_nr, junctions
 
@@ -1641,14 +1998,13 @@ class LikelihoodEngine:
         five-branch loop (quartets.c:170) with the vectorized NR state
         machine, and evaluates — the whole -f q inner loop in ONE device
         program instead of ~30 host syncs per topology."""
-        from .kernels.pallas_newview import evaluate_batch_gamma, fold_lam, fold_rw
         M = self.n_models
         interpret = jax.default_backend() == 'cpu'
         batch_nr, junctions = self._make_wave_ops(interpret)
 
         def run(clvs, scalers, model, t1, t2, t3, t4, ja, jb, tt12, tt34,
                 pad):
-            gammas, eigns, eis, evs, rate_weights, wgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts = model
             N = t1.shape[0]
             z = jnp.full((N, 5), C.DEFAULTZ, jnp.float32)
             tt0 = jnp.zeros(N, jnp.int32)
@@ -1700,19 +2056,10 @@ class LikelihoodEngine:
             # final state: jb = view at j2 away from t4 (the last
             # junction of the pass); evaluate the (j2, t4) branch exactly
             # like the host's evaluate(q1.back.next.next)
-            lz4 = jnp.log(jnp.maximum(z[:, 3], C.ZMIN)).astype(jnp.float32)
-            lhs = []
-            for m in range(M):
-                lhs.append(evaluate_batch_gamma(
-                    clvs[m], scalers[m], jb, t4, lz4,
-                    fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
-                    fold_rw(rate_weights[m],
-                            eigns[m].shape[1]).astype(jnp.float32),
-                    wgts[m].astype(jnp.float32),
-                    block_w=min(8192, self.widths[m]),
-                    log_min_scale=self.log_min_scale,
-                    interpret=interpret))
-            return clvs, scalers, jnp.sum(jnp.stack(lhs), axis=0)
+            lhs = self._g_evaluate_batch_all(
+                clvs, scalers, gammas, eigns, rate_weights, gwgts, jb,
+                t4, z[:, 3][:, None], interpret)
+            return clvs, scalers, jnp.sum(lhs, axis=0)
 
         return jax.jit(run, donate_argnums=(0, 1))
 
@@ -1752,7 +2099,7 @@ class LikelihoodEngine:
             self._jit_cache['quartetprog'] = fn
         model = (tuple(self.d_gamma), tuple(self.d_EIGN),
                  tuple(self.d_EI), tuple(self.d_EV),
-                 tuple(self.d_rate_weights), tuple(self.wgts))
+                 tuple(self.d_rate_weights), tuple(self.g_wgt))
         clvs, scalers, lhs = fn(
             tuple(self.clv), tuple(self.scaler), model,
             jnp.asarray(t[0]), jnp.asarray(t[1]), jnp.asarray(t[2]),
@@ -1764,15 +2111,13 @@ class LikelihoodEngine:
         return lhs[:N]
 
     def _build_thorough_program(self):
-        from .kernels.pallas_newview import (evaluate_batch_gamma,
-                                             fold_lam, fold_rw)
         M = self.n_models
         interpret = jax.default_backend() == 'cpu'
         batch_nr, junctions = self._make_wave_ops(interpret)
 
         def run(clvs, scalers, model, s_row, u_rows, v_rows, j_rows, z0,
                 pad):
-            gammas, eigns, eis, evs, rate_weights, wgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts = model
             N = u_rows.shape[0]
             live = pad                         # frozen mask for batch_nr
             s_rows = jnp.broadcast_to(s_row.astype(jnp.int32), (N,))
@@ -1848,26 +2193,16 @@ class LikelihoodEngine:
             # localSmooth is toward v); evaluate at branch (junction, v)
             clvs, scalers = junctions(clvs, scalers, model, j_rows,
                                       s_rows, u_rows, e3, e1, tt_uv)
-            lhs = []
-            for m in range(M):
-                lzs_eval = jnp.log(jnp.maximum(e2, C.ZMIN)).astype(
-                    jnp.float32)
-                lhs.append(evaluate_batch_gamma(
-                    clvs[m], scalers[m], j_rows, v_rows, lzs_eval,
-                    fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
-                    fold_rw(rate_weights[m],
-                            eigns[m].shape[1]).astype(jnp.float32),
-                    wgts[m].astype(jnp.float32),
-                    block_w=min(8192, self.widths[m]),
-                    log_min_scale=self.log_min_scale,
-                    interpret=interpret))
+            lhs = self._g_evaluate_batch_all(
+                clvs, scalers, gammas, eigns, rate_weights, gwgts,
+                j_rows, v_rows, e2[:, None], interpret)
             # per-partition [M, N] — callers sum over partitions (the
             # fused apply path also needs per_partition_lh)
             import os
             if os.environ.get('EXAML_DEBUG_THOROUGH'):
-                return (clvs, scalers, jnp.stack(lhs), e1, e2, e3,
+                return (clvs, scalers, lhs, e1, e2, e3,
                         zqr, zqs, zrs)
-            return clvs, scalers, jnp.stack(lhs), e1, e2, e3
+            return clvs, scalers, lhs, e1, e2, e3
 
         return jax.jit(run, donate_argnums=(0, 1))
 
@@ -1904,7 +2239,7 @@ class LikelihoodEngine:
         pad[N:] = True
         model = (tuple(self.d_gamma), tuple(self.d_EIGN),
                  tuple(self.d_EI), tuple(self.d_EV),
-                 tuple(self.d_rate_weights), tuple(self.wgts))
+                 tuple(self.d_rate_weights), tuple(self.g_wgt))
         clvs, scalers, scores, e1, e2, e3, *extra = fn(
             tuple(self.clv), tuple(self.scaler), model,
             jnp.asarray(s_row, dtype=jnp.int32),
@@ -1971,31 +2306,22 @@ class LikelihoodEngine:
         interpret = jax.default_backend() == 'cpu'
 
         def derivatives(clvs, scalers, jp, jq, eign, gamma, rate_weights,
-                        wgts, site_rates, core_lz):
+                        gwgts, site_rates, core_lz):
+            if not self.is_psr:
+                return self._g_nr_derivs(clvs, scalers, gamma, eign,
+                                         rate_weights, gwgts, jp, jq,
+                                         core_lz, interpret)
             d1s, d2s = [], []
             for m in range(n_models):
                 col = self._branch_col(m)
-                if self.is_psr:
-                    d1, d2 = nr_derivatives_pallas_psr(
-                        clvs[m], scalers[m], jp, jq,
-                        eign[m][0][None, :].astype(jnp.float32),
-                        wgts[m].astype(jnp.float32),
-                        site_rates[m].astype(jnp.float32),
-                        core_lz[col][None].astype(jnp.float32),
-                        block_w=min(8192, self.widths[m]),
-                        interpret=interpret)
-                else:
-                    from .kernels.pallas_newview import fold_lam, fold_rw
-                    lam = fold_lam(eign[m], gamma[m])
-                    d = (fold_rw(rate_weights[m], eign[m].shape[1])
-                         * jnp.exp(lam * core_lz[col])).astype(jnp.float32)
-                    d1, d2 = nr_derivatives_pallas(
-                        clvs[m], scalers[m], jp, jq,
-                        lam[None, :].astype(jnp.float32), d[None, :],
-                        wgts[m].astype(jnp.float32),
-                        block_w=min(8192, self.widths[m]),
-                        log_min_scale=self.log_min_scale,
-                        interpret=interpret)
+                d1, d2 = nr_derivatives_pallas_psr(
+                    clvs[m], scalers[m], jp, jq,
+                    eign[m][0][None, :].astype(jnp.float32),
+                    gwgts[m].astype(jnp.float32),
+                    site_rates[m].astype(jnp.float32),
+                    core_lz[col][None].astype(jnp.float32),
+                    block_w=min(8192, self.widths[m]),
+                    interpret=interpret)
                 d1s.append(d1)
                 d2s.append(d2)
             return jnp.stack(d1s), jnp.stack(d2s)
@@ -2085,7 +2411,7 @@ class LikelihoodEngine:
                jnp.asarray([p.number], dtype=jnp.int32),
                jnp.asarray([q.number], dtype=jnp.int32),
                tuple(self.d_EIGN), tuple(self.d_gamma),
-               tuple(self.d_rate_weights), tuple(self.wgts),
+               tuple(self.d_rate_weights), tuple(self.g_wgt),
                tuple(self.d_site_rates),
                jnp.asarray(z0, dtype=self.dtype),
                jnp.asarray(ex), maxiter)
@@ -2416,51 +2742,30 @@ class LikelihoodEngine:
         return tuple(jnp.asarray(x) for x in (t, pr, qr, rr, eq, er, tt))
 
     def _build_smooth_program(self, with_eval: bool = False):
-        from .kernels.pallas_newview import (blockdiag, evaluate_pallas,
-                                            fold_lam, fold_rw,
-                                            make_p_batch,
-                                            newview_level_pallas,
-                                            nr_derivatives_pallas)
         M = self.n_models
         interpret = jax.default_backend() == 'cpu'
 
         def nv_op(state, model, pr, qr, rr, eq, er, tt):
             clvs, scalers, z, smoothed = state
-            gammas, eigns, eis, evs, rate_weights, wgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts = model
             zq = z[eq]                             # scalar (B == 1)
             zr = z[er]
-            out_c, out_s = [], []
-            for m in range(M):
-                pls, prs = make_p_batch(zq[None], zr[None], gammas[m],
-                                        eigns[m], eis[m])
-                c2, s2 = newview_level_pallas(
-                    clvs[m], scalers[m], pr[None], qr[None], rr[None],
-                    tt[None], pls.astype(jnp.float32),
-                    prs.astype(jnp.float32),
-                    blockdiag(evs[m]).astype(jnp.float32),
-                    block_w=min(8192, self.widths[m]),
-                    min_scale=self.min_scale,
-                    inv_min_scale=self.inv_min_scale, interpret=interpret)
-                out_c.append(c2)
-                out_s.append(s2)
-            return (tuple(out_c), tuple(out_s), z, smoothed)
+            out_c, out_s = self._g_junctions(
+                clvs, scalers, gammas, eigns, eis, evs, pr[None],
+                qr[None], rr[None], zq[None], zr[None], tt[None],
+                interpret)
+            return (out_c, out_s, z, smoothed)
 
         def derivatives(clvs, scalers, model, jp, jq, core_lz):
-            gammas, eigns, eis, evs, rate_weights, wgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            d1m, d2m = self._g_nr_derivs(
+                clvs, scalers, gammas, eigns, rate_weights, gwgts, jp,
+                jq, core_lz[None], interpret)
             d1t = 0.0
             d2t = 0.0
             for m in range(M):
-                lam = fold_lam(eigns[m], gammas[m])
-                d = (fold_rw(rate_weights[m], eigns[m].shape[1])
-                     * jnp.exp(lam * core_lz)).astype(jnp.float32)
-                d1, d2 = nr_derivatives_pallas(
-                    clvs[m], scalers[m], jp, jq,
-                    lam[None, :].astype(jnp.float32),
-                    d[None, :], wgts[m].astype(jnp.float32),
-                    block_w=min(8192, self.widths[m]),
-                    log_min_scale=self.log_min_scale, interpret=interpret)
-                d1t = d1t + d1
-                d2t = d2t + d2
+                d1t = d1t + d1m[m]
+                d2t = d2t + d2m[m]
             return d1t, d2t
 
         def nr_op(state, model, pr, qr, rr, eq, er, tt):
@@ -2565,21 +2870,11 @@ class LikelihoodEngine:
                 clvs, scalers, z, model, ops1, ops2, maxtimes)
             clvs, scalers, z, _ = run_ops(
                 (clvs, scalers, z, jnp.asarray(True)), model, ops3)
-            gammas, eigns, eis, evs, rate_weights, wgts = model
-            lz = jnp.log(jnp.maximum(z[e_root], C.ZMIN))
-            lhs = []
-            for m in range(M):
-                lam = fold_lam(eigns[m], gammas[m])
-                dw = (fold_rw(rate_weights[m], eigns[m].shape[1])
-                      * jnp.exp(lam * lz))
-                lhs.append(evaluate_pallas(
-                    clvs[m], scalers[m], p_row, q_row,
-                    dw[None, :].astype(jnp.float32),
-                    wgts[m].astype(jnp.float32),
-                    block_w=min(8192, self.widths[m]),
-                    log_min_scale=self.log_min_scale,
-                    interpret=interpret))
-            return clvs, scalers, z, smoothed, k, jnp.stack(lhs)
+            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            lhs = self._g_evaluate_all(
+                clvs, scalers, gammas, eigns, rate_weights, gwgts,
+                p_row, q_row, z[e_root][None], interpret)
+            return clvs, scalers, z, smoothed, k, lhs
 
         return jax.jit(smooth_eval, donate_argnums=(0, 1),
                        static_argnums=())
@@ -2663,7 +2958,7 @@ class LikelihoodEngine:
         p3 = self._pack_smooth_ops(ops3)
         model = (tuple(self.d_gamma), tuple(self.d_EIGN),
                  tuple(self.d_EI), tuple(self.d_EV),
-                 tuple(self.d_rate_weights), tuple(self.wgts))
+                 tuple(self.d_rate_weights), tuple(self.g_wgt))
         clvs, scalers, z, smoothed, k, lhs = fn(
             tuple(self.clv), tuple(self.scaler),
             jnp.asarray(z0[:, 0], dtype=jnp.float32), model, p1, p2,
@@ -2724,7 +3019,7 @@ class LikelihoodEngine:
         p2 = self._pack_smooth_ops(ops2)
         model = (tuple(self.d_gamma), tuple(self.d_EIGN),
                  tuple(self.d_EI), tuple(self.d_EV),
-                 tuple(self.d_rate_weights), tuple(self.wgts))
+                 tuple(self.d_rate_weights), tuple(self.g_wgt))
         clvs, scalers, z, smoothed, k = fn(
             tuple(self.clv), tuple(self.scaler),
             jnp.asarray(z0[:, 0], dtype=jnp.float32), model, p1, p2,

@@ -94,9 +94,6 @@ class DeviceParamOptimizer:
         use_median = eng.use_median
         interpret = jax.default_backend() == 'cpu'
         dtype = eng.dtype
-        from ..kernels.pallas_newview import (evaluate_pallas, fold_lam,
-                                              fold_rw, fold_tipvec,
-                                              tip_rows_pallas)
 
         # full-traversal shapes are fixed for the engine's tree: resolve
         # the fused plan once at build time
@@ -155,39 +152,26 @@ class DeviceParamOptimizer:
                     out = rebuild(m, values[lane], rn, base[m], model_m)
                     g2[m], ei2[m], eei2[m], ev2[m], tv2[m] = out
                 if which == RATE_F:
-                    clvs = tuple(
-                        tip_rows_pallas(
-                            clvs[m], codes[m],
-                            fold_tipvec(tv2[m].astype(jnp.float32)),
-                            eng.mxtips,
-                            block_w=min(8192, eng.widths[m]),
-                            interpret=interpret)
-                        if lane_of[m] >= 0 else clvs[m]
-                        for m in range(M))
+                    # stacked groups refresh every member (non-lane
+                    # members rewrite identical tip rows — a no-op)
+                    clvs = eng._g_tip_rows(
+                        clvs, codes, tuple(tv2), interpret,
+                        refresh=[lane_of[m] >= 0 for m in range(M)])
                 clvs, scalers = traverse(clvs, scalers,
                                          jnp.ones(M, bool), jpw, jqw,
                                          jrw, jtw, lzqw, lzrw, subw,
                                          zqrw, nexw, tuple(g2),
                                          tuple(ei2), tuple(eei2),
                                          tuple(ev2))
+                lhs = eng._g_evaluate_all(
+                    clvs, scalers, tuple(g2), tuple(ei2), rate_weights,
+                    wgts, p_row, q_row, qz, interpret)
                 res = jnp.zeros(n, values.dtype)
                 for m in range(M):
                     lane = lane_of[m]
                     if lane < 0:
                         continue
-                    col = eng._branch_col(m)
-                    lz = jnp.log(jnp.maximum(qz[col], C.ZMIN))
-                    lam = fold_lam(ei2[m], g2[m])
-                    dw = (fold_rw(rate_weights[m], ei2[m].shape[1])
-                          * jnp.exp(lam * lz))
-                    lh = evaluate_pallas(
-                        clvs[m], scalers[m], p_row, q_row,
-                        dw[None, :].astype(jnp.float32),
-                        wgts[m].astype(jnp.float32),
-                        block_w=min(8192, eng.widths[m]),
-                        log_min_scale=eng.log_min_scale,
-                        interpret=interpret)
-                    res = res.at[lane].add(-lh.astype(values.dtype))
+                    res = res.at[lane].add(-lhs[m].astype(values.dtype))
                 return res, clvs, scalers
 
             return f
@@ -492,13 +476,13 @@ class DeviceParamOptimizer:
             jnp.asarray([p.number], jnp.int32),
             jnp.asarray([q.number], jnp.int32),
             jnp.asarray(np.array(q.z), dtype=eng.dtype),
-            tuple(eng.tip_codes), base,
+            tuple(eng.g_codes), base,
             jnp.asarray(rate_number, jnp.int32),
             jnp.asarray(np.clip(sv + 0.1, lim_inf, lim_sup), fdtype),
             jnp.asarray(np.clip(sv - 0.1, lim_inf, lim_sup), fdtype),
             jnp.asarray(lim_inf, fdtype), jnp.asarray(lim_sup, fdtype),
             jnp.asarray(tol, fdtype), model, tuple(eng.d_rate_weights),
-            tuple(eng.wgts))
+            tuple(eng.g_wgt))
         eng.clv = list(clvs)
         eng.scaler = list(scalers)
         xmin, result, conv = eng.fetch([xmin, result, conv],
@@ -540,12 +524,12 @@ class DeviceParamOptimizer:
             jnp.asarray([p.number], jnp.int32),
             jnp.asarray([q.number], jnp.int32),
             jnp.asarray(np.array(q.z), dtype=eng.dtype),
-            tuple(eng.tip_codes), base,
+            tuple(eng.g_codes), base,
             jnp.asarray(num_rates, jnp.int32),
             jnp.asarray(np.full(n, lim_inf), fdtype),
             jnp.asarray(np.full(n, lim_sup), fdtype),
             jnp.asarray(tol, fdtype), model, tuple(eng.d_rate_weights),
-            tuple(eng.wgts))
+            tuple(eng.g_wgt))
         eng.clv = list(clvs)
         eng.scaler = list(scalers)
         winners, conv = eng.fetch([winners, conv], kind='devopt_sweep')

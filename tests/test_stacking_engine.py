@@ -1,0 +1,125 @@
+"""Engine-level partition-stacking gate (docs/STACKING.md): the stacked
+engine (one kernel launch per geometry group) must reproduce the
+unstacked engine (one launch per partition) exactly — group padding
+columns carry wgt = 0 and contribute exact zeros to every reduction, and
+the per-slice kernel math is bit-identical (tests/test_stacked_kernels)."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from examl_tpu.engine import LikelihoodEngine
+from examl_tpu.io.bytefile import read_bytefile
+from examl_tpu.io.newick import parse_newick
+from examl_tpu.search.spr import SprSearch
+from examl_tpu.tree import Tree
+
+REF = pathlib.Path('/root/reference/testData')
+DATA = pathlib.Path(__file__).resolve().parent / 'data'
+
+
+def _engine(stack, pad=512, **kw):
+    # pad=512 equalizes the four partitions' padded widths: with no
+    # group-width padding the stacked engine is BIT-exact vs the
+    # unstacked one. At the default pad the group pads short members
+    # with wgt=0 columns, which changes f32 reduction associativity by
+    # ULPs (see test_stacked_default_pad_tolerance).
+    import jax
+    aln = read_bytefile(str(DATA / '49.binary'))
+    tree = Tree(aln.taxon_names, num_branches=kw.get('num_branches', 1))
+    parse_newick((REF / '49.tree').read_text(), tree)
+    eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                           use_pallas=True, stack=stack, pad=pad, **kw)
+    return eng, tree
+
+
+@pytest.mark.slow
+def test_stacked_default_pad_tolerance():
+    """At the default padding, group-width wgt=0 columns may shift f32
+    reductions by ULPs; results stay within f32 noise."""
+    eng0, tr0 = _engine(False, pad=8)
+    eng1, tr1 = _engine(True, pad=8)
+    assert eng0.widths != [eng1.g_width[0]] * 4      # widths DO differ
+    assert eng0.evaluate(tr0.start, full_traversal_=True) == \
+        eng1.evaluate(tr1.start, full_traversal_=True)
+    s0 = eng0.tree_evaluate(1.0)
+    s1 = eng1.tree_evaluate(1.0)
+    assert s1 == pytest.approx(s0, abs=5e-3)
+
+
+@pytest.mark.slow
+def test_stacked_engine_matches_unstacked():
+    eng0, tr0 = _engine(False)
+    eng1, tr1 = _engine(True)
+    assert eng0.n_groups == eng0.n_models
+    assert eng1.n_groups == 1 and len(eng1.groups[0]) == 4
+
+    lnl0 = eng0.evaluate(tr0.start, full_traversal_=True)
+    lnl1 = eng1.evaluate(tr1.start, full_traversal_=True)
+    assert lnl0 == lnl1
+    np.testing.assert_array_equal(eng0.per_partition_lh,
+                                  eng1.per_partition_lh)
+
+    # fused smooth + treeEvaluate program (junction/NR/evaluate helpers)
+    s0 = eng0.tree_evaluate(1.0)
+    s1 = eng1.tree_evaluate(1.0)
+    assert s0 == s1
+
+    # one full SPR wave per engine: lazy scoring + thorough insertions
+    r0 = []
+    for eng, tr, acc in ((eng0, tr0, r0), (eng1, tr1, [])):
+        search = SprSearch(eng)
+        search.start_lh = search.end_lh = eng.likelihood
+        search.best_of_node = -1e30
+        assert search.rearrange_big(tr.nodep[tr.mxtips + 5], 1, 5)
+        acc.append(search.best_of_node)
+        if eng is eng1:
+            assert r0[0] == search.best_of_node
+
+    # batched quartet wave: the two jitted programs differ structurally,
+    # so XLA fuses the tiny P-matrix/diagonal computations differently —
+    # ULP-level only (the eager stacked-vs-singleton pipeline is
+    # bit-exact; verified while landing the stacking change)
+    q0 = eng0.quartet_wave([(1, 2, 3, 4), (1, 3, 2, 4), (1, 4, 2, 3)])
+    q1 = eng1.quartet_wave([(1, 2, 3, 4), (1, 3, 2, 4), (1, 4, 2, 3)])
+    np.testing.assert_allclose(q0, q1, rtol=0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_stacked_engine_per_partition_branches():
+    """-M (per-partition branch lengths): the stacked path gathers each
+    member's branch column into the [L, P] descriptor."""
+    eng0, tr0 = _engine(False, num_branches=4)
+    eng1, tr1 = _engine(True, num_branches=4)
+    lnl0 = eng0.evaluate(tr0.start, full_traversal_=True)
+    lnl1 = eng1.evaluate(tr1.start, full_traversal_=True)
+    assert lnl0 == lnl1
+
+    # branch optimization with the per-partition NR machine (B = 4)
+    p0 = tr0.start
+    z0 = eng0.makenewz(p0, p0.back, list(p0.back.z), 16)
+    p1 = tr1.start
+    z1 = eng1.makenewz(p1, p1.back, list(p1.back.z), 16)
+    np.testing.assert_array_equal(z0, z1)
+
+
+@pytest.mark.slow
+def test_stacked_device_modopt():
+    """On-device brak/brent parameter optimization through the stacked
+    evaluate/tip helpers."""
+    from examl_tpu.optimize.device_opt import ALPHA_F, DeviceParamOptimizer
+    outs = []
+    for stack in (False, True):
+        eng, tr = _engine(stack)
+        eng.evaluate(tr.start, full_traversal_=True)
+        opt = DeviceParamOptimizer(eng)
+        lane_of = list(range(eng.n_models))
+        assert opt.supported(ALPHA_F, lane_of)
+        xmin, end = opt.optimize(
+            ALPHA_F, 0, lane_of, eng.n_models,
+            [eng.partitions[m].alpha for m in range(eng.n_models)],
+            np.full(eng.n_models, 0.02), np.full(eng.n_models, 1000.0),
+            np.full(eng.n_models, 0.1))
+        outs.append((xmin, end))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
