@@ -131,13 +131,20 @@ def info_for(data_type) -> DataTypeInfo:
     return DATA_TYPE_INFO[dt]
 
 
-def encode_sequence(seq: str, data_type: DataType) -> np.ndarray:
-    """Encode a character sequence into tip codes (uint8)."""
+def encode_lut(data_type: DataType) -> np.ndarray:
+    """256-entry char -> tip-code table (255 = illegal character)."""
     inf = info_for(data_type)
     lut = np.full(256, 255, dtype=np.uint8)
     for ch, code in inf.char_to_code.items():
         lut[ord(ch)] = code
         lut[ord(ch.lower())] = code
+    return lut
+
+
+def encode_sequence(seq: str, data_type: DataType) -> np.ndarray:
+    """Encode a character sequence into tip codes (uint8)."""
+    inf = info_for(data_type)
+    lut = encode_lut(data_type)
     raw = np.frombuffer(seq.encode('ascii'), dtype=np.uint8)
     codes = lut[raw]
     if np.any(codes == 255):

@@ -18,7 +18,8 @@ import numpy as np
 from ..datatypes import DataType, ProtModel
 
 MAGIC_NUMBER = 6517718
-VERSION = 3
+VERSION = 3022      # programVersionInt (reference versionHeader/version.h:3);
+                    # examl/byteFile.c:119 rejects byte files whose stamp differs
 
 
 @dataclasses.dataclass
@@ -133,9 +134,14 @@ def write_bytefile(path: str, aln: Alignment) -> None:
             fh.write(struct.pack('<i', len(raw)))
             fh.write(raw)
         for p in aln.partitions:
+            # protFreqs stays at the reference's -1 initializer for
+            # non-AA partitions (parse-examl only ever assigns it for
+            # protein models; examl reads it back verbatim)
+            pf = (int(p.prot_freqs) if p.data_type == DataType.AA
+                  else -1)
             fh.write(struct.pack('<iiqqqiiiii', p.states, p.max_tip_states,
                                  p.lower, p.upper, p.width, int(p.data_type),
-                                 int(p.prot_model), int(p.prot_freqs),
+                                 int(p.prot_model), pf,
                                  int(p.non_gtr),
                                  int(p.optimize_base_frequencies)))
             raw = p.name.encode() + b'\0'

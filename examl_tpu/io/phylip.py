@@ -23,7 +23,8 @@ from typing import List, Tuple
 import numpy as np
 
 from ..constants import FREQ_MIN
-from ..datatypes import DataType, ProtModel, encode_sequence, info_for
+from ..datatypes import (DataType, ProtModel, encode_lut,
+                         encode_sequence, info_for)
 from .bytefile import Alignment, PartitionMeta
 
 PROT_MODEL_NAMES = [
@@ -144,12 +145,40 @@ def parse_partition_file(path: str, n_sites: int) -> List[PartitionSpec]:
 def _empirical_frequencies(codes: np.ndarray, states: int, bit_vectors,
                            weights: np.ndarray, smooth: bool) -> np.ndarray:
     """8-step EM over ambiguity codes (parser/axml.c
-    genericBaseFrequencies :2420)."""
-    bits = np.asarray(bit_vectors).astype(np.uint64)[codes]  # [taxa, width]
-    shifts = np.arange(states, dtype=np.uint64)[None, None, :]
-    masks = ((bits[:, :, None] >> shifts) & np.uint64(1)
-             ).astype(np.float64)                    # [taxa, width, states]
+    genericBaseFrequencies :2420).
+
+    Large partitions group the (taxon, column) cells by ambiguity code
+    first (the EM update depends on a cell only through its code), which
+    turns each EM step into an O(n_codes * states) update instead of an
+    O(taxa * width * states) tensor — the masks tensor alone would be
+    taxa * width * states * 8 bytes (12.8 GB for a 2000 x 200k x 4
+    alignment). Small partitions keep the original cell-order summation:
+    its float64 rounding reproduces the shipped parse-examl byte files
+    bit-for-bit (tests/test_parser.py)."""
     w = weights.astype(np.float64)
+    bits_tbl = np.asarray(bit_vectors).astype(np.uint64)
+    shifts = np.arange(states, dtype=np.uint64)
+
+    if codes.size > 2_000_000:
+        n_codes = bits_tbl.shape[0]
+        cnt = np.zeros(n_codes, dtype=np.float64)
+        for t in range(codes.shape[0]):
+            cnt += np.bincount(codes[t], weights=w, minlength=n_codes)
+        masks = ((bits_tbl[:, None] >> shifts[None, :])
+                 & np.uint64(1)).astype(np.float64)  # [n_codes, states]
+        pfreqs = np.full(states, 1.0 / states)
+        for _ in range(8):
+            temp = masks * pfreqs[None, :]
+            acc = temp.sum(axis=1)                   # [n_codes]
+            with np.errstate(divide='ignore', invalid='ignore'):
+                wj = np.where(cnt > 0, cnt / acc, 0.0)
+            sumf = (temp * wj[:, None]).sum(axis=0)
+            pfreqs = sumf / sumf.sum()
+        return _smooth_freqs(pfreqs, smooth)
+
+    bits = bits_tbl[codes]                           # [taxa, width]
+    masks = ((bits[:, :, None] >> shifts[None, None, :]) & np.uint64(1)
+             ).astype(np.float64)                    # [taxa, width, states]
 
     pfreqs = np.full(states, 1.0 / states)
     for _ in range(8):
@@ -158,9 +187,14 @@ def _empirical_frequencies(codes: np.ndarray, states: int, bit_vectors,
         wj = w[None, :] / acc
         sumf = (temp * wj[:, :, None]).sum(axis=(0, 1))
         pfreqs = sumf / sumf.sum()
+    return _smooth_freqs(pfreqs, smooth)
+
+
+def _smooth_freqs(pfreqs: np.ndarray, smooth: bool) -> np.ndarray:
 
     if smooth:
         # push tiny frequencies up to FREQ_MIN (parser smoothFreqs :2331)
+        pfreqs = np.asarray(pfreqs)
         guard = 0
         while np.any(pfreqs < FREQ_MIN):
             correction = 0.0
@@ -201,14 +235,25 @@ def build_alignment(names: List[str], sequences: List[str],
         bad = int(np.argmax(site_model == -1))
         raise ValueError(f'column {bad + 1} not assigned to any partition')
 
-    # encode all taxa with the per-column data type
+    # encode all taxa with the per-column data type: one byte matrix, one
+    # 256-entry LUT gather per partition (parse-examl encodes cell by
+    # cell, parser/axml.c getyspace/getinput; the LUT gather is the
+    # vectorized equivalent)
+    bytes_mat = np.empty((n_taxa, n_sites), dtype=np.uint8)
+    for t in range(n_taxa):
+        bytes_mat[t] = np.frombuffer(sequences[t].encode('ascii'),
+                                     dtype=np.uint8)
     raw = np.zeros((n_taxa, n_sites), dtype=np.uint8)
     for mi, spec in enumerate(specs):
         cols = site_model == mi
-        for t in range(n_taxa):
-            seq = np.frombuffer(sequences[t].encode('ascii'), dtype=np.uint8)
-            sub = ''.join(chr(c) for c in seq[cols])
-            raw[t, cols] = encode_sequence(sub, spec.data_type)
+        lut = encode_lut(spec.data_type)
+        enc = lut[bytes_mat[:, cols]]
+        if np.any(enc == 255):
+            inf = info_for(spec.data_type)
+            bad = chr(bytes_mat[:, cols][enc == 255][0])
+            raise ValueError(
+                f"illegal {inf.data_type.name} character {bad!r}")
+        raw[:, cols] = enc
 
     gaps = 0
     total = 0
@@ -230,19 +275,35 @@ def build_alignment(names: List[str], sequences: List[str],
     site_model = site_model[keep]
 
     # sort by (partition, column content) and collapse duplicates
-    order = np.lexsort(tuple(raw[t] for t in range(n_taxa - 1, -1, -1))
-                       + (site_model,))
+    # (sitesort/sitecombcrunch, parser/axml.c:1421-1683). The sort key is
+    # (site_model, taxon-0 code, taxon-1 code, ...), one contiguous byte
+    # row per column; the native memcmp qsort (treekernel.c sort_columns)
+    # does one stable pass. Fallback without the native library: pack the
+    # key bytes big-endian into uint64 chunks — 8 taxa per lexsort key
+    # instead of one — with identical ordering.
+    from .. import native as _native
+    n_cols = raw.shape[1]
+    key = np.empty((n_cols, 2 + n_taxa), dtype=np.uint8)
+    key[:, 0] = (site_model >> 8).astype(np.uint8)
+    key[:, 1] = (site_model & 0xFF).astype(np.uint8)
+    key[:, 2:] = raw.T
+    order = _native.sort_columns(key)
+    if order is None:
+        padk = np.pad(key, ((0, 0), (0, (-key.shape[1]) % 8)))
+        vals = padk.reshape(n_cols, -1, 8)[:, :, ::-1]
+        vals = np.ascontiguousarray(vals).view('<u8')[:, :, 0]
+        order = np.lexsort(tuple(vals[:, c]
+                                 for c in range(vals.shape[1] - 1, -1,
+                                                -1)))
     raw = raw[:, order]
     site_model = site_model[order]
     if compress:
-        keyed = np.vstack([site_model[None, :].astype(np.uint8) * 0
-                           + site_model[None, :].astype(np.uint8), raw])
-        change = np.ones(raw.shape[1], dtype=bool)
-        if raw.shape[1] > 1:
-            same = np.all(keyed[:, 1:] == keyed[:, :-1], axis=0)
-            change[1:] = ~same
+        key = key[order]
+        change = np.ones(n_cols, dtype=bool)
+        if n_cols > 1:
+            change[1:] = np.any(key[1:] != key[:-1], axis=1)
         starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, raw.shape[1]))
+        counts = np.diff(np.append(starts, n_cols))
         patterns = raw[:, starts]
         pat_model = site_model[starts]
         weights = counts.astype(np.int32)

@@ -63,6 +63,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int]
     lib.rf_distance_hashes.restype = ctypes.c_int
+    lib.sort_columns.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
     _LIB = lib
     return lib
 
@@ -126,3 +129,19 @@ def rf_distance(tr_a, tr_b) -> Optional[int]:
     return lib.rf_distance_hashes(
         ha.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(ha),
         hb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(hb))
+
+
+def sort_columns(keys: np.ndarray) -> Optional[np.ndarray]:
+    """Stable lexicographic (memcmp) argsort of alignment column keys
+    [n_cols, key_len] uint8; None when the native library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint8)
+    n, klen = keys.shape
+    order = np.empty(n, dtype=np.int64)
+    lib.sort_columns(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int64(klen),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return order

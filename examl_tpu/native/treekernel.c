@@ -165,3 +165,41 @@ int rf_distance_hashes(uint64_t *a, int na, uint64_t *b, int nb)
     }
     return (na - common) + (nb - common);
 }
+
+/* ------------------------------------------------------------------ */
+/* alignment column sort (the parser's sitesort, reference
+ * parser/axml.c:1421-1530): sort column keys (site_model bytes followed
+ * by the per-taxon tip codes) lexicographically by memcmp. Stable via
+ * an index tie-break, so the order matches numpy's stable lexsort of
+ * the same keys exactly. One memcmp qsort replaces one stable argsort
+ * pass per taxon (the numpy fallback packs 8 taxa per uint64 key and
+ * still pays n_taxa/8 passes). */
+
+typedef struct {
+    const unsigned char *keys;
+    size_t len;
+} colctx;
+
+static int col_cmp(const void *a, const void *b, void *arg)
+{
+    const colctx *c = (const colctx *)arg;
+    int64_t ia = *(const int64_t *)a;
+    int64_t ib = *(const int64_t *)b;
+    int r = memcmp(c->keys + (size_t)ia * c->len,
+                   c->keys + (size_t)ib * c->len, c->len);
+    if (r)
+        return r;
+    return (ia > ib) - (ia < ib);
+}
+
+void sort_columns(const unsigned char *keys, int64_t n, int64_t len,
+                  int64_t *order)
+{
+    colctx ctx;
+    int64_t i;
+    ctx.keys = keys;
+    ctx.len = (size_t)len;
+    for (i = 0; i < n; i++)
+        order[i] = i;
+    qsort_r(order, (size_t)n, sizeof(int64_t), col_cmp, &ctx);
+}

@@ -124,3 +124,21 @@ def test_product_path_uses_native_large_tree():
     assert len(na) == len(pa) == 497               # n - 3 non-trivial bips
     assert (len(na.symmetric_difference(nb))
             == len(pa.symmetric_difference(pb)))
+
+
+def test_native_sort_columns_matches_lexsort():
+    """The parser's native memcmp column sort must reproduce numpy's
+    stable lexsort of the same keys exactly (incl. duplicate columns,
+    whose stable order feeds sitecombcrunch weight counting)."""
+    import numpy as np
+    from examl_tpu import native
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 5, (4000, 51)).astype(np.uint8)
+    keys[::7] = keys[3]                 # many duplicates
+    order = native.sort_columns(keys)
+    if order is None:
+        import pytest
+        pytest.skip('native library unavailable')
+    ref = np.lexsort(tuple(keys[:, c]
+                           for c in range(keys.shape[1] - 1, -1, -1)))
+    np.testing.assert_array_equal(order, ref)

@@ -37,3 +37,39 @@ def test_bytefile_roundtrip(tmp_path):
     back = read_bytefile(str(path))
     assert np.array_equal(back.codes, mine.codes)
     assert np.array_equal(back.weights, mine.weights)
+
+
+@pytest.mark.parametrize('name,model', [('49', '49.model'),
+                                        ('140', '140.model')])
+def test_writer_bytes_match_parse_examl(name, model, tmp_path):
+    """write_bytefile output is byte-identical to the instrumented
+    parse-examl build's file (header incl. the programVersionInt 3022
+    stamp examl/byteFile.c:119 checks, weights, names, partition records
+    incl. the -1 protFreqs initializer for non-AA partitions, codes) —
+    except the empirical-frequency doubles, where numpy's pairwise f64
+    summation differs from the C loop's sequential order by 1-2 ulp."""
+    import struct
+    from examl_tpu.io.bytefile import write_bytefile
+    mine = parse_phylip(str(REF / name), str(REF / model))
+    out = tmp_path / 'w.binary'
+    write_bytefile(str(out), mine)
+    a = bytearray(out.read_bytes())
+    b = bytearray((DATA / f'{name}.binary').read_bytes())
+    assert len(a) == len(b)
+    # zero the frequency fields in both buffers
+    off = 12
+    n_taxa, n_pat, n_mod, _ = struct.unpack_from('<iqid', a, off)
+    off += 24 + 4 * n_pat
+    for _ in range(n_taxa):
+        ln = struct.unpack_from('<i', a, off)[0]
+        off += 4 + ln
+    rec = struct.calcsize('<iiqqqiiiii')
+    for _ in range(n_mod):
+        states = struct.unpack_from('<i', a, off)[0]
+        off += rec
+        ln = struct.unpack_from('<i', a, off)[0]
+        off += 4 + ln
+        for buf in (a, b):
+            buf[off:off + 8 * states] = b'\0' * (8 * states)
+        off += 8 * states
+    assert bytes(a) == bytes(b)
