@@ -34,6 +34,39 @@ PROT_MODEL_NAMES = [
 ]
 
 
+def read_phylip_matrix(path: str):
+    """(taxon_names, bytes matrix [n_taxa, n_sites] uint8) — the fast
+    reader for the common one-line-per-taxon sequential layout (whole
+    file read once, per-line numpy views, no Python string churn; a
+    10 GB alignment costs ~2x its size in RAM). Falls back to the
+    generic relaxed reader (interleaved / wrapped lines) otherwise."""
+    with open(path, 'rb') as fh:
+        data = fh.read()
+    nl = data.find(b'\n')
+    header = data[:nl].split()
+    n_taxa, n_sites = int(header[0]), int(header[1])
+    lines = [ln for ln in data[nl + 1:].split(b'\n') if ln.strip()]
+    if len(lines) == n_taxa:
+        names = []
+        mat = np.empty((n_taxa, n_sites), dtype=np.uint8)
+        for t, ln in enumerate(lines):
+            parts = ln.split(None, 1)
+            if len(parts) != 2:
+                break
+            seq = parts[1].translate(None, b' \t\r')
+            if len(seq) < n_sites:
+                break
+            names.append(parts[0].decode())
+            mat[t] = np.frombuffer(seq[:n_sites], dtype=np.uint8)
+        else:
+            return names, mat
+    names, sequences = read_phylip(path)
+    mat = np.empty((len(sequences), n_sites), dtype=np.uint8)
+    for t, s in enumerate(sequences):
+        mat[t] = np.frombuffer(s.encode('ascii'), dtype=np.uint8)
+    return names, mat
+
+
 def read_phylip(path: str) -> Tuple[List[str], List[str]]:
     """Return (taxon_names, sequences) from a relaxed PHYLIP file
     (sequential or interleaved)."""
@@ -216,11 +249,16 @@ def _smooth_freqs(pfreqs: np.ndarray, smooth: bool) -> np.ndarray:
     return pfreqs
 
 
-def build_alignment(names: List[str], sequences: List[str],
+def build_alignment(names: List[str], sequences,
                     specs: List[PartitionSpec],
                     compress: bool = True) -> Alignment:
+    """sequences: list of per-taxon strings, or a uint8 byte matrix
+    [n_taxa, n_sites] from read_phylip_matrix."""
     n_taxa = len(names)
-    n_sites = len(sequences[0])
+    if isinstance(sequences, np.ndarray):
+        n_sites = sequences.shape[1]
+    else:
+        n_sites = len(sequences[0])
 
     # per-site partition assignment
     site_model = np.full(n_sites, -1, dtype=np.int64)
@@ -239,10 +277,13 @@ def build_alignment(names: List[str], sequences: List[str],
     # 256-entry LUT gather per partition (parse-examl encodes cell by
     # cell, parser/axml.c getyspace/getinput; the LUT gather is the
     # vectorized equivalent)
-    bytes_mat = np.empty((n_taxa, n_sites), dtype=np.uint8)
-    for t in range(n_taxa):
-        bytes_mat[t] = np.frombuffer(sequences[t].encode('ascii'),
-                                     dtype=np.uint8)
+    if isinstance(sequences, np.ndarray):
+        bytes_mat = sequences
+    else:
+        bytes_mat = np.empty((n_taxa, n_sites), dtype=np.uint8)
+        for t in range(n_taxa):
+            bytes_mat[t] = np.frombuffer(sequences[t].encode('ascii'),
+                                         dtype=np.uint8)
     raw = np.zeros((n_taxa, n_sites), dtype=np.uint8)
     for mi, spec in enumerate(specs):
         cols = site_model == mi
@@ -347,6 +388,6 @@ def build_alignment(names: List[str], sequences: List[str],
 
 def parse_phylip(alignment_path: str, partition_path: str,
                  compress: bool = True) -> Alignment:
-    names, sequences = read_phylip(alignment_path)
-    specs = parse_partition_file(partition_path, len(sequences[0]))
-    return build_alignment(names, sequences, specs, compress=compress)
+    names, mat = read_phylip_matrix(alignment_path)
+    specs = parse_partition_file(partition_path, mat.shape[1])
+    return build_alignment(names, mat, specs, compress=compress)
