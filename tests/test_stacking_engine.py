@@ -123,3 +123,58 @@ def test_stacked_device_modopt():
         outs.append((xmin, end))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+@pytest.mark.slow
+def test_stacked_mixed_geometry():
+    """DNA x2 (one stacked group) + AA (singleton group) in one engine:
+    grouping must key on geometry and the per-partition outputs must
+    reassemble in model order."""
+    import jax
+    from examl_tpu.datatypes import DataType
+    from examl_tpu.io.phylip import PartitionSpec, build_alignment
+
+    rng = np.random.default_rng(11)
+    n_taxa = 12
+    dna = rng.choice(list('ACGT'), size=(n_taxa, 160))
+    aa = rng.choice(list('ARNDCQEGHILKMFPSTWYV'), size=(n_taxa, 40))
+    mat = np.concatenate([dna, aa], axis=1)
+    seqs = [''.join(row) for row in mat]
+    names = [f't{i}' for i in range(n_taxa)]
+    specs = [
+        PartitionSpec('d1', DataType.DNA, 0, False, False, [(0, 96, 1)]),
+        PartitionSpec('d2', DataType.DNA, 0, False, False, [(96, 160, 1)]),
+        PartitionSpec('aa', DataType.AA, 0, True, False, [(160, 200, 1)]),
+    ]
+    from examl_tpu.datatypes import ProtModel
+    specs[2].prot_model = ProtModel.WAG
+    aln = build_alignment(names, seqs, specs)
+
+    nwk = ''
+    inner = f'({names[0]},{names[1]})'
+    for nm in names[2:-1]:
+        inner = f'({inner},{nm})'
+    nwk = f'({inner},{names[-1]});'
+
+    engines = []
+    for stack in (False, True):
+        tree = Tree(aln.taxon_names)
+        parse_newick(nwk, tree)
+        eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                               use_pallas=True, stack=stack, pad=128)
+        engines.append((eng, tree))
+    e0, t0 = engines[0]
+    e1, t1 = engines[1]
+    assert e0.n_groups == 3
+    assert e1.n_groups == 2
+    sizes = sorted(len(ms) for ms in e1.groups)
+    assert sizes == [1, 2]
+
+    lnl0 = e0.evaluate(t0.start, full_traversal_=True)
+    lnl1 = e1.evaluate(t1.start, full_traversal_=True)
+    # DNA members share a padded width (96->128, 64->128): strict equality
+    np.testing.assert_array_equal(e0.per_partition_lh, e1.per_partition_lh)
+    assert lnl0 == lnl1
+    s0 = e0.tree_evaluate(1.0)
+    s1 = e1.tree_evaluate(1.0)
+    assert s0 == s1
