@@ -263,7 +263,7 @@ class LikelihoodEngine:
         import os
         env = os.environ.get('EXAML_STACK')
         if env is not None:
-            stack = env not in ('0', '', 'false')
+            stack = env.strip().lower() in ('1', 'true', 'yes', 'on')
         if stack is None:
             stack = (self.use_pallas and not self.is_psr
                      and jax.default_backend() == 'cpu')
@@ -290,6 +290,7 @@ class LikelihoodEngine:
         self.host_tip_codes = []    # host copies (multi-process safe)
         self.wgts = []          # [W] dtype
         self.wgts_i = []        # [W] int32
+        self.host_wgts = []     # host copies (multi-process safe)
         for m, meta in enumerate(self.aln.partitions):
             w = meta.width
             W = max(self.pad, ((w + self.pad - 1) // self.pad) * self.pad)
@@ -304,6 +305,7 @@ class LikelihoodEngine:
             wgt[:w] = self.aln.weights[meta.lower:meta.upper]
             self.widths.append(W)
             self.real_widths.append(w)
+            self.host_wgts.append(wgt)
             self.host_tip_codes.append(codes)
             self.tip_codes.append(self._put(jnp.asarray(codes), 'codes'))
             self.wgts.append(self._put(jnp.asarray(wgt, dtype=self.dtype),
@@ -375,8 +377,9 @@ class LikelihoodEngine:
             wstk = np.zeros((len(ms), Wg), dtype=np.float64)
             cstk = []
             for j, m in enumerate(ms):
-                wstk[j, :self.widths[m]] = np.asarray(
-                    self.wgts[m], dtype=np.float64)
+                # host copies: the device arrays may span non-addressable
+                # shards in multi-process runs
+                wstk[j, :self.widths[m]] = self.host_wgts[m]
                 c = self.host_tip_codes[m]
                 inf = info_for(self.partitions[m].data_type)
                 cpad = np.full((c.shape[0], Wg), inf.undetermined,
@@ -638,14 +641,21 @@ class LikelihoodEngine:
         return res
 
     def _g_evaluate_all(self, clvs, scalers, gammas, eigns, rate_weights,
-                        gwgts, p_row, q_row, qz, interpret):
+                        gwgts, p_row, q_row, qz, interpret, only=None):
         """Root lnL of every partition -> [M] at branch (p_row, q_row)
-        with branch lengths qz [B]."""
+        with branch lengths qz [B]. only: optional per-m bool — groups
+        with no selected member are skipped (their output entries are
+        zeros the caller must ignore; the device modOpt probe loop only
+        reads its lanes' entries)."""
         from .kernels.pallas_newview import (evaluate_pallas,
                                              evaluate_stacked, fold_lam,
                                              fold_rw)
         outs = []
         for g, ms in enumerate(self.groups):
+            if only is not None and not any(only[m] for m in ms):
+                outs.append(jnp.zeros(() if len(ms) == 1 else (len(ms),),
+                                      jnp.float32))
+                continue
             bw = min(8192, self.g_width[g])
             dws = []
             for m in ms:
@@ -1623,9 +1633,9 @@ class LikelihoodEngine:
                         interpret=interpret)
                     continue
                 # stacked group (GAMMA): one kernel for the whole group;
-                # a partial execute-mask preserves stale members via an
-                # XLA-level select (the fused program path handles the
-                # mask in-kernel; this is the VMEM-overflow fallback)
+                # a partial execute-mask preserves stale members
+                # IN-KERNEL (masked p-slices copy their old destination
+                # rows through), so the buffers update in place
                 if sfn is None:
                     sfn = self._jit_cache.get('pallas_nv_stacked')
                 if sfn is None:
@@ -1636,17 +1646,14 @@ class LikelihoodEngine:
                                              pls, prs, evb, ex, *,
                                              block_w, min_scale,
                                              inv_min_scale, interpret):
-                        c2, s2 = newview_level_stacked(
+                        return newview_level_stacked(
                             clv, scaler, jp, jq, jr, jt, pls, prs, evb,
-                            block_w=block_w, min_scale=min_scale,
+                            ex, block_w=block_w, min_scale=min_scale,
                             inv_min_scale=inv_min_scale,
                             interpret=interpret)
-                        c2 = jnp.where(ex[:, None, None, None], c2, clv)
-                        s2 = jnp.where(ex[:, None, None, None], s2,
-                                       scaler)
-                        return c2, s2
 
                     sfn = jax.jit(level_update_stacked,
+                                  donate_argnums=(0, 1),
                                   static_argnames=('block_w', 'min_scale',
                                                    'inv_min_scale',
                                                    'interpret'))
@@ -1670,7 +1677,7 @@ class LikelihoodEngine:
                 self.clv[g], self.scaler[g] = sfn(
                     self.clv[g], self.scaler[g], jp, jq, jr, jt,
                     jnp.stack(pls), jnp.stack(prs), jnp.stack(evb),
-                    jnp.asarray(ex_g),
+                    jnp.asarray(ex_g, jnp.int32),
                     block_w=min(8192, self.g_width[g]),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,

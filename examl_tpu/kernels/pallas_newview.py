@@ -1266,7 +1266,7 @@ def _traversal_fused_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
     cp_in.wait()
     cp_in2.wait()
 
-    lam = lam_ref[0]                           # [K] of partition pid
+    lam = lam_ref[0, 0]                        # [K] of partition pid
     ei = ei_ref[0]                             # [K, K]
     ev = ev_ref[0]
     hi = jax.lax.Precision.HIGHEST
@@ -1311,6 +1311,12 @@ def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     ei/ev [P, K, K] block-diagonal, exec_mask [P] int32 (0 = keep stale
     CLVs)."""
     P, rows, k_dim, W = clv.shape
+    # Mosaic's block rules bind the LAST TWO dims: a (1, K) block over
+    # [P, K] puts a 1-row tile on the second-minor axis (rejected on
+    # hardware once P > 1); carried as [P, 1, K] the (1, 1, K) tile
+    # covers the trailing dims fully (same convention as the batched
+    # evaluate's dws)
+    lam = lam.reshape(P, 1, k_dim)
     L = p_idx.shape[0]
     n_rows = rows if n_rows is None else n_rows
     bw = min(block_w, W)
@@ -1329,7 +1335,7 @@ def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
-            pl.BlockSpec((1, k_dim), lambda p, w, *_: (p, 0)),
+            pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
         ],
@@ -1355,7 +1361,7 @@ def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     return clv_out, scaler_out
 
 
-def _newview_level_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
+def _newview_level_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, ex,
                                   clv_hbm, scaler_hbm, pl_ref, pr_ref,
                                   ev_ref,
                                   x3_ref, s3_ref,
@@ -1367,55 +1373,85 @@ def _newview_level_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
     q = q_idx[n]
     r = r_idx[n]
     col = wb * bw
+    live = ex[pid] != 0
 
-    copies = [
-        pltpu.make_async_copy(
-            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x1_s, sems.at[0]),
-        pltpu.make_async_copy(
-            clv_hbm.at[pid, r, :, pl.ds(col, bw)], x2_s, sems.at[1]),
-        pltpu.make_async_copy(
-            scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s1_s, sems.at[2]),
-        pltpu.make_async_copy(
-            scaler_hbm.at[pid, r, :, pl.ds(col, bw)], s2_s, sems.at[3]),
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    @pl.when(live)
+    def _():
+        copies = [
+            pltpu.make_async_copy(
+                clv_hbm.at[pid, q, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            pltpu.make_async_copy(
+                clv_hbm.at[pid, r, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            pltpu.make_async_copy(
+                scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s1_s,
+                sems.at[2]),
+            pltpu.make_async_copy(
+                scaler_hbm.at[pid, r, :, pl.ds(col, bw)], s2_s,
+                sems.at[3]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
 
-    is_tip_tip = tip_tip[n] != 0
-    hi = jax.lax.Precision.HIGHEST
-    a = jnp.dot(pl_ref[0, 0], x1_s[...].astype(jnp.float32),
-                preferred_element_type=jnp.float32, precision=hi)
-    b = jnp.dot(pr_ref[0, 0], x2_s[...].astype(jnp.float32),
-                preferred_element_type=jnp.float32, precision=hi)
-    x3 = jnp.dot(ev_ref[0].T, a * b,
-                 preferred_element_type=jnp.float32, precision=hi)
-    m = jnp.max(jnp.abs(x3), axis=0)
-    scale = jnp.logical_and(m < min_scale, jnp.logical_not(is_tip_tip))
-    x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
-    x3_ref[0, 0] = x3.astype(x3_ref.dtype)
-    s3_ref[0, 0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
+        is_tip_tip = tip_tip[n] != 0
+        hi = jax.lax.Precision.HIGHEST
+        a = jnp.dot(pl_ref[0, 0], x1_s[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32, precision=hi)
+        b = jnp.dot(pr_ref[0, 0], x2_s[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32, precision=hi)
+        x3 = jnp.dot(ev_ref[0].T, a * b,
+                     preferred_element_type=jnp.float32, precision=hi)
+        m = jnp.max(jnp.abs(x3), axis=0)
+        scale = jnp.logical_and(m < min_scale,
+                                jnp.logical_not(is_tip_tip))
+        x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
+        x3_ref[0, 0] = x3.astype(x3_ref.dtype)
+        s3_ref[0, 0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
+
+    # masked partition (execute-mask / evaluateChange semantics): the
+    # destination row keeps its stale contents — copy it through, since
+    # the block-mapped output would otherwise write back garbage
+    @pl.when(jnp.logical_not(live))
+    def _():
+        p = p_idx[n]
+        copies = [
+            pltpu.make_async_copy(
+                clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            pltpu.make_async_copy(
+                scaler_hbm.at[pid, p, :, pl.ds(col, bw)], s1_s,
+                sems.at[2]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        x3_ref[0, 0] = x1_s[...]
+        s3_ref[0, 0, 0] = s1_s[0]
 
 
 def newview_level_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
-                          pls, prs, ev, *, block_w=2048,
+                          pls, prs, ev, ex=None, *, block_w=2048,
                           min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
                           interpret=False):
     """Stacked level/junction updates in place: clv [P, rows, K, W]
     (donated), pls/prs [P, N, K, K], ev [P, K, K]. The descriptor
-    (p/q/r_idx, tip_tip) is shared by all partitions (same tree)."""
+    (p/q/r_idx, tip_tip) is shared by all partitions (same tree).
+    ex [P] int32 (None = all live): masked p-slices keep their stale
+    destination rows (copied through in-kernel)."""
     P, rows, k_dim, W = clv.shape
     N = p_idx.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
+    if ex is None:
+        ex = jnp.ones(P, jnp.int32)
 
     kernel = functools.partial(
         _newview_level_stacked_kernel, bw=bw,
         min_scale=min_scale, inv_min_scale=inv_min_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(P, N, W // bw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -1429,9 +1465,9 @@ def newview_level_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, k_dim, bw),
-                         lambda p, n, w, pi, q, r, t: (p, pi[n], 0, w)),
+                         lambda p, n, w, pi, q, r, t, e: (p, pi[n], 0, w)),
             pl.BlockSpec((1, 1, 1, bw),
-                         lambda p, n, w, pi, q, r, t: (p, pi[n], 0, w)),
+                         lambda p, n, w, pi, q, r, t, e: (p, pi[n], 0, w)),
         ],
         scratch_shapes=[
             pltpu.VMEM((k_dim, bw), clv.dtype),
@@ -1447,9 +1483,10 @@ def newview_level_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             jax.ShapeDtypeStruct(clv.shape, clv.dtype),
             jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
         ],
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-    )(p_idx, q_idx, r_idx, tip_tip, clv, scaler, pls, prs, ev)
+    )(p_idx, q_idx, r_idx, tip_tip, jnp.asarray(ex, jnp.int32), clv,
+      scaler, pls, prs, ev)
     return clv_out, scaler_out
 
 
@@ -1483,7 +1520,7 @@ def _evaluate_stacked_kernel(p_row, q_row,
     term = jnp.sum(x1_s[...].astype(jnp.float32)
                    * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
-    wgt = wgt_ref[0]
+    wgt = wgt_ref[0, 0]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
     out_ref[pid, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
@@ -1493,11 +1530,13 @@ def evaluate_stacked(clv, scaler, p_row, q_row, dw, wgt,
                      log_min_scale=float(np.log(2.0 ** -30)),
                      interpret=False):
     """Stacked root log likelihood -> [P]. dw [P, 1, K] folded
-    weight-diagonals, wgt [P, W]."""
+    weight-diagonals, wgt [P, W] (carried as [P, 1, W]: Mosaic's
+    last-two-dims block rule, see traversal_fused_stacked)."""
     P, rows, k_dim, W = clv.shape
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    wgt = wgt.reshape(P, 1, W)
 
     kernel = functools.partial(_evaluate_stacked_kernel, bw=bw,
                                log_min_scale=log_min_scale)
@@ -1508,7 +1547,7 @@ def evaluate_stacked(clv, scaler, p_row, q_row, dw, wgt,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
-            pl.BlockSpec((1, bw), lambda p, w, *_: (p, w)),
+            pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
         ],
         out_specs=pl.BlockSpec((P, nb), lambda p, w, *_: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -1559,7 +1598,7 @@ def _evaluate_batch_stacked_kernel(p_rows, q_rows,
     term = jnp.sum(x1_s[...].astype(jnp.float32)
                    * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
-    wgt = wgt_ref[0]
+    wgt = wgt_ref[0, 0]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
     out_ref[pid, n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
@@ -1569,12 +1608,14 @@ def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
                            log_min_scale=float(np.log(2.0 ** -30)),
                            interpret=False):
     """Stacked batched root log likelihoods -> [P, N]; dws [P, N, 1, K]
-    per-(partition, candidate) folded weight-diagonals, wgt [P, W]."""
+    per-(partition, candidate) folded weight-diagonals, wgt [P, W]
+    (carried as [P, 1, W], see traversal_fused_stacked)."""
     P, rows, k_dim, W = clv.shape
     N = p_rows.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    wgt = wgt.reshape(P, 1, W)
 
     kernel = functools.partial(_evaluate_batch_stacked_kernel, bw=bw,
                                log_min_scale=log_min_scale)
@@ -1586,7 +1627,7 @@ def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, 1, k_dim),
                          lambda p, n, w, *_: (p, n, 0, 0)),
-            pl.BlockSpec((1, bw), lambda p, n, w, *_: (p, w)),
+            pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
         ],
         out_specs=pl.BlockSpec((P, N, nb), lambda p, n, w, *_: (0, 0, 0),
                                memory_space=pltpu.SMEM),
@@ -1658,7 +1699,7 @@ def _nr_stacked_kernel(p_row, q_row,
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
     d2ln = d2ln * inv_li
-    wgt = wgt_ref[0]
+    wgt = wgt_ref[0, 0]
     live = wgt > 0
     w = jnp.where(live, wgt, 0.0)
     out_ref[pid, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
@@ -1671,11 +1712,13 @@ def nr_derivatives_stacked(clv, scaler, p_row, q_row, lam, d, wgt,
                            log_min_scale=float(np.log(2.0 ** -30)),
                            interpret=False):
     """Stacked NR derivatives -> (d1 [P], d2 [P]). lam [P, 1, K],
-    d [P, 1, K] = rw * exp(lam * lz_p) per partition, wgt [P, W]."""
+    d [P, 1, K] = rw * exp(lam * lz_p) per partition, wgt [P, W]
+    (carried as [P, 1, W], see traversal_fused_stacked)."""
     P, rows, k_dim, W = clv.shape
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    wgt = wgt.reshape(P, 1, W)
 
     kernel = functools.partial(_nr_stacked_kernel, bw=bw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1686,7 +1729,7 @@ def nr_derivatives_stacked(clv, scaler, p_row, q_row, lam, d, wgt,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
-            pl.BlockSpec((1, bw), lambda p, w, *_: (p, w)),
+            pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
         ],
         out_specs=pl.BlockSpec((P, nb, 2), lambda p, w, *_: (0, 0, 0),
                                memory_space=pltpu.SMEM),
@@ -1741,7 +1784,7 @@ def _nr_batch_stacked_kernel(p_rows, q_rows,
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
     d2ln = d2ln * inv_li
-    wgt = wgt_ref[0]
+    wgt = wgt_ref[0, 0]
     live = wgt > 0
     w = jnp.where(live, wgt, 0.0)
     out_ref[pid, n, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
@@ -1754,13 +1797,15 @@ def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
                                  log_min_scale=float(np.log(2.0 ** -30)),
                                  interpret=False):
     """Stacked batched NR derivatives -> (d1 [P, N], d2 [P, N]).
-    lam/rate_weights [P, 1, K], wgt [P, W], lzs [N] (shared: wave branch
-    lengths are per candidate, not per partition)."""
+    lam/rate_weights [P, 1, K], wgt [P, W] (carried as [P, 1, W], see
+    traversal_fused_stacked), lzs [N] (shared: wave branch lengths are
+    per candidate, not per partition)."""
     P, rows, k_dim, W = clv.shape
     N = p_rows.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    wgt = wgt.reshape(P, 1, W)
     kernel = functools.partial(_nr_batch_stacked_kernel, bw=bw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1770,7 +1815,7 @@ def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, k_dim), lambda p, n, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, k_dim), lambda p, n, w, *_: (p, 0, 0)),
-            pl.BlockSpec((1, bw), lambda p, n, w, *_: (p, w)),
+            pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
             pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [N]
         ],
         out_specs=pl.BlockSpec((P, N, nb, 2),

@@ -45,13 +45,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _LIB
     _LIB_TRIED = True
     path = _lib_path()
-    if not os.path.exists(path):
-        if not build():
+    csrc = os.path.join(os.path.dirname(__file__), 'treekernel.c')
+    stale = (os.path.exists(path)
+             and os.path.getmtime(path) < os.path.getmtime(csrc))
+    if not os.path.exists(path) or stale:
+        if not build() and not os.path.exists(path):
             return None
     try:
         lib = ctypes.CDLL(path)
     except OSError:
         return None
+    for sym in ('canonical_topology_hash', 'bipartition_hashes',
+                'rf_distance_hashes', 'sort_columns'):
+        if not hasattr(lib, sym):
+            # library predates this source version and the rebuild
+            # failed: fall back to the Python paths rather than crash
+            return None
     lib.canonical_topology_hash.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64)]

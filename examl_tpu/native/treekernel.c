@@ -16,6 +16,7 @@
  *
  * Build: cc -O2 -shared -fPIC -o libtreekernel.so treekernel.c
  */
+#define _GNU_SOURCE             /* qsort_r prototype (glibc) */
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>

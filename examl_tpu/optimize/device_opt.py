@@ -165,7 +165,8 @@ class DeviceParamOptimizer:
                                          tuple(ev2))
                 lhs = eng._g_evaluate_all(
                     clvs, scalers, tuple(g2), tuple(ei2), rate_weights,
-                    wgts, p_row, q_row, qz, interpret)
+                    wgts, p_row, q_row, qz, interpret,
+                    only=[lane_of[m] >= 0 for m in range(M)])
                 res = jnp.zeros(n, values.dtype)
                 for m in range(M):
                     lane = lane_of[m]

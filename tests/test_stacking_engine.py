@@ -178,3 +178,25 @@ def test_stacked_mixed_geometry():
     s0 = e0.tree_evaluate(1.0)
     s1 = e1.tree_evaluate(1.0)
     assert s0 == s1
+
+
+@pytest.mark.slow
+def test_stacked_level_fallback_masked(monkeypatch):
+    """VMEM-overflow fallback (level kernels) with a partial
+    execute-mask: masked members keep stale CLVs in-kernel."""
+    eng0, tr0 = _engine(False)
+    eng1, tr1 = _engine(True)
+    for eng in (eng0, eng1):
+        monkeypatch.setattr(type(eng), '_fused_plan',
+                            lambda self, packed: None)
+    lnls = []
+    for eng, tr in ((eng0, tr0), (eng1, tr1)):
+        eng.evaluate(tr.start, full_traversal_=True)
+        # stale partition 1: change its alpha without refreshing CLVs,
+        # then evaluate under the execute mask (evaluateChange semantics)
+        eng.execute_model[:] = [True, False, True, True]
+        base = tr.nodep[tr.mxtips + 4]
+        eng.evaluate(base)
+        lnls.append(eng.per_partition_lh.copy())
+        eng.execute_model[:] = True
+    np.testing.assert_array_equal(lnls[0], lnls[1])
