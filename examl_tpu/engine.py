@@ -265,9 +265,9 @@ class LikelihoodEngine:
         if env is not None:
             stack = env.strip().lower() in ('1', 'true', 'yes', 'on')
         if stack is None:
-            stack = (self.use_pallas and not self.is_psr
+            stack = (self.use_pallas
                      and jax.default_backend() == 'cpu')
-        self.stack = bool(stack and self.use_pallas and not self.is_psr)
+        self.stack = bool(stack and self.use_pallas)
 
         self._jit_cache = _TimedJitCache(self)
         self._build_buffers()
@@ -364,10 +364,12 @@ class LikelihoodEngine:
         self.g_width = [max(self.widths[m] for m in ms)
                         for ms in self.groups]
 
-        # per-group weight / tip-code device tensors for the stacked
-        # kernels (singletons reuse the per-partition arrays unchanged)
+        # per-group weight / tip-code / PSR-site-rate device tensors for
+        # the stacked kernels (singletons reuse the per-partition arrays
+        # unchanged; g_site_rates is refreshed by set_psr_state)
         self.g_wgt = []
         self.g_codes = []
+        self.g_site_rates = [None] * self.n_groups
         for g, ms in enumerate(self.groups):
             if len(ms) == 1:
                 self.g_wgt.append(self.wgts[ms[0]])
@@ -390,6 +392,9 @@ class LikelihoodEngine:
                 jnp.asarray(wstk, dtype=self.dtype), 'sites'))
             self.g_codes.append(self._put(
                 jnp.asarray(np.stack(cstk)), 'codes'))
+
+        for g in range(self.n_groups):
+            self._refresh_g_site_rates(g)
 
         # CLV buffers and scale counters (folded: per-site joint counter;
         # jnp path: per-(category, site) counters), one entry per GROUP
@@ -570,6 +575,20 @@ class LikelihoodEngine:
                 make_gamma_cats(pm.alpha, self.n_cats, self.use_median),
                 dtype=self.dtype)
 
+    def _refresh_g_site_rates(self, g):
+        """Per-group stacked site-rate tensor [P, Wg] (PSR stacked
+        kernels); singletons alias the per-partition vector."""
+        ms = self.groups[g]
+        if len(ms) == 1:
+            self.g_site_rates[g] = self.d_site_rates[ms[0]]
+            return
+        stk = np.zeros((len(ms), self.g_width[g]))
+        for j, m in enumerate(ms):
+            stk[j, :self.widths[m]] = \
+                self.psr_rates[m][self.rate_category[m]]
+        self.g_site_rates[g] = self._put(
+            jnp.asarray(stk, dtype=self.dtype), 'sites')
+
     def set_psr_state(self, m, num_categories=None, per_site_rates=None,
                       rate_category=None):
         """Install new PSR categories/rates for partition m and refresh
@@ -588,6 +607,7 @@ class LikelihoodEngine:
         self.d_rate_cat[m] = jnp.asarray(self.rate_category[m])
         self.d_site_rates[m] = jnp.asarray(
             self.psr_rates[m][self.rate_category[m]], dtype=self.dtype)
+        self._refresh_g_site_rates(self.gslot[m][0])
 
     def _refresh_tips(self, models):
         """Materialize tip CLVs = tipVector[code] per category. On the
@@ -1121,25 +1141,52 @@ class LikelihoodEngine:
         jpd = jnp.asarray(jp)
         jqd = jnp.asarray(jq)
         if self.is_psr:
+            from .kernels.pallas_newview import evaluate_batch_stacked_psr
             fn = self._jit_cache.get('pallas_eval_batch')
             if fn is None:
                 fn = jax.jit(evaluate_batch_psr,
                              static_argnames=('block_w', 'log_min_scale',
                                               'interpret'))
                 self._jit_cache['pallas_eval_batch'] = fn
-            out = []
-            for m in range(self.n_models):
-                col = self._branch_col(m)
-                lzs = jnp.asarray(np.log(np.maximum(zs[:, col], C.ZMIN)),
-                                  dtype=jnp.float32)
-                out.append(fn(self.clv[m], self.scaler[m], jpd, jqd, lzs,
-                              self.d_EIGN[m][0].astype(jnp.float32),
-                              self.wgts[m].astype(jnp.float32),
-                              self.d_site_rates[m].astype(jnp.float32),
-                              block_w=min(8192, self.widths[m]),
-                              log_min_scale=self.log_min_scale,
-                              interpret=interpret))
-            return jnp.stack(out)
+            outs = []
+            for g, ms in enumerate(self.groups):
+                if len(ms) == 1:
+                    m = ms[0]
+                    col = self._branch_col(m)
+                    lzs = jnp.asarray(
+                        np.log(np.maximum(zs[:, col], C.ZMIN)),
+                        dtype=jnp.float32)
+                    outs.append(fn(
+                        self.clv[g], self.scaler[g], jpd, jqd, lzs,
+                        self.d_EIGN[m][0].astype(jnp.float32),
+                        self.g_wgt[g].astype(jnp.float32),
+                        self.g_site_rates[g].astype(jnp.float32),
+                        block_w=min(8192, self.g_width[g]),
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret))
+                    continue
+                pfn = self._jit_cache.get('pallas_evalb_stacked_psr')
+                if pfn is None:
+                    pfn = jax.jit(evaluate_batch_stacked_psr,
+                                  static_argnames=('block_w',
+                                                   'log_min_scale',
+                                                   'interpret'))
+                    self._jit_cache['pallas_evalb_stacked_psr'] = pfn
+                    pfn = self._jit_cache['pallas_evalb_stacked_psr']
+                lams = jnp.stack([
+                    self.d_EIGN[m][0][None, :].astype(jnp.float32)
+                    * jnp.asarray(np.log(np.maximum(
+                        zs[:, self._branch_col(m)],
+                        C.ZMIN)), jnp.float32)[:, None]
+                    for m in ms])                       # [P, N, S]
+                outs.append(pfn(
+                    self.clv[g], self.scaler[g], jpd, jqd, lams,
+                    self.g_wgt[g].astype(jnp.float32),
+                    self.g_site_rates[g].astype(jnp.float32),
+                    block_w=min(8192, self.g_width[g]),
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            return jnp.stack(self._unstack(outs))
         fn = self._jit_cache.get('pallas_eval_batch')
         if fn is None:
             def run(clvs, scalers, gammas, eigns, rws, gwgts, jpd, jqd,
@@ -1277,13 +1324,26 @@ class LikelihoodEngine:
         fn = self._jit_cache.get('pallas_nv')
         assert fn is not None or True
         # reuse the PSR level_update jit; temporarily swap site rates in
+        # (per-partition AND per-group: the stacked level kernels read
+        # g_site_rates)
         saved_clv = self.clv
         saved_scaler = self.scaler
         saved_rates = self.d_site_rates
+        saved_grates = self.g_site_rates
         self.clv = [jnp.array(c) for c in self.clv]     # scratch copies
         self.scaler = [jnp.array(s) for s in self.scaler]
         self.d_site_rates = [jnp.asarray(r, dtype=self.dtype)
                              for r in rates_list]
+        self.g_site_rates = list(self.g_site_rates)
+        for g, ms in enumerate(self.groups):
+            if len(ms) == 1:
+                self.g_site_rates[g] = self.d_site_rates[ms[0]]
+            else:
+                stk = np.zeros((len(ms), self.g_width[g]))
+                for j, m in enumerate(ms):
+                    stk[j, :self.widths[m]] = np.asarray(rates_list[m])
+                self.g_site_rates[g] = self._put(
+                    jnp.asarray(stk, dtype=self.dtype), 'sites')
         try:
             self._run_traversal_pallas(entries, None)
             lfn = self._jit_cache.get('pallas_pslnl')
@@ -1294,22 +1354,48 @@ class LikelihoodEngine:
                 self._jit_cache['pallas_pslnl'] = lfn
             jp = jnp.asarray([p.number], dtype=jnp.int32)
             jq = jnp.asarray([q.number], dtype=jnp.int32)
-            out = []
-            for m in range(self.n_models):
-                col = self._branch_col(m)
-                lz = math.log(max(q.z[col], C.ZMIN))
-                out.append(np.asarray(lfn(
-                    self.clv[m], self.scaler[m], jp, jq,
-                    self.d_EIGN[m][0][None, :].astype(jnp.float32),
-                    self.d_site_rates[m].astype(jnp.float32),
-                    jnp.asarray([lz], dtype=jnp.float32),
-                    block_w=min(8192, self.widths[m]),
+            out = [None] * self.n_models
+            for g, ms in enumerate(self.groups):
+                if len(ms) == 1:
+                    m = ms[0]
+                    col = self._branch_col(m)
+                    lz = math.log(max(q.z[col], C.ZMIN))
+                    out[m] = np.asarray(lfn(
+                        self.clv[g], self.scaler[g], jp, jq,
+                        self.d_EIGN[m][0][None, :].astype(jnp.float32),
+                        self.g_site_rates[g].astype(jnp.float32),
+                        jnp.asarray([lz], dtype=jnp.float32),
+                        block_w=min(8192, self.g_width[g]),
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret), dtype=np.float64)
+                    continue
+                from .kernels.pallas_newview import per_site_lnl_stacked
+                sfn = self._jit_cache.get('pallas_pslnl_stacked')
+                if sfn is None:
+                    sfn = jax.jit(per_site_lnl_stacked,
+                                  static_argnames=('block_w',
+                                                   'log_min_scale',
+                                                   'interpret'))
+                    self._jit_cache['pallas_pslnl_stacked'] = sfn
+                    sfn = self._jit_cache['pallas_pslnl_stacked']
+                lzs = [math.log(max(q.z[self._branch_col(m)], C.ZMIN))
+                       for m in ms]
+                res = np.asarray(sfn(
+                    self.clv[g], self.scaler[g], jp, jq,
+                    jnp.stack([self.d_EIGN[m][0].astype(jnp.float32)
+                               for m in ms]),
+                    self.g_site_rates[g].astype(jnp.float32),
+                    jnp.asarray(lzs, jnp.float32),
+                    block_w=min(8192, self.g_width[g]),
                     log_min_scale=self.log_min_scale,
-                    interpret=interpret), dtype=np.float64))
+                    interpret=interpret), dtype=np.float64)
+                for j, m in enumerate(ms):
+                    out[m] = res[j, :self.widths[m]]
         finally:
             self.clv = saved_clv
             self.scaler = saved_scaler
             self.d_site_rates = saved_rates
+            self.g_site_rates = saved_grates
         return out
 
     # ------------------------------------------------------------------
@@ -1632,6 +1718,49 @@ class LikelihoodEngine:
                         inv_min_scale=self.inv_min_scale,
                         interpret=interpret)
                     continue
+                if self.is_psr:
+                    # stacked PSR group: lamq/lamr per (member, node)
+                    pfn = self._jit_cache.get('pallas_nv_stacked_psr')
+                    if pfn is None:
+                        from .kernels.pallas_newview import \
+                            newview_level_stacked_psr
+                        pfn = jax.jit(newview_level_stacked_psr,
+                                      donate_argnums=(0, 1),
+                                      static_argnames=(
+                                          'block_w', 'min_scale',
+                                          'inv_min_scale', 'interpret'))
+                        self._jit_cache['pallas_nv_stacked_psr'] = pfn
+                        pfn = self._jit_cache['pallas_nv_stacked_psr']
+                    lamqs, lamrs = [], []
+                    for m in ms:
+                        col = self._branch_col(m)
+                        zqd = jnp.asarray(qz[:, col], dtype=self.dtype)
+                        zrd = jnp.asarray(rz[:, col], dtype=self.dtype)
+                        eig = self.d_EIGN[m][0]
+                        lamqs.append((eig[None, :]
+                                      * K.log_z(zqd)[:, None]).astype(
+                                          jnp.float32))
+                        lamrs.append((eig[None, :]
+                                      * K.log_z(zrd)[:, None]).astype(
+                                          jnp.float32))
+                    ex_g = (np.ones(len(ms), dtype=bool)
+                            if exec_mask is None
+                            else np.array([bool(exec_mask[m])
+                                           for m in ms]))
+                    self.clv[g], self.scaler[g] = pfn(
+                        self.clv[g], self.scaler[g], jp, jq, jr, jt,
+                        jnp.stack(lamqs), jnp.stack(lamrs),
+                        jnp.stack([self.d_EI[m][0].astype(jnp.float32)
+                                   for m in ms]),
+                        jnp.stack([self.d_EV[m][0].astype(jnp.float32)
+                                   for m in ms]),
+                        self.g_site_rates[g].astype(jnp.float32),
+                        jnp.asarray(ex_g, jnp.int32),
+                        block_w=min(8192, self.g_width[g]),
+                        min_scale=self.min_scale,
+                        inv_min_scale=self.inv_min_scale,
+                        interpret=interpret)
+                    continue
                 # stacked group (GAMMA): one kernel for the whole group;
                 # a partial execute-mask preserves stale members
                 # IN-KERNEL (masked p-slices copy their old destination
@@ -1818,19 +1947,45 @@ class LikelihoodEngine:
         jp = jnp.asarray([p_row], dtype=jnp.int32)
         jq = jnp.asarray([q_row], dtype=jnp.int32)
         if self.is_psr:
-            out = []
-            for m in range(self.n_models):
-                col = self._branch_col(m)
-                lz = math.log(max(qz[col], C.ZMIN))
-                lam = (self.d_EIGN[m][0] * lz)[None, :]
-                out.append(fn(self.clv[m], self.scaler[m], jp, jq,
-                              lam.astype(jnp.float32),
-                              self.wgts[m].astype(jnp.float32),
-                              self.d_site_rates[m].astype(jnp.float32),
-                              block_w=min(8192, self.widths[m]),
-                              log_min_scale=self.log_min_scale,
-                              interpret=interpret))
-            return np.array([float(o) for o in out])
+            from .kernels.pallas_newview import evaluate_stacked_psr
+            outs = []
+            for g, ms in enumerate(self.groups):
+                if len(ms) == 1:
+                    m = ms[0]
+                    col = self._branch_col(m)
+                    lz = math.log(max(qz[col], C.ZMIN))
+                    lam = (self.d_EIGN[m][0] * lz)[None, :]
+                    outs.append(fn(
+                        self.clv[g], self.scaler[g], jp, jq,
+                        lam.astype(jnp.float32),
+                        self.g_wgt[g].astype(jnp.float32),
+                        self.g_site_rates[g].astype(jnp.float32),
+                        block_w=min(8192, self.g_width[g]),
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret))
+                    continue
+                pfn = self._jit_cache.get('pallas_eval_stacked_psr')
+                if pfn is None:
+                    pfn = jax.jit(evaluate_stacked_psr,
+                                  static_argnames=('block_w',
+                                                   'log_min_scale',
+                                                   'interpret'))
+                    self._jit_cache['pallas_eval_stacked_psr'] = pfn
+                    pfn = self._jit_cache['pallas_eval_stacked_psr']
+                lams = jnp.stack([
+                    (self.d_EIGN[m][0]
+                     * math.log(max(qz[self._branch_col(m)], C.ZMIN))
+                     ).astype(jnp.float32) for m in ms])
+                outs.append(pfn(
+                    self.clv[g], self.scaler[g], jp, jq, lams,
+                    self.g_wgt[g].astype(jnp.float32),
+                    self.g_site_rates[g].astype(jnp.float32),
+                    block_w=min(8192, self.g_width[g]),
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            return np.array([float(np.asarray(o)) for o in
+                             self._unstack([np.asarray(o)
+                                            for o in outs])])
         from .kernels.pallas_newview import (evaluate_stacked, fold_lam,
                                              fold_rw)
         outs = []
@@ -2318,20 +2473,36 @@ class LikelihoodEngine:
                 return self._g_nr_derivs(clvs, scalers, gamma, eign,
                                          rate_weights, gwgts, jp, jq,
                                          core_lz, interpret)
-            d1s, d2s = [], []
-            for m in range(n_models):
-                col = self._branch_col(m)
-                d1, d2 = nr_derivatives_pallas_psr(
-                    clvs[m], scalers[m], jp, jq,
-                    eign[m][0][None, :].astype(jnp.float32),
-                    gwgts[m].astype(jnp.float32),
-                    site_rates[m].astype(jnp.float32),
-                    core_lz[col][None].astype(jnp.float32),
-                    block_w=min(8192, self.widths[m]),
-                    interpret=interpret)
-                d1s.append(d1)
-                d2s.append(d2)
-            return jnp.stack(d1s), jnp.stack(d2s)
+            from .kernels.pallas_newview import \
+                nr_derivatives_stacked_psr
+            d1o, d2o = [], []
+            for g, ms in enumerate(self.groups):
+                if len(ms) == 1:
+                    m = ms[0]
+                    col = self._branch_col(m)
+                    d1, d2 = nr_derivatives_pallas_psr(
+                        clvs[g], scalers[g], jp, jq,
+                        eign[m][0][None, :].astype(jnp.float32),
+                        gwgts[g].astype(jnp.float32),
+                        site_rates[g].astype(jnp.float32),
+                        core_lz[col][None].astype(jnp.float32),
+                        block_w=min(8192, self.g_width[g]),
+                        interpret=interpret)
+                else:
+                    cols = jnp.asarray(self._g_cols(ms))
+                    d1, d2 = nr_derivatives_stacked_psr(
+                        clvs[g], scalers[g], jp, jq,
+                        jnp.stack([eign[m][0].astype(jnp.float32)
+                                   for m in ms]),
+                        gwgts[g].astype(jnp.float32),
+                        site_rates[g].astype(jnp.float32),
+                        core_lz[cols].astype(jnp.float32),
+                        block_w=min(8192, self.g_width[g]),
+                        interpret=interpret)
+                d1o.append(d1)
+                d2o.append(d2)
+            return (jnp.stack(self._unstack(d1o)),
+                    jnp.stack(self._unstack(d2o)))
 
         def nr_loop(clvs, scalers, jp, jq, eign, gamma, rate_weights, wgts,
                     site_rates, z0, exec_mask, maxiter):
@@ -2419,7 +2590,7 @@ class LikelihoodEngine:
                jnp.asarray([q.number], dtype=jnp.int32),
                tuple(self.d_EIGN), tuple(self.d_gamma),
                tuple(self.d_rate_weights), tuple(self.g_wgt),
-               tuple(self.d_site_rates),
+               tuple(self.g_site_rates),
                jnp.asarray(z0, dtype=self.dtype),
                jnp.asarray(ex), maxiter)
         self.execute_model[:] = True

@@ -1881,3 +1881,464 @@ def tip_rows_stacked(clv, codes, tipvec, n_tips, *, block_w=8192,
         interpret=interpret,
     )(codes, tipvec, clv)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Partition-stacked PSR kernels: the per-site-rate (CAT) analogues of the
+# stacked GAMMA kernels above — clv [P, rows, S, W], per-site rates
+# [P, 1, W] (short group members carry wgt = 0 columns). Same layout
+# rules: model vectors carried with a unit second-minor axis.
+
+def _newview_psr_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, ex,
+                                clv_hbm, scaler_hbm, lamq_ref, lamr_ref,
+                                ei_ref, ev_ref, rates_ref,
+                                x3_ref, s3_ref,
+                                x1_s, x2_s, s1_s, s2_s, sems,
+                                *, bw, min_scale, inv_min_scale):
+    pid = pl.program_id(0)
+    n = pl.program_id(1)
+    wb = pl.program_id(2)
+    q = q_idx[n]
+    r = r_idx[n]
+    col = wb * bw
+    live = ex[pid] != 0
+
+    @pl.when(live)
+    def _():
+        copies = [
+            pltpu.make_async_copy(
+                clv_hbm.at[pid, q, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            pltpu.make_async_copy(
+                clv_hbm.at[pid, r, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+            pltpu.make_async_copy(
+                scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s1_s,
+                sems.at[2]),
+            pltpu.make_async_copy(
+                scaler_hbm.at[pid, r, :, pl.ds(col, bw)], s2_s,
+                sems.at[3]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        rates = rates_ref[0, 0]                # [BW] of partition pid
+        lamq = lamq_ref[0, 0, 0]               # [S] of (pid, n)
+        lamr = lamr_ref[0, 0, 0]
+        dq = jnp.exp(lamq[:, None] * rates[None, :])
+        dr = jnp.exp(lamr[:, None] * rates[None, :])
+        ei = ei_ref[0]
+        ev = ev_ref[0]
+        hi = jax.lax.Precision.HIGHEST
+        a = jnp.dot(ei, x1_s[...] * dq,
+                    preferred_element_type=jnp.float32, precision=hi)
+        b = jnp.dot(ei, x2_s[...] * dr,
+                    preferred_element_type=jnp.float32, precision=hi)
+        x3 = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
+                     precision=hi)
+        m = jnp.max(jnp.abs(x3), axis=0)
+        is_tip_tip = tip_tip[n] != 0
+        scale = jnp.logical_and(m < min_scale,
+                                jnp.logical_not(is_tip_tip))
+        x3 = jnp.where(scale[None, :], x3 * inv_min_scale, x3)
+        x3_ref[0, 0] = x3
+        s3_ref[0, 0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        p = p_idx[n]
+        copies = [
+            pltpu.make_async_copy(
+                clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+            pltpu.make_async_copy(
+                scaler_hbm.at[pid, p, :, pl.ds(col, bw)], s1_s,
+                sems.at[2]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        x3_ref[0, 0] = x1_s[...]
+        s3_ref[0, 0, 0] = s1_s[0]
+
+
+def newview_level_stacked_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
+                              lamq, lamr, ei, ev, site_rates, ex=None, *,
+                              block_w=8192, min_scale=2.0 ** -30,
+                              inv_min_scale=2.0 ** 30, interpret=False):
+    """Stacked PSR level updates in place: clv [P, rows, S, W] (donated),
+    lamq/lamr [P, N, S] = EIGN * log(z) per (partition, node), ei/ev
+    [P, S, S], site_rates [P, W], ex [P] int32 (None = all live)."""
+    P, rows, n_states, W = clv.shape
+    N = p_idx.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    if ex is None:
+        ex = jnp.ones(P, jnp.int32)
+
+    lamq = jnp.asarray(lamq, jnp.float32).reshape(P, N, 1, n_states)
+    lamr = jnp.asarray(lamr, jnp.float32).reshape(P, N, 1, n_states)
+    site_rates = site_rates.reshape(P, 1, W)
+    kernel = functools.partial(_newview_psr_stacked_kernel, bw=bw,
+                               min_scale=min_scale,
+                               inv_min_scale=inv_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(P, N, W // bw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, 1, n_states),
+                         lambda p, n, w, *_: (p, n, 0, 0)),
+            pl.BlockSpec((1, 1, 1, n_states),
+                         lambda p, n, w, *_: (p, n, 0, 0)),
+            pl.BlockSpec((1, n_states, n_states),
+                         lambda p, n, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, n_states, n_states),
+                         lambda p, n, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n_states, bw),
+                         lambda p, n, w, pi, q, r, t, e: (p, pi[n], 0, w)),
+            pl.BlockSpec((1, 1, 1, bw),
+                         lambda p, n, w, pi, q, r, t, e: (p, pi[n], 0, w)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    clv_out, scaler_out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(p_idx, q_idx, r_idx, tip_tip, jnp.asarray(ex, jnp.int32), clv,
+      scaler, lamq, lamr, ei, ev, site_rates)
+    return clv_out, scaler_out
+
+
+def _evaluate_psr_stacked_kernel(p_row, q_row,
+                                 clv_hbm, scaler_hbm, lam_ref, wgt_ref,
+                                 rates_ref,
+                                 out_ref,
+                                 x1_s, x2_s, s1_s, s2_s, sems,
+                                 *, bw, log_min_scale):
+    pid = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    lam = lam_ref[0, 0]                        # [S] of partition pid
+    rates = rates_ref[0, 0]                    # [BW]
+    term = jnp.sum(x1_s[...] * x2_s[...]
+                   * jnp.exp(lam[:, None] * rates[None, :]), axis=0)
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
+    wgt = wgt_ref[0, 0]
+    site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
+    out_ref[pid, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def evaluate_stacked_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
+                         *, block_w=8192,
+                         log_min_scale=float(np.log(2.0 ** -30)),
+                         interpret=False):
+    """Stacked PSR root log likelihood -> [P]; lam [P, S] = EIGN * lz per
+    partition, wgt/site_rates [P, W]."""
+    P, rows, n_states, W = clv.shape
+    bw = min(block_w, W)
+    nb = W // bw
+    lam = lam.reshape(P, 1, n_states)
+    wgt = wgt.reshape(P, 1, W)
+    site_rates = site_rates.reshape(P, 1, W)
+    kernel = functools.partial(_evaluate_psr_stacked_kernel, bw=bw,
+                               log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, n_states), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
+            pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
+        ],
+        out_specs=pl.BlockSpec((P, nb), lambda p, w, *_: (0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, nb), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, lam, wgt, site_rates)
+    return jnp.sum(partials, axis=1)
+
+
+def _evaluate_batch_psr_stacked_kernel(p_rows, q_rows,
+                                       clv_hbm, scaler_hbm, lam_ref,
+                                       wgt_ref, rates_ref,
+                                       out_ref,
+                                       x1_s, x2_s, s1_s, s2_s, sems,
+                                       *, bw, log_min_scale):
+    pid = pl.program_id(0)
+    n = pl.program_id(1)
+    wb = pl.program_id(2)
+    col = wb * bw
+    p = p_rows[n]
+    q = q_rows[n]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    lam = lam_ref[0, 0, 0]                     # [S] of (pid, n)
+    rates = rates_ref[0, 0]                    # [BW]
+    term = jnp.sum(x1_s[...] * x2_s[...]
+                   * jnp.exp(lam[:, None] * rates[None, :]), axis=0)
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
+    wgt = wgt_ref[0, 0]
+    site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
+    out_ref[pid, n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+
+
+def evaluate_batch_stacked_psr(clv, scaler, p_rows, q_rows, lams, wgt,
+                               site_rates, *, block_w=8192,
+                               log_min_scale=float(np.log(2.0 ** -30)),
+                               interpret=False):
+    """Stacked PSR batched evaluate -> [P, N]; lams [P, N, S] = EIGN_p *
+    lz_{p,n}, wgt/site_rates [P, W]."""
+    P, rows, n_states, W = clv.shape
+    N = p_rows.shape[0]
+    bw = min(block_w, W)
+    nb = W // bw
+    lams = lams.reshape(P, N, 1, n_states).astype(jnp.float32)
+    wgt = wgt.reshape(P, 1, W)
+    site_rates = site_rates.reshape(P, 1, W)
+    kernel = functools.partial(_evaluate_batch_psr_stacked_kernel, bw=bw,
+                               log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, N, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, 1, n_states),
+                         lambda p, n, w, *_: (p, n, 0, 0)),
+            pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
+            pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
+        ],
+        out_specs=pl.BlockSpec((P, N, nb), lambda p, n, w, *_: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, N, nb), jnp.float32),
+        interpret=interpret,
+    )(p_rows, q_rows, clv, scaler, lams, wgt, site_rates)
+    return jnp.sum(partials, axis=2)
+
+
+def _nr_psr_stacked_kernel(p_row, q_row,
+                           clv_hbm, scaler_hbm, eign_ref, wgt_ref,
+                           rates_ref, lzs_ref,
+                           out_ref,
+                           x1_s, x2_s, sems,
+                           *, bw):
+    pid = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    eign = eign_ref[0, 0]                      # [S] of partition pid
+    rates = rates_ref[0, 0]                    # [BW]
+    lz = lzs_ref[pid]
+    lam = eign[:, None] * rates[None, :]       # [S, BW]
+    tmp = x1_s[...] * x2_s[...] * jnp.exp(lam * lz)
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam, axis=0)
+    d2ln = jnp.sum(tmp * lam * lam, axis=0)
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    wgt = wgt_ref[0, 0]
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    out_ref[pid, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[pid, wb, 1] = jnp.sum(w * jnp.where(live, d2ln - dln * dln,
+                                                0.0))
+
+
+def nr_derivatives_stacked_psr(clv, scaler, p_row, q_row, eign, wgt,
+                               site_rates, lzs, *, block_w=8192,
+                               interpret=False):
+    """Stacked PSR NR derivatives -> (d1 [P], d2 [P]); eign [P, S],
+    wgt/site_rates [P, W], lzs [P] per-partition log branch lengths (the
+    branch column pre-gathered per member)."""
+    P, rows, n_states, W = clv.shape
+    bw = min(block_w, W)
+    nb = W // bw
+    eign = eign.reshape(P, 1, n_states)
+    wgt = wgt.reshape(P, 1, W)
+    site_rates = site_rates.reshape(P, 1, W)
+    kernel = functools.partial(_nr_psr_stacked_kernel, bw=bw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, n_states), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
+            pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [P]
+        ],
+        out_specs=pl.BlockSpec((P, nb, 2), lambda p, w, *_: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, nb, 2), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, eign, wgt, site_rates,
+      jnp.asarray(lzs, jnp.float32))
+    sums = jnp.sum(partials, axis=1)
+    return sums[:, 0], sums[:, 1]
+
+
+def _per_site_lnl_stacked_kernel(p_row, q_row,
+                                 clv_hbm, scaler_hbm, eign_ref,
+                                 rates_ref, lzs_ref,
+                                 out_ref,
+                                 x1_s, x2_s, s1_s, s2_s, sems,
+                                 *, bw, log_min_scale):
+    pid = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_row[0]
+    q = q_row[0]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, p, :, pl.ds(col, bw)], s1_s, sems.at[2]),
+        pltpu.make_async_copy(
+            scaler_hbm.at[pid, q, :, pl.ds(col, bw)], s2_s, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    eign = eign_ref[0, 0]                      # [S]
+    rates = rates_ref[0, 0]                    # [BW]
+    lz = lzs_ref[pid]
+    term = jnp.sum(x1_s[...] * x2_s[...]
+                   * jnp.exp(eign[:, None] * rates[None, :] * lz),
+                   axis=0)
+    s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
+    out_ref[0] = jnp.log(jnp.abs(term)) + s * log_min_scale
+
+
+def per_site_lnl_stacked(clv, scaler, p_row, q_row, eign, site_rates,
+                         lzs, *, block_w=8192,
+                         log_min_scale=float(np.log(2.0 ** -30)),
+                         interpret=False):
+    """Stacked per-site PSR pattern log likelihoods -> [P, W]; eign
+    [P, S], site_rates [P, W], lzs [P]."""
+    P, rows, n_states, W = clv.shape
+    bw = min(block_w, W)
+    nb = W // bw
+    eign = eign.reshape(P, 1, n_states)
+    site_rates = site_rates.reshape(P, 1, W)
+    kernel = functools.partial(_per_site_lnl_stacked_kernel, bw=bw,
+                               log_min_scale=log_min_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, n_states), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [P]
+        ],
+        out_specs=pl.BlockSpec((1, bw), lambda p, w, *_: (p, w)),
+        scratch_shapes=[
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, W), jnp.float32),
+        interpret=interpret,
+    )(p_row, q_row, clv, scaler, eign, site_rates,
+      jnp.asarray(lzs, jnp.float32))

@@ -200,3 +200,64 @@ def test_stacked_level_fallback_masked(monkeypatch):
         lnls.append(eng.per_partition_lh.copy())
         eng.execute_model[:] = True
     np.testing.assert_array_equal(lnls[0], lnls[1])
+
+
+@pytest.mark.slow
+def test_stacked_psr_matches_unstacked():
+    """PSR (per-site rate) stacking: level updates, root/batched
+    evaluate, NR derivatives and the per-site rate-scan kernel all run
+    one launch per geometry group."""
+    import jax
+    engines = []
+    for stack in (False, True):
+        aln = read_bytefile(str(DATA / '49.binary'))
+        tree = Tree(aln.taxon_names)
+        parse_newick((REF / '49.tree').read_text(), tree)
+        eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                               use_pallas=True, stack=stack, pad=512,
+                               rate_het='PSR')
+        engines.append((eng, tree))
+    e0, t0 = engines[0]
+    e1, t1 = engines[1]
+    assert e1.n_groups == 1 and len(e1.groups[0]) == 4
+
+    lnl0 = e0.evaluate(t0.start, full_traversal_=True)
+    lnl1 = e1.evaluate(t1.start, full_traversal_=True)
+    assert lnl0 == lnl1
+    np.testing.assert_array_equal(e0.per_partition_lh,
+                                  e1.per_partition_lh)
+
+    # non-uniform per-site rates through set_psr_state (same categories
+    # for both engines)
+    rng = np.random.default_rng(5)
+    cats_m = [rng.integers(0, 3, e0.widths[m]).astype(np.int32)
+              for m in range(e0.n_models)]
+    for eng in (e0, e1):
+        for m in range(eng.n_models):
+            eng.set_psr_state(m, num_categories=3,
+                              per_site_rates=np.array([0.5, 1.0, 2.0]),
+                              rate_category=cats_m[m])
+    lnl0 = e0.evaluate(t0.start, full_traversal_=True)
+    lnl1 = e1.evaluate(t1.start, full_traversal_=True)
+    assert lnl0 == lnl1
+
+    # NR branch optimization (device while_loop + PSR derivatives)
+    z0 = e0.makenewz(t0.start, t0.start.back, list(t0.start.back.z), 16)
+    z1 = e1.makenewz(t1.start, t1.start.back, list(t1.start.back.z), 16)
+    np.testing.assert_array_equal(z0, z1)
+
+    # batched evaluate
+    b0 = np.asarray(e0.evaluate_batch(
+        [t0.start.number], [t0.start.back.number],
+        np.array([[0.7]])))
+    b1 = np.asarray(e1.evaluate_batch(
+        [t1.start.number], [t1.start.back.number],
+        np.array([[0.7]])))
+    np.testing.assert_array_equal(b0, b1)
+
+    # per-site rate-scan lnls (the PSR optimizer's inner kernel)
+    props = [np.full(e0.widths[m], 1.3) for m in range(e0.n_models)]
+    o0 = e0.psr_per_site_lnl(props)
+    o1 = e1.psr_per_site_lnl(props)
+    for a, b in zip(o0, o1):
+        np.testing.assert_array_equal(np.asarray(a)[:len(b)], b)
