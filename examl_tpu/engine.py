@@ -257,9 +257,10 @@ class LikelihoodEngine:
         # Partition-geometry stacking (docs/STACKING.md): partitions that
         # share (data type, states) are stored stacked on a leading axis
         # and each Pallas engine operation runs ONE kernel launch for the
-        # whole group (launch overhead ~0.3 ms each on-device). GAMMA
-        # Pallas path only; EXAML_STACK=0/1 overrides; default follows
-        # the backend until the Mosaic rules are hardware-validated.
+        # whole group (launch overhead ~0.3 ms each on-device). Pallas
+        # path only (GAMMA and PSR); EXAML_STACK=0/1 overrides; default
+        # follows the backend until the Mosaic rules are
+        # hardware-validated.
         import os
         env = os.environ.get('EXAML_STACK')
         if env is not None:
@@ -344,9 +345,9 @@ class LikelihoodEngine:
         # partition indices sharing (data type, states); multi-member
         # groups store their CLVs stacked [P, rows, K, Wg] (Wg = max
         # member width; short members carry wgt = 0 columns) and run ONE
-        # stacked kernel per engine op. Without stacking (or on the jnp /
-        # PSR paths) every group is a singleton and the storage layout is
-        # exactly the ungrouped one.
+        # stacked kernel per engine op (GAMMA and PSR). Without stacking
+        # (or on the jnp path) every group is a singleton and the storage
+        # layout is exactly the ungrouped one.
         if self.stack:
             by_key = {}
             for m in range(self.n_models):
@@ -575,19 +576,35 @@ class LikelihoodEngine:
                 make_gamma_cats(pm.alpha, self.n_cats, self.use_median),
                 dtype=self.dtype)
 
+    def _stack_site_rates(self, g, rates_per_m):
+        """[P, Wg] stacked site-rate tensor for group g from per-member
+        host vectors (short members zero-padded)."""
+        ms = self.groups[g]
+        stk = np.zeros((len(ms), self.g_width[g]))
+        for j, m in enumerate(ms):
+            stk[j, :self.widths[m]] = np.asarray(rates_per_m[m])
+        return self._put(jnp.asarray(stk, dtype=self.dtype), 'sites')
+
     def _refresh_g_site_rates(self, g):
         """Per-group stacked site-rate tensor [P, Wg] (PSR stacked
-        kernels); singletons alias the per-partition vector."""
+        kernels); singletons alias the per-partition vector. Multi-member
+        rebuilds are deferred to first use (_gsr): bulk per-partition
+        set_psr_state loops would otherwise rebuild the tensor P times
+        per group."""
         ms = self.groups[g]
         if len(ms) == 1:
             self.g_site_rates[g] = self.d_site_rates[ms[0]]
             return
-        stk = np.zeros((len(ms), self.g_width[g]))
-        for j, m in enumerate(ms):
-            stk[j, :self.widths[m]] = \
-                self.psr_rates[m][self.rate_category[m]]
-        self.g_site_rates[g] = self._put(
-            jnp.asarray(stk, dtype=self.dtype), 'sites')
+        self.g_site_rates[g] = None      # dirty; rebuilt by _gsr
+
+    def _gsr(self, g):
+        """Group site-rate tensor, rebuilding a dirty multi-member
+        entry from the host PSR state."""
+        if self.g_site_rates[g] is None:
+            self.g_site_rates[g] = self._stack_site_rates(
+                g, [self.psr_rates[m][self.rate_category[m]]
+                    for m in self.groups[g]])
+        return self.g_site_rates[g]
 
     def set_psr_state(self, m, num_categories=None, per_site_rates=None,
                       rate_category=None):
@@ -676,7 +693,7 @@ class LikelihoodEngine:
                 outs.append(jnp.zeros(() if len(ms) == 1 else (len(ms),),
                                       jnp.float32))
                 continue
-            bw = min(8192, self.g_width[g])
+            bw = self._block_w(self.g_width[g])
             dws = []
             for m in ms:
                 lz = jnp.log(jnp.maximum(qz[self._branch_col(m)], C.ZMIN))
@@ -707,7 +724,7 @@ class LikelihoodEngine:
                                              fold_lam, fold_rw)
         outs = []
         for g, ms in enumerate(self.groups):
-            bw = min(8192, self.g_width[g])
+            bw = self._block_w(self.g_width[g])
             if len(ms) == 1:
                 m = ms[0]
                 lzs = jnp.log(jnp.maximum(
@@ -752,7 +769,7 @@ class LikelihoodEngine:
                                              nr_derivatives_stacked)
         d1o, d2o = [], []
         for g, ms in enumerate(self.groups):
-            bw = min(8192, self.g_width[g])
+            bw = self._block_w(self.g_width[g])
             lams, ds = [], []
             for m in ms:
                 lam = fold_lam(eigns[m], gammas[m])
@@ -788,7 +805,7 @@ class LikelihoodEngine:
                                              nr_derivatives_batch_stacked)
         d1o, d2o = [], []
         for g, ms in enumerate(self.groups):
-            bw = min(8192, self.g_width[g])
+            bw = self._block_w(self.g_width[g])
             lams, rws = [], []
             for m in ms:
                 lams.append(fold_lam(eigns[m], gammas[m]).astype(
@@ -823,7 +840,7 @@ class LikelihoodEngine:
         out_c = list(clvs)
         out_s = list(scalers)
         for g, ms in enumerate(self.groups):
-            bw = min(8192, self.g_width[g])
+            bw = self._block_w(self.g_width[g])
             pls, prs, evb = [], [], []
             for m in ms:
                 pl_m, pr_m = make_p_batch(za, zb, gammas[m], eigns[m],
@@ -858,7 +875,7 @@ class LikelihoodEngine:
                                              tip_rows_stacked)
         out = list(clvs)
         for g, ms in enumerate(self.groups):
-            bw = min(8192, self.g_width[g])
+            bw = self._block_w(self.g_width[g])
             if refresh is not None and not any(refresh[m] for m in ms):
                 continue
             if len(ms) == 1:
@@ -926,6 +943,17 @@ class LikelihoodEngine:
     def _branch_col(self, m):
         """Which column of the packed qz/rz arrays partition m uses."""
         return m if self.num_branches > 1 else 0
+
+    def _block_w(self, W: int) -> int:
+        """Largest site-block width <= 8192 that divides W (every kernel
+        asserts W % block_w == 0; a 8320-wide partition must fall back to
+        smaller power-of-two blocks, not truncate)."""
+        if W <= 8192:
+            return W
+        for cand in (8192, 4096, 2048, 1024, 512, 256, 128, 8):
+            if W % cand == 0:
+                return cand
+        return 1
 
     def _build_traversal_fn(self):
         n_models = self.n_models
@@ -1160,8 +1188,8 @@ class LikelihoodEngine:
                         self.clv[g], self.scaler[g], jpd, jqd, lzs,
                         self.d_EIGN[m][0].astype(jnp.float32),
                         self.g_wgt[g].astype(jnp.float32),
-                        self.g_site_rates[g].astype(jnp.float32),
-                        block_w=min(8192, self.g_width[g]),
+                        self._gsr(g).astype(jnp.float32),
+                        block_w=self._block_w(self.g_width[g]),
                         log_min_scale=self.log_min_scale,
                         interpret=interpret))
                     continue
@@ -1182,8 +1210,8 @@ class LikelihoodEngine:
                 outs.append(pfn(
                     self.clv[g], self.scaler[g], jpd, jqd, lams,
                     self.g_wgt[g].astype(jnp.float32),
-                    self.g_site_rates[g].astype(jnp.float32),
-                    block_w=min(8192, self.g_width[g]),
+                    self._gsr(g).astype(jnp.float32),
+                    block_w=self._block_w(self.g_width[g]),
                     log_min_scale=self.log_min_scale,
                     interpret=interpret))
             return jnp.stack(self._unstack(outs))
@@ -1334,16 +1362,10 @@ class LikelihoodEngine:
         self.scaler = [jnp.array(s) for s in self.scaler]
         self.d_site_rates = [jnp.asarray(r, dtype=self.dtype)
                              for r in rates_list]
-        self.g_site_rates = list(self.g_site_rates)
-        for g, ms in enumerate(self.groups):
-            if len(ms) == 1:
-                self.g_site_rates[g] = self.d_site_rates[ms[0]]
-            else:
-                stk = np.zeros((len(ms), self.g_width[g]))
-                for j, m in enumerate(ms):
-                    stk[j, :self.widths[m]] = np.asarray(rates_list[m])
-                self.g_site_rates[g] = self._put(
-                    jnp.asarray(stk, dtype=self.dtype), 'sites')
+        self.g_site_rates = [
+            self.d_site_rates[ms[0]] if len(ms) == 1
+            else self._stack_site_rates(g, rates_list)
+            for g, ms in enumerate(self.groups)]
         try:
             self._run_traversal_pallas(entries, None)
             lfn = self._jit_cache.get('pallas_pslnl')
@@ -1363,9 +1385,9 @@ class LikelihoodEngine:
                     out[m] = np.asarray(lfn(
                         self.clv[g], self.scaler[g], jp, jq,
                         self.d_EIGN[m][0][None, :].astype(jnp.float32),
-                        self.g_site_rates[g].astype(jnp.float32),
+                        self._gsr(g).astype(jnp.float32),
                         jnp.asarray([lz], dtype=jnp.float32),
-                        block_w=min(8192, self.g_width[g]),
+                        block_w=self._block_w(self.g_width[g]),
                         log_min_scale=self.log_min_scale,
                         interpret=interpret), dtype=np.float64)
                     continue
@@ -1384,9 +1406,9 @@ class LikelihoodEngine:
                     self.clv[g], self.scaler[g], jp, jq,
                     jnp.stack([self.d_EIGN[m][0].astype(jnp.float32)
                                for m in ms]),
-                    self.g_site_rates[g].astype(jnp.float32),
+                    self._gsr(g).astype(jnp.float32),
                     jnp.asarray(lzs, jnp.float32),
-                    block_w=min(8192, self.g_width[g]),
+                    block_w=self._block_w(self.g_width[g]),
                     log_min_scale=self.log_min_scale,
                     interpret=interpret), dtype=np.float64)
                 for j, m in enumerate(ms):
@@ -1713,7 +1735,7 @@ class LikelihoodEngine:
                     self.clv[g], self.scaler[g] = fn(
                         self.clv[g], self.scaler[g], jp, jq, jr, jt, zq,
                         zr, third, self.d_EIGN[m], self.d_EI[m],
-                        self.d_EV[m], block_w=min(8192, self.widths[m]),
+                        self.d_EV[m], block_w=self._block_w(self.widths[m]),
                         min_scale=self.min_scale,
                         inv_min_scale=self.inv_min_scale,
                         interpret=interpret)
@@ -1754,9 +1776,9 @@ class LikelihoodEngine:
                                    for m in ms]),
                         jnp.stack([self.d_EV[m][0].astype(jnp.float32)
                                    for m in ms]),
-                        self.g_site_rates[g].astype(jnp.float32),
+                        self._gsr(g).astype(jnp.float32),
                         jnp.asarray(ex_g, jnp.int32),
-                        block_w=min(8192, self.g_width[g]),
+                        block_w=self._block_w(self.g_width[g]),
                         min_scale=self.min_scale,
                         inv_min_scale=self.inv_min_scale,
                         interpret=interpret)
@@ -1807,7 +1829,7 @@ class LikelihoodEngine:
                     self.clv[g], self.scaler[g], jp, jq, jr, jt,
                     jnp.stack(pls), jnp.stack(prs), jnp.stack(evb),
                     jnp.asarray(ex_g, jnp.int32),
-                    block_w=min(8192, self.g_width[g]),
+                    block_w=self._block_w(self.g_width[g]),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,
                     interpret=interpret)
@@ -1959,8 +1981,8 @@ class LikelihoodEngine:
                         self.clv[g], self.scaler[g], jp, jq,
                         lam.astype(jnp.float32),
                         self.g_wgt[g].astype(jnp.float32),
-                        self.g_site_rates[g].astype(jnp.float32),
-                        block_w=min(8192, self.g_width[g]),
+                        self._gsr(g).astype(jnp.float32),
+                        block_w=self._block_w(self.g_width[g]),
                         log_min_scale=self.log_min_scale,
                         interpret=interpret))
                     continue
@@ -1979,8 +2001,8 @@ class LikelihoodEngine:
                 outs.append(pfn(
                     self.clv[g], self.scaler[g], jp, jq, lams,
                     self.g_wgt[g].astype(jnp.float32),
-                    self.g_site_rates[g].astype(jnp.float32),
-                    block_w=min(8192, self.g_width[g]),
+                    self._gsr(g).astype(jnp.float32),
+                    block_w=self._block_w(self.g_width[g]),
                     log_min_scale=self.log_min_scale,
                     interpret=interpret))
             return np.array([float(np.asarray(o)) for o in
@@ -2002,7 +2024,7 @@ class LikelihoodEngine:
             if len(ms) == 1:
                 outs.append(fn(self.clv[g], self.scaler[g], jp, jq,
                                dws[0], self.g_wgt[g].astype(jnp.float32),
-                               block_w=min(8192, self.g_width[g]),
+                               block_w=self._block_w(self.g_width[g]),
                                log_min_scale=self.log_min_scale,
                                interpret=interpret))
             else:
@@ -2017,7 +2039,7 @@ class LikelihoodEngine:
                 outs.append(sfn(self.clv[g], self.scaler[g], jp, jq,
                                 jnp.stack(dws),
                                 self.g_wgt[g].astype(jnp.float32),
-                                block_w=min(8192, self.g_width[g]),
+                                block_w=self._block_w(self.g_width[g]),
                                 log_min_scale=self.log_min_scale,
                                 interpret=interpret))
         return np.array([float(np.asarray(o)) for o in
@@ -2050,7 +2072,7 @@ class LikelihoodEngine:
                             self.wgts[m].astype(jnp.float32),
                             self.d_site_rates[m].astype(jnp.float32),
                             jnp.asarray([core_lz[col]], dtype=jnp.float32),
-                            block_w=min(8192, self.widths[m]),
+                            block_w=self._block_w(self.widths[m]),
                             interpret=interpret)
             else:
                 from .kernels.pallas_newview import fold_lam, fold_rw
@@ -2061,7 +2083,7 @@ class LikelihoodEngine:
                 d1, d2 = fn(self.clv[m], self.scaler[m], jp, jq,
                             lam[None, :].astype(jnp.float32), d[None, :],
                             self.wgts[m].astype(jnp.float32),
-                            block_w=min(8192, self.widths[m]),
+                            block_w=self._block_w(self.widths[m]),
                             log_min_scale=self.log_min_scale,
                             interpret=interpret)
             d1s[m] = float(d1)
@@ -2486,7 +2508,7 @@ class LikelihoodEngine:
                         gwgts[g].astype(jnp.float32),
                         site_rates[g].astype(jnp.float32),
                         core_lz[col][None].astype(jnp.float32),
-                        block_w=min(8192, self.g_width[g]),
+                        block_w=self._block_w(self.g_width[g]),
                         interpret=interpret)
                 else:
                     cols = jnp.asarray(self._g_cols(ms))
@@ -2497,7 +2519,7 @@ class LikelihoodEngine:
                         gwgts[g].astype(jnp.float32),
                         site_rates[g].astype(jnp.float32),
                         core_lz[cols].astype(jnp.float32),
-                        block_w=min(8192, self.g_width[g]),
+                        block_w=self._block_w(self.g_width[g]),
                         interpret=interpret)
                 d1o.append(d1)
                 d2o.append(d2)

@@ -669,6 +669,7 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
     rows, n_states, W = clv.shape
     N = p_rows.shape[0]
     bw = min(block_w, W)
+    assert W % bw == 0
     nb = W // bw
     # [N, 1, S]: see evaluate_batch_pallas on Mosaic's last-two-dims rule
     lams = (eign[None, :] * lzs[:, None]).astype(
@@ -1043,6 +1044,7 @@ def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
     clv [rows, S, W], scaler [rows, W]."""
     rows, n_states, W = clv.shape
     bw = min(block_w, W)
+    assert W % bw == 0
     nb = W // bw
     kernel = functools.partial(_evaluate_psr_kernel, n_states=n_states,
                                bw=bw, log_min_scale=log_min_scale)
@@ -1124,6 +1126,7 @@ def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
     clv [rows, S, W], scaler [rows, W]."""
     rows, n_states, W = clv.shape
     bw = min(block_w, W)
+    assert W % bw == 0
     nb = W // bw
     kernel = functools.partial(_nr_psr_kernel, n_states=n_states, bw=bw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1199,6 +1202,7 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
     clv [rows, S, W], scaler [rows, W]."""
     rows, n_states, W = clv.shape
     bw = min(block_w, W)
+    assert W % bw == 0
     nb = W // bw
     kernel = functools.partial(_per_site_lnl_kernel, n_states=n_states,
                                bw=bw, log_min_scale=log_min_scale)
@@ -2070,6 +2074,7 @@ def evaluate_stacked_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
     partition, wgt/site_rates [P, W]."""
     P, rows, n_states, W = clv.shape
     bw = min(block_w, W)
+    assert W % bw == 0
     nb = W // bw
     lam = lam.reshape(P, 1, n_states)
     wgt = wgt.reshape(P, 1, W)
@@ -2150,6 +2155,7 @@ def evaluate_batch_stacked_psr(clv, scaler, p_rows, q_rows, lams, wgt,
     P, rows, n_states, W = clv.shape
     N = p_rows.shape[0]
     bw = min(block_w, W)
+    assert W % bw == 0
     nb = W // bw
     lams = lams.reshape(P, N, 1, n_states).astype(jnp.float32)
     wgt = wgt.reshape(P, 1, W)
@@ -2234,6 +2240,7 @@ def nr_derivatives_stacked_psr(clv, scaler, p_row, q_row, eign, wgt,
     branch column pre-gathered per member)."""
     P, rows, n_states, W = clv.shape
     bw = min(block_w, W)
+    assert W % bw == 0
     nb = W // bw
     eign = eign.reshape(P, 1, n_states)
     wgt = wgt.reshape(P, 1, W)
@@ -2312,6 +2319,7 @@ def per_site_lnl_stacked(clv, scaler, p_row, q_row, eign, site_rates,
     [P, S], site_rates [P, W], lzs [P]."""
     P, rows, n_states, W = clv.shape
     bw = min(block_w, W)
+    assert W % bw == 0
     nb = W // bw
     eign = eign.reshape(P, 1, n_states)
     site_rates = site_rates.reshape(P, 1, W)
