@@ -261,3 +261,47 @@ def test_stacked_psr_matches_unstacked():
     o1 = e1.psr_per_site_lnl(props)
     for a, b in zip(o0, o1):
         np.testing.assert_array_equal(np.asarray(a)[:len(b)], b)
+
+
+@pytest.mark.slow
+def test_stacked_aa_group_with_lg4x():
+    """Two AA partitions (WAG + LG4X) form one 20-state stacked group:
+    padded-state (24) block geometry, per-member eigensystems/rate
+    weights (LG4X's four distinct systems) through the stacked kernels."""
+    import jax
+    from examl_tpu.datatypes import DataType, ProtModel
+    from examl_tpu.io.phylip import PartitionSpec, build_alignment
+
+    rng = np.random.default_rng(13)
+    n_taxa = 10
+    aa = rng.choice(list('ARNDCQEGHILKMFPSTWYV'), size=(n_taxa, 120))
+    seqs = [''.join(row) for row in aa]
+    names = [f't{i}' for i in range(n_taxa)]
+    s1 = PartitionSpec('a1', DataType.AA, ProtModel.WAG, False, False,
+                       [(0, 64, 1)])
+    s2 = PartitionSpec('a2', DataType.AA, ProtModel.LG4X, False, False,
+                       [(64, 120, 1)])
+    aln = build_alignment(names, seqs, [s1, s2])
+
+    inner = f'({names[0]},{names[1]})'
+    for nm in names[2:-1]:
+        inner = f'({inner},{nm})'
+    nwk = f'({inner},{names[-1]});'
+
+    engines = []
+    for stack in (False, True):
+        tree = Tree(aln.taxon_names)
+        parse_newick(nwk, tree)
+        eng = LikelihoodEngine(aln, tree, dtype=jax.numpy.float32,
+                               use_pallas=True, stack=stack, pad=128)
+        engines.append((eng, tree))
+    e0, t0 = engines[0]
+    e1, t1 = engines[1]
+    assert e1.n_groups == 1 and len(e1.groups[0]) == 2
+
+    lnl0 = e0.evaluate(t0.start, full_traversal_=True)
+    lnl1 = e1.evaluate(t1.start, full_traversal_=True)
+    np.testing.assert_array_equal(e0.per_partition_lh,
+                                  e1.per_partition_lh)
+    assert lnl0 == lnl1
+    assert e0.tree_evaluate(1.0) == e1.tree_evaluate(1.0)
