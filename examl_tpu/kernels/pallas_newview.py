@@ -106,8 +106,8 @@ def newview_level_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         num_scalar_prefetch=4,
         grid=(N, W // bw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
+            pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # scaler
             pl.BlockSpec((1, k_dim, k_dim),
                          lambda n, w, p, q, r, t: (n, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim),
@@ -331,8 +331,8 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         num_scalar_prefetch=7,
         grid=(W // bw,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
+            pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # scaler
             pl.BlockSpec((1, k_dim), lambda w, *_: (0, 0)),
             pl.BlockSpec((gk, gk), lambda w, *_: (0, 0)),
             pl.BlockSpec((gk, gk), lambda w, *_: (0, 0)),
@@ -500,8 +500,8 @@ def evaluate_pallas(clv, scaler, p_row, q_row, dw, wgt,
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
         ],
@@ -587,8 +587,8 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
         num_scalar_prefetch=2,
         grid=(N, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, k_dim), lambda n, w, p, q: (n, 0, 0)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
         ],
@@ -681,8 +681,8 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
         num_scalar_prefetch=2,
         grid=(N, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, n_states), lambda n, w, p, q: (n, 0, 0)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
@@ -773,8 +773,8 @@ def nr_derivatives_batch_pallas(clv, scaler, p_rows, q_rows, lam,
         num_scalar_prefetch=2,
         grid=(N, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k_dim), lambda n, w, p, q: (0, 0)),
             pl.BlockSpec((1, k_dim), lambda n, w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
@@ -858,8 +858,8 @@ def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
             pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
@@ -963,8 +963,8 @@ def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         num_scalar_prefetch=4,
         grid=(N, W // bw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, n_states),
                          lambda n, w, p, q, r, t: (n, 0, 0)),
             pl.BlockSpec((1, 1, n_states),
@@ -1052,8 +1052,8 @@ def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
@@ -1133,8 +1133,8 @@ def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
@@ -1210,8 +1210,8 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
             pl.BlockSpec((bw,), lambda w, p, q: (w,)),
             pl.BlockSpec((1,), lambda w, p, q: (0,),
@@ -1337,8 +1337,8 @@ def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         num_scalar_prefetch=8,
         grid=(P, W // bw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # clv (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),       # scaler
+            pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # scaler
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
@@ -1458,8 +1458,8 @@ def newview_level_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         num_scalar_prefetch=5,
         grid=(P, N, W // bw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, k_dim, k_dim),
                          lambda p, n, w, *_: (p, n, 0, 0)),
             pl.BlockSpec((1, 1, k_dim, k_dim),
@@ -1548,8 +1548,8 @@ def evaluate_stacked(clv, scaler, p_row, q_row, dw, wgt,
         num_scalar_prefetch=2,
         grid=(P, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
         ],
@@ -1627,8 +1627,8 @@ def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
         num_scalar_prefetch=2,
         grid=(P, N, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 1, k_dim),
                          lambda p, n, w, *_: (p, n, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
@@ -1729,8 +1729,8 @@ def nr_derivatives_stacked(clv, scaler, p_row, q_row, lam, d, wgt,
         num_scalar_prefetch=2,
         grid=(P, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
@@ -1815,8 +1815,8 @@ def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
         num_scalar_prefetch=2,
         grid=(P, N, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, k_dim), lambda p, n, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, k_dim), lambda p, n, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
@@ -1991,8 +1991,8 @@ def newview_level_stacked_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         num_scalar_prefetch=5,
         grid=(P, N, W // bw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 1, n_states),
                          lambda p, n, w, *_: (p, n, 0, 0)),
             pl.BlockSpec((1, 1, 1, n_states),
@@ -2085,8 +2085,8 @@ def evaluate_stacked_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
         num_scalar_prefetch=2,
         grid=(P, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, n_states), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
             pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
@@ -2166,8 +2166,8 @@ def evaluate_batch_stacked_psr(clv, scaler, p_rows, q_rows, lams, wgt,
         num_scalar_prefetch=2,
         grid=(P, N, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 1, n_states),
                          lambda p, n, w, *_: (p, n, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
@@ -2250,8 +2250,8 @@ def nr_derivatives_stacked_psr(clv, scaler, p_row, q_row, eign, wgt,
         num_scalar_prefetch=2,
         grid=(P, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, n_states), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
             pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
@@ -2329,8 +2329,8 @@ def per_site_lnl_stacked(clv, scaler, p_row, q_row, eign, site_rates,
         num_scalar_prefetch=2,
         grid=(P, nb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, n_states), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
             pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [P]

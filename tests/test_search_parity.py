@@ -45,3 +45,25 @@ def test_full_search_49_f32_pallas():
                      dtype=jax.numpy.float32, use_pallas=True, pad=128)
     # f32 end-to-end lands within ~0.5 lnL of the f64 optimum
     assert res.likelihood >= GOLDEN_SEARCH_LNL - 1.0
+
+
+@pytest.mark.veryslow
+def test_full_search_stacked_trajectory_identical():
+    """Full -f d with partition stacking ON vs OFF at equal member
+    widths (pad=512): bit-exact device math must give the IDENTICAL
+    search trajectory — same final lnL, same topology."""
+    import jax
+    from examl_tpu.search.topologies import canonical_key
+    results = []
+    for stack in (False, True):
+        aln = read_bytefile(str(DATA / '49.binary'))
+        res = run_search(aln, (REF / '49.tree').read_text(),
+                         dtype=jax.numpy.float32, use_pallas=True,
+                         pad=512, stack=stack)
+        results.append(res)
+    assert results[0].likelihood == results[1].likelihood
+    t0 = Tree(results[0].engine.tree.taxon_names)
+    parse_newick(results[0].newick, t0)
+    t1 = Tree(results[1].engine.tree.taxon_names)
+    parse_newick(results[1].newick, t1)
+    assert canonical_key(t0) == canonical_key(t1)
