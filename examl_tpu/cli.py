@@ -204,6 +204,8 @@ def cmd_run(args):
                   use_median=args.a,
                   rate_het=('PSR' if args.m == 'PSR' else 'GAMMA'),
                   max_categories=args.c)
+    if args.stack != 'auto':
+        kwargs['stack'] = args.stack == 'on'
     run_extra = dict(auto_prot_selection=args.auto_prot)
 
     import contextlib
@@ -355,6 +357,12 @@ def main(argv=None):
                    choices=['ml', 'bic', 'aic', 'aicc'])
     r.add_argument('--platform', default=None,
                    help='jax platform override (cpu|axon|tpu)')
+    r.add_argument('--stack', choices=('auto', 'on', 'off'),
+                   default='auto',
+                   help='partition-geometry stacking: one kernel launch '
+                        'per group of same-geometry partitions '
+                        '(docs/STACKING.md); auto = on for CPU '
+                        'interpret, off on TPU until hardware-validated')
     r.add_argument('--f64', action='store_true',
                    help='double-precision likelihood arithmetic')
     r.add_argument('--op-stats', dest='op_stats', action='store_true',
