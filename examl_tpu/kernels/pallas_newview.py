@@ -478,9 +478,12 @@ def _evaluate_kernel(p_row, q_row,                       # scalar prefetch
     term = jnp.sum(x1_s[...].astype(jnp.float32)
                    * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
-    wgt = wgt_ref[...]
+    wgt = wgt_ref[0]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
-    out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    # whole-array SMEM output: Mosaic rejects blocked SMEM outputs whose
+    # trailing dims neither tile to (8, 128) nor cover the array, so each
+    # sequential grid step writes its own cell instead
+    out_ref[wb, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
 def evaluate_pallas(clv, scaler, p_row, q_row, dw, wgt,
@@ -492,6 +495,10 @@ def evaluate_pallas(clv, scaler, p_row, q_row, dw, wgt,
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    # 1-D operands blocked below full length break Mosaic's layout check
+    # (XLA tiles f32[W] as T(W)); carried as [1, W] the (1, bw) tile is a
+    # plain lane block
+    wgt = wgt.reshape(1, W)
 
     kernel = functools.partial(_evaluate_kernel, bw=bw,
                                log_min_scale=log_min_scale)
@@ -503,9 +510,9 @@ def evaluate_pallas(clv, scaler, p_row, q_row, dw, wgt,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
-            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((1, bw), lambda w, p, q: (0, w)),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda w, p, q: (w, 0),
+        out_specs=pl.BlockSpec((nb, 1), lambda w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((k_dim, bw), clv.dtype),
@@ -558,7 +565,7 @@ def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
     term = jnp.sum(x1_s[...].astype(jnp.float32)
                    * x2_s[...].astype(jnp.float32) * dw[:, None], axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
-    wgt = wgt_ref[...]
+    wgt = wgt_ref[0]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
     # whole-array SMEM output (TPU requires full-shape scalar blocks);
     # each sequential grid step writes its own cell
@@ -581,6 +588,7 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
     # hardware once N > 1); carried as [N, 1, K] the (1, K) tile covers the
     # trailing dims fully and the candidate axis is a plain leading index.
     dws = dws.reshape(N, 1, k_dim)
+    wgt = wgt.reshape(1, W)          # see evaluate_pallas on 1-D operands
     kernel = functools.partial(_evaluate_batch_kernel, bw=bw,
                                log_min_scale=log_min_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -590,7 +598,7 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, k_dim), lambda n, w, p, q: (n, 0, 0)),
-            pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
+            pl.BlockSpec((1, bw), lambda n, w, p, q: (0, w)),
         ],
         out_specs=pl.BlockSpec((N, nb), lambda n, w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -652,11 +660,11 @@ def _evaluate_batch_psr_kernel(p_rows, q_rows,
         c.wait()
 
     lam = lam_ref[0, 0]                        # [S] = EIGN * lz of cand n
-    rates = rates_ref[...]                     # [BW]
+    rates = rates_ref[0]                       # [BW]
     term = jnp.sum(x1_s[...] * x2_s[...]
                    * jnp.exp(lam[:, None] * rates[None, :]), axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
-    wgt = wgt_ref[...]
+    wgt = wgt_ref[0]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
     out_ref[n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
@@ -674,6 +682,8 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
     # [N, 1, S]: see evaluate_batch_pallas on Mosaic's last-two-dims rule
     lams = (eign[None, :] * lzs[:, None]).astype(
         jnp.float32).reshape(N, 1, n_states)
+    wgt = wgt.reshape(1, W)          # see evaluate_pallas on 1-D operands
+    site_rates = site_rates.reshape(1, W)
     kernel = functools.partial(_evaluate_batch_psr_kernel,
                                n_states=n_states, bw=bw,
                                log_min_scale=log_min_scale)
@@ -684,8 +694,8 @@ def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, n_states), lambda n, w, p, q: (n, 0, 0)),
-            pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
-            pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
+            pl.BlockSpec((1, bw), lambda n, w, p, q: (0, w)),
+            pl.BlockSpec((1, bw), lambda n, w, p, q: (0, w)),
         ],
         out_specs=pl.BlockSpec((N, nb), lambda n, w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -749,7 +759,7 @@ def _nr_batch_kernel(p_rows, q_rows,                     # scalar prefetch
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
     d2ln = d2ln * inv_li
-    wgt = wgt_ref[...]
+    wgt = wgt_ref[0]
     live = wgt > 0
     w = jnp.where(live, wgt, 0.0)
     out_ref[n, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
@@ -768,6 +778,7 @@ def nr_derivatives_batch_pallas(clv, scaler, p_rows, q_rows, lam,
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    wgt = wgt.reshape(1, W)          # see evaluate_pallas on 1-D operands
     kernel = functools.partial(_nr_batch_kernel, bw=bw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -777,7 +788,7 @@ def nr_derivatives_batch_pallas(clv, scaler, p_rows, q_rows, lam,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k_dim), lambda n, w, p, q: (0, 0)),
             pl.BlockSpec((1, k_dim), lambda n, w, p, q: (0, 0)),
-            pl.BlockSpec((bw,), lambda n, w, p, q: (w,)),
+            pl.BlockSpec((1, bw), lambda n, w, p, q: (0, w)),
             pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [N]
         ],
         out_specs=pl.BlockSpec((N, nb, 2), lambda n, w, p, q: (0, 0, 0),
@@ -830,11 +841,11 @@ def _nr_kernel(p_row, q_row,
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
     d2ln = d2ln * inv_li
-    wgt = wgt_ref[...]
+    wgt = wgt_ref[0]
     live = wgt > 0
     w = jnp.where(live, wgt, 0.0)
-    out_ref[0, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
-    out_ref[0, 1] = jnp.sum(
+    out_ref[wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[wb, 1] = jnp.sum(
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
@@ -851,6 +862,7 @@ def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    wgt = wgt.reshape(1, W)          # see evaluate_pallas on 1-D operands
 
     kernel = functools.partial(_nr_kernel, bw=bw)
 
@@ -862,9 +874,9 @@ def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
             pl.BlockSpec((1, k_dim), lambda w, p, q: (0, 0)),
-            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((1, bw), lambda w, p, q: (0, w)),
         ],
-        out_specs=pl.BlockSpec((1, 2), lambda w, p, q: (w, 0),
+        out_specs=pl.BlockSpec((nb, 2), lambda w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((k_dim, bw), clv.dtype),
@@ -915,7 +927,7 @@ def _newview_psr_kernel(p_idx, q_idx, r_idx, tip_tip,
     for c in copies:
         c.wait()
 
-    rates = rates_ref[...]                     # [BW]
+    rates = rates_ref[0]                       # [BW]
     lamq = lamq_ref[0, 0]                      # [S] = EIGN * lzq of node n
     lamr = lamr_ref[0, 0]
     dq = jnp.exp(lamq[:, None] * rates[None, :])    # [S, BW]
@@ -955,6 +967,7 @@ def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     # [N, 1, S]: see evaluate_batch_pallas on Mosaic's last-two-dims rule
     lamq = jnp.asarray(lamq, jnp.float32).reshape(N, 1, n_states)
     lamr = jnp.asarray(lamr, jnp.float32).reshape(N, 1, n_states)
+    site_rates = site_rates.reshape(1, W)    # see evaluate_pallas on 1-D
     kernel = functools.partial(_newview_psr_kernel, n_states=n_states,
                                bw=bw, min_scale=min_scale,
                                inv_min_scale=inv_min_scale)
@@ -973,7 +986,7 @@ def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                          lambda n, w, p, q, r, t: (0, 0)),
             pl.BlockSpec((n_states, n_states),
                          lambda n, w, p, q, r, t: (0, 0)),
-            pl.BlockSpec((bw,), lambda n, w, p, q, r, t: (w,)),
+            pl.BlockSpec((1, bw), lambda n, w, p, q, r, t: (0, w)),
         ],
         out_specs=[
             pl.BlockSpec((1, n_states, bw),
@@ -1027,13 +1040,13 @@ def _evaluate_psr_kernel(p_row, q_row,
         c.wait()
 
     lam = lam_ref[...]                         # [1, S] = EIGN * lz
-    rates = rates_ref[...]                     # [BW]
+    rates = rates_ref[0]                       # [BW]
     term = jnp.sum(x1_s[...] * x2_s[...]
                    * jnp.exp(lam[0][:, None] * rates[None, :]), axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
-    wgt = wgt_ref[...]
+    wgt = wgt_ref[0]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
-    out_ref[0, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    out_ref[wb, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
 def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
@@ -1046,6 +1059,8 @@ def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    wgt = wgt.reshape(1, W)          # see evaluate_pallas on 1-D operands
+    site_rates = site_rates.reshape(1, W)
     kernel = functools.partial(_evaluate_psr_kernel, n_states=n_states,
                                bw=bw, log_min_scale=log_min_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1055,10 +1070,10 @@ def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
-            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
-            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((1, bw), lambda w, p, q: (0, w)),
+            pl.BlockSpec((1, bw), lambda w, p, q: (0, w)),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda w, p, q: (w, 0),
+        out_specs=pl.BlockSpec((nb, 1), lambda w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((n_states, bw), jnp.float32),
@@ -1102,7 +1117,7 @@ def _nr_psr_kernel(p_row, q_row,
         c.wait()
 
     eign = eign_ref[...]                       # [1, S]
-    rates = rates_ref[...]                     # [BW]
+    rates = rates_ref[0]                       # [BW]
     lz = lz_ref[0]
     lam = eign[0][:, None] * rates[None, :]     # [S, BW]
     tmp = x1_s[...] * x2_s[...] * jnp.exp(lam * lz)
@@ -1112,11 +1127,11 @@ def _nr_psr_kernel(p_row, q_row,
     inv_li = 1.0 / jnp.abs(inv_li)
     dln = dln * inv_li
     d2ln = d2ln * inv_li
-    wgt = wgt_ref[...]
+    wgt = wgt_ref[0]
     live = wgt > 0
     w = jnp.where(live, wgt, 0.0)
-    out_ref[0, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
-    out_ref[0, 1] = jnp.sum(w * jnp.where(live, d2ln - dln * dln, 0.0))
+    out_ref[wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[wb, 1] = jnp.sum(w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
 def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
@@ -1128,6 +1143,8 @@ def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    wgt = wgt.reshape(1, W)          # see evaluate_pallas on 1-D operands
+    site_rates = site_rates.reshape(1, W)
     kernel = functools.partial(_nr_psr_kernel, n_states=n_states, bw=bw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1136,12 +1153,12 @@ def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
-            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
-            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((1, bw), lambda w, p, q: (0, w)),
+            pl.BlockSpec((1, bw), lambda w, p, q: (0, w)),
             pl.BlockSpec((1,), lambda w, p, q: (0,),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2), lambda w, p, q: (w, 0),
+        out_specs=pl.BlockSpec((nb, 2), lambda w, p, q: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((n_states, bw), jnp.float32),
@@ -1185,13 +1202,13 @@ def _per_site_lnl_kernel(p_row, q_row,
         c.wait()
 
     eign = eign_ref[...]                       # [1, S]
-    rates = rates_ref[...]                     # [BW]
+    rates = rates_ref[0]                       # [BW]
     lz = lz_ref[0]
     term = jnp.sum(x1_s[...] * x2_s[...]
                    * jnp.exp(eign[0][:, None] * rates[None, :] * lz),
                    axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
-    out_ref[...] = jnp.log(jnp.abs(term)) + s * log_min_scale
+    out_ref[0] = jnp.log(jnp.abs(term)) + s * log_min_scale
 
 
 def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
@@ -1204,6 +1221,7 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw
+    site_rates = site_rates.reshape(1, W)    # see evaluate_pallas on 1-D
     kernel = functools.partial(_per_site_lnl_kernel, n_states=n_states,
                                bw=bw, log_min_scale=log_min_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1213,11 +1231,11 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, n_states), lambda w, p, q: (0, 0)),
-            pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+            pl.BlockSpec((1, bw), lambda w, p, q: (0, w)),
             pl.BlockSpec((1,), lambda w, p, q: (0,),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((bw,), lambda w, p, q: (w,)),
+        out_specs=pl.BlockSpec((1, bw), lambda w, p, q: (0, w)),
         scratch_shapes=[
             pltpu.VMEM((n_states, bw), jnp.float32),
             pltpu.VMEM((n_states, bw), jnp.float32),
@@ -1226,11 +1244,12 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((W,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, W), jnp.float32),
         interpret=interpret,
     )(p_row, q_row, clv, scaler, eign, site_rates, lz)
+    return out[0]
 
 
 # ---------------------------------------------------------------------------
@@ -2308,7 +2327,7 @@ def _per_site_lnl_stacked_kernel(p_row, q_row,
                    * jnp.exp(eign[:, None] * rates[None, :] * lz),
                    axis=0)
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
-    out_ref[0] = jnp.log(jnp.abs(term)) + s * log_min_scale
+    out_ref[0, 0] = jnp.log(jnp.abs(term)) + s * log_min_scale
 
 
 def per_site_lnl_stacked(clv, scaler, p_row, q_row, eign, site_rates,
@@ -2335,7 +2354,10 @@ def per_site_lnl_stacked(clv, scaler, p_row, q_row, eign, site_rates,
             pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
             pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [P]
         ],
-        out_specs=pl.BlockSpec((1, bw), lambda p, w, *_: (p, w)),
+        # [P, 1, W] with a (1, 1, bw) tile: a (1, bw) tile on [P, W] puts a
+        # 1-row block on the second-minor axis (Mosaic rejects it once
+        # P > 1, same rule as the batched dws — see evaluate_batch_pallas)
+        out_specs=pl.BlockSpec((1, 1, bw), lambda p, w, *_: (p, 0, w)),
         scratch_shapes=[
             pltpu.VMEM((n_states, bw), jnp.float32),
             pltpu.VMEM((n_states, bw), jnp.float32),
@@ -2344,9 +2366,10 @@ def per_site_lnl_stacked(clv, scaler, p_row, q_row, eign, site_rates,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, 1, W), jnp.float32),
         interpret=interpret,
     )(p_row, q_row, clv, scaler, eign, site_rates,
       jnp.asarray(lzs, jnp.float32))
+    return out[:, 0, :]
