@@ -361,8 +361,8 @@ def main(argv=None):
                    default='auto',
                    help='partition-geometry stacking: one kernel launch '
                         'per group of same-geometry partitions '
-                        '(docs/STACKING.md); auto = on for CPU '
-                        'interpret, off on TPU until hardware-validated')
+                        '(docs/STACKING.md); auto = on wherever the '
+                        'Pallas path runs (hardware-validated)')
     r.add_argument('--f64', action='store_true',
                    help='double-precision likelihood arithmetic')
     r.add_argument('--op-stats', dest='op_stats', action='store_true',

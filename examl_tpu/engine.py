@@ -259,15 +259,16 @@ class LikelihoodEngine:
         # and each Pallas engine operation runs ONE kernel launch for the
         # whole group (launch overhead ~0.3 ms each on-device). Pallas
         # path only (GAMMA and PSR); EXAML_STACK=0/1 overrides; default
-        # follows the backend until the Mosaic rules are
-        # hardware-validated.
+        # on everywhere the Pallas path runs (hardware-validated on a
+        # v5e chip: tools/validate_stacking_hw.py — all stacked kernels
+        # bit-exact vs per-partition slices, engine lnLs identical,
+        # stacked evaluate 1.55x faster per op).
         import os
         env = os.environ.get('EXAML_STACK')
         if env is not None:
             stack = env.strip().lower() in ('1', 'true', 'yes', 'on')
         if stack is None:
-            stack = (self.use_pallas
-                     and jax.default_backend() == 'cpu')
+            stack = self.use_pallas
         self.stack = bool(stack and self.use_pallas)
 
         self._jit_cache = _TimedJitCache(self)
