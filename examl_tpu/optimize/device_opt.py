@@ -361,7 +361,10 @@ class DeviceParamOptimizer:
 
             st = (jnp.asarray(0, jnp.int32), jnp.zeros(n, bool), a, b,
                   bx, bx, bx, fb0, fb0, fb0, zero, zero,
-                  jnp.zeros_like(ax), jnp.full(n, C.UNLIKELY, ax.dtype),
+                  jnp.zeros_like(ax),
+                  # UNLIKELY (-1e300) overflows f32; the dtype's own min
+                  # finite value is the same "worst possible lnL" sentinel
+                  jnp.full(n, jnp.finfo(ax.dtype).min, ax.dtype),
                   clvs, scalers)
             st = jax.lax.while_loop(cond, body, st)
             return st[12], st[13], st[1], st[14], st[15]
