@@ -90,6 +90,27 @@ class _TimedJitCache(dict):
         super().__setitem__(key, fn)
 
 
+class _Kernels:
+    """Namespace view of kernels.pallas_newview with the engine's mesh
+    pre-bound: under a mesh, every @shardable wrapper runs inside
+    shard_map over the 'sites' axis (SPMD exactly like the reference's
+    rank model — replicated control flow, site-sharded data, psum where
+    the reference allreduces). Without a mesh (or on the jnp path) the
+    functions pass through unchanged."""
+
+    def __init__(self, mesh):
+        from .kernels import pallas_newview as _mod
+        object.__setattr__(self, '_mod', _mod)
+        object.__setattr__(self, '_mesh', mesh)
+
+    def __getattr__(self, name):
+        fn = getattr(self._mod, name)
+        if self._mesh is not None and getattr(fn, '_shardable', False):
+            fn = partial(fn, mesh=self._mesh)
+        object.__setattr__(self, name, fn)        # cache
+        return fn
+
+
 @dataclasses.dataclass
 class PartitionModel:
     """Host-side model parameters for one partition."""
@@ -170,10 +191,8 @@ class LikelihoodEngine:
         self.use_median = use_median
         self.num_branches = num_branches
         self.mesh = sharding            # optional jax Mesh over axis 'sites'
-        if self.mesh is not None:
-            n_dev = int(np.prod(self.mesh.devices.shape))
-            pad = max(pad, n_dev)
-            pad = pad * n_dev // math.gcd(pad, n_dev)
+        self.mesh_ndev = (1 if self.mesh is None
+                          else int(np.prod(self.mesh.devices.shape)))
         self.pad = pad
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -200,6 +219,12 @@ class LikelihoodEngine:
         if self.use_pallas and jax.default_backend() != 'cpu':
             # Mosaic DMA slices must be lane-tile aligned
             self.pad = max(self.pad, 128)
+        if self.mesh is not None:
+            # each device's site shard must itself satisfy the per-device
+            # alignment unit, so pad to unit * n_devices (the reference
+            # pads each rank's slice independently; here the global width
+            # carries the product)
+            self.pad = self.pad * self.mesh_ndev
         # Mosaic tiles the second-minor (state) axis by 8 sublanes; DMA
         # slices of a 20-state CLV are not tile-aligned on real hardware,
         # so the device state axis is zero-padded to a sublane multiple
@@ -270,6 +295,11 @@ class LikelihoodEngine:
         if stack is None:
             stack = self.use_pallas
         self.stack = bool(stack and self.use_pallas)
+
+        # kernel namespace: shardable Pallas wrappers get mesh pre-bound
+        # (shard_map over 'sites'); the jnp path relies on XLA's automatic
+        # partitioning instead and needs no manual regions
+        self.PK = _Kernels(self.mesh if self.use_pallas else None)
 
         self._jit_cache = _TimedJitCache(self)
         self._build_buffers()
@@ -685,9 +715,7 @@ class LikelihoodEngine:
         with no selected member are skipped (their output entries are
         zeros the caller must ignore; the device modOpt probe loop only
         reads its lanes' entries)."""
-        from .kernels.pallas_newview import (evaluate_pallas,
-                                             evaluate_stacked, fold_lam,
-                                             fold_rw)
+        _PK = self.PK  # evaluate_pallas, evaluate_stacked, fold_lam, fold_rw
         outs = []
         for g, ms in enumerate(self.groups):
             if only is not None and not any(only[m] for m in ms):
@@ -698,18 +726,18 @@ class LikelihoodEngine:
             dws = []
             for m in ms:
                 lz = jnp.log(jnp.maximum(qz[self._branch_col(m)], C.ZMIN))
-                lam = fold_lam(eigns[m], gammas[m])
-                dws.append((fold_rw(rate_weights[m], eigns[m].shape[1])
+                lam = _PK.fold_lam(eigns[m], gammas[m])
+                dws.append((_PK.fold_rw(rate_weights[m], eigns[m].shape[1])
                             * jnp.exp(lam * lz))[None, :].astype(
                                 jnp.float32))
             if len(ms) == 1:
-                outs.append(evaluate_pallas(
+                outs.append(_PK.evaluate_pallas(
                     clvs[g], scalers[g], p_row, q_row, dws[0],
                     gwgts[g].astype(jnp.float32), block_w=bw,
                     log_min_scale=self.log_min_scale,
                     interpret=interpret))
             else:
-                outs.append(evaluate_stacked(
+                outs.append(_PK.evaluate_stacked(
                     clvs[g], scalers[g], p_row, q_row, jnp.stack(dws),
                     gwgts[g].astype(jnp.float32), block_w=bw,
                     log_min_scale=self.log_min_scale,
@@ -720,9 +748,7 @@ class LikelihoodEngine:
                               rate_weights, gwgts, bp_rows, bq_rows, bzs,
                               interpret):
         """Batched root lnLs -> [M, N]; bzs [N, B]."""
-        from .kernels.pallas_newview import (evaluate_batch_gamma,
-                                             evaluate_batch_stacked,
-                                             fold_lam, fold_rw)
+        _PK = self.PK  # evaluate_batch_gamma, evaluate_batch_stacked, fold_lam, fold_rw
         outs = []
         for g, ms in enumerate(self.groups):
             bw = self._block_w(self.g_width[g])
@@ -731,10 +757,10 @@ class LikelihoodEngine:
                 lzs = jnp.log(jnp.maximum(
                     bzs[:, self._branch_col(m)],
                     C.ZMIN)).astype(jnp.float32)
-                outs.append(evaluate_batch_gamma(
+                outs.append(_PK.evaluate_batch_gamma(
                     clvs[g], scalers[g], bp_rows, bq_rows, lzs,
-                    fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
-                    fold_rw(rate_weights[m],
+                    _PK.fold_lam(eigns[m], gammas[m]).astype(jnp.float32),
+                    _PK.fold_rw(rate_weights[m],
                             eigns[m].shape[1]).astype(jnp.float32),
                     gwgts[g].astype(jnp.float32), block_w=bw,
                     log_min_scale=self.log_min_scale,
@@ -745,15 +771,15 @@ class LikelihoodEngine:
                     lzs = jnp.log(jnp.maximum(
                         bzs[:, self._branch_col(m)],
                         C.ZMIN)).astype(jnp.float32)
-                    lam = fold_lam(eigns[m],
+                    lam = _PK.fold_lam(eigns[m],
                                    gammas[m]).astype(jnp.float32)
-                    rw = fold_rw(rate_weights[m],
+                    rw = _PK.fold_rw(rate_weights[m],
                                  eigns[m].shape[1]).astype(jnp.float32)
                     dws.append((rw[None, :]
                                 * jnp.exp(lam[None, :]
                                           * lzs[:, None])).astype(
                                               jnp.float32))
-                outs.append(evaluate_batch_stacked(
+                outs.append(_PK.evaluate_batch_stacked(
                     clvs[g], scalers[g], bp_rows, bq_rows,
                     jnp.stack(dws)[:, :, None, :],
                     gwgts[g].astype(jnp.float32), block_w=bw,
@@ -765,29 +791,27 @@ class LikelihoodEngine:
                      gwgts, jp, jq, core_lz, interpret):
         """(d1 [M], d2 [M]) NR derivatives at branch (jp, jq), core_lz
         [B] log branch lengths."""
-        from .kernels.pallas_newview import (fold_lam, fold_rw,
-                                             nr_derivatives_pallas,
-                                             nr_derivatives_stacked)
+        _PK = self.PK  # fold_lam, fold_rw, nr_derivatives_pallas, nr_derivatives_stacked
         d1o, d2o = [], []
         for g, ms in enumerate(self.groups):
             bw = self._block_w(self.g_width[g])
             lams, ds = [], []
             for m in ms:
-                lam = fold_lam(eigns[m], gammas[m])
-                d = (fold_rw(rate_weights[m], eigns[m].shape[1])
+                lam = _PK.fold_lam(eigns[m], gammas[m])
+                d = (_PK.fold_rw(rate_weights[m], eigns[m].shape[1])
                      * jnp.exp(lam
                                * core_lz[self._branch_col(m)])).astype(
                                    jnp.float32)
                 lams.append(lam[None, :].astype(jnp.float32))
                 ds.append(d[None, :])
             if len(ms) == 1:
-                d1, d2 = nr_derivatives_pallas(
+                d1, d2 = _PK.nr_derivatives_pallas(
                     clvs[g], scalers[g], jp, jq, lams[0], ds[0],
                     gwgts[g].astype(jnp.float32), block_w=bw,
                     log_min_scale=self.log_min_scale,
                     interpret=interpret)
             else:
-                d1, d2 = nr_derivatives_stacked(
+                d1, d2 = _PK.nr_derivatives_stacked(
                     clvs[g], scalers[g], jp, jq, jnp.stack(lams),
                     jnp.stack(ds), gwgts[g].astype(jnp.float32),
                     block_w=bw, log_min_scale=self.log_min_scale,
@@ -801,27 +825,25 @@ class LikelihoodEngine:
                            rate_weights, gwgts, jp, jq, lzs, interpret):
         """([M, N], [M, N]) batched NR derivatives; lzs [N] per-candidate
         log branch lengths shared by all partitions (wave semantics)."""
-        from .kernels.pallas_newview import (fold_lam, fold_rw,
-                                             nr_derivatives_batch_pallas,
-                                             nr_derivatives_batch_stacked)
+        _PK = self.PK  # fold_lam, fold_rw, nr_derivatives_batch_pallas, nr_derivatives_batch_stacked
         d1o, d2o = [], []
         for g, ms in enumerate(self.groups):
             bw = self._block_w(self.g_width[g])
             lams, rws = [], []
             for m in ms:
-                lams.append(fold_lam(eigns[m], gammas[m]).astype(
+                lams.append(_PK.fold_lam(eigns[m], gammas[m]).astype(
                     jnp.float32)[None, :])
-                rws.append(fold_rw(rate_weights[m],
+                rws.append(_PK.fold_rw(rate_weights[m],
                                    eigns[m].shape[1]).astype(
                                        jnp.float32)[None, :])
             if len(ms) == 1:
-                d1, d2 = nr_derivatives_batch_pallas(
+                d1, d2 = _PK.nr_derivatives_batch_pallas(
                     clvs[g], scalers[g], jp, jq, lams[0], rws[0],
                     gwgts[g].astype(jnp.float32), lzs, block_w=bw,
                     log_min_scale=self.log_min_scale,
                     interpret=interpret)
             else:
-                d1, d2 = nr_derivatives_batch_stacked(
+                d1, d2 = _PK.nr_derivatives_batch_stacked(
                     clvs[g], scalers[g], jp, jq, jnp.stack(lams),
                     jnp.stack(rws), gwgts[g].astype(jnp.float32), lzs,
                     block_w=bw, log_min_scale=self.log_min_scale,
@@ -835,29 +857,27 @@ class LikelihoodEngine:
                      j_rows, a_rows, b_rows, za, zb, tt, interpret):
         """Junction CLV updates (scratch row j_i = combine(a_i via za_i,
         b_i via zb_i)) for every partition; za/zb [N]."""
-        from .kernels.pallas_newview import (blockdiag, make_p_batch,
-                                             newview_level_pallas,
-                                             newview_level_stacked)
+        _PK = self.PK  # blockdiag, make_p_batch, newview_level_pallas, newview_level_stacked
         out_c = list(clvs)
         out_s = list(scalers)
         for g, ms in enumerate(self.groups):
             bw = self._block_w(self.g_width[g])
             pls, prs, evb = [], [], []
             for m in ms:
-                pl_m, pr_m = make_p_batch(za, zb, gammas[m], eigns[m],
+                pl_m, pr_m = _PK.make_p_batch(za, zb, gammas[m], eigns[m],
                                           eis[m])
                 pls.append(pl_m.astype(jnp.float32))
                 prs.append(pr_m.astype(jnp.float32))
-                evb.append(blockdiag(evs[m]).astype(jnp.float32))
+                evb.append(_PK.blockdiag(evs[m]).astype(jnp.float32))
             if len(ms) == 1:
-                c2, s2 = newview_level_pallas(
+                c2, s2 = _PK.newview_level_pallas(
                     clvs[g], scalers[g], j_rows, a_rows, b_rows, tt,
                     pls[0], prs[0], evb[0], block_w=bw,
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,
                     interpret=interpret)
             else:
-                c2, s2 = newview_level_stacked(
+                c2, s2 = _PK.newview_level_stacked(
                     clvs[g], scalers[g], j_rows, a_rows, b_rows, tt,
                     jnp.stack(pls), jnp.stack(prs), jnp.stack(evb),
                     block_w=bw, min_scale=self.min_scale,
@@ -872,8 +892,7 @@ class LikelihoodEngine:
         per-m bool — partitions outside it keep their rows by rewriting
         identical values in stacked groups, or are skipped when their
         whole singleton group is excluded)."""
-        from .kernels.pallas_newview import (fold_tipvec, tip_rows_pallas,
-                                             tip_rows_stacked)
+        _PK = self.PK  # fold_tipvec, tip_rows_pallas, tip_rows_stacked
         out = list(clvs)
         for g, ms in enumerate(self.groups):
             bw = self._block_w(self.g_width[g])
@@ -881,15 +900,15 @@ class LikelihoodEngine:
                 continue
             if len(ms) == 1:
                 m = ms[0]
-                out[g] = tip_rows_pallas(
+                out[g] = _PK.tip_rows_pallas(
                     clvs[g], codes[g],
-                    fold_tipvec(tipvecs[m].astype(jnp.float32)),
+                    _PK.fold_tipvec(tipvecs[m].astype(jnp.float32)),
                     self.mxtips, block_w=bw, interpret=interpret)
             else:
                 tv = jnp.stack([
-                    fold_tipvec(tipvecs[m].astype(jnp.float32))
+                    _PK.fold_tipvec(tipvecs[m].astype(jnp.float32))
                     for m in ms])
-                out[g] = tip_rows_stacked(
+                out[g] = _PK.tip_rows_stacked(
                     clvs[g], codes[g], tv, self.mxtips, block_w=bw,
                     interpret=interpret)
         return tuple(out)
@@ -948,7 +967,10 @@ class LikelihoodEngine:
     def _block_w(self, W: int) -> int:
         """Largest site-block width <= 8192 that divides W (every kernel
         asserts W % block_w == 0; a 8320-wide partition must fall back to
-        smaller power-of-two blocks, not truncate)."""
+        smaller power-of-two blocks, not truncate). Under a mesh the
+        kernels see the per-device LOCAL width (shard_map splits the site
+        axis), so the block plan is computed from that."""
+        W //= self.mesh_ndev
         if W <= 8192:
             return W
         for cand in (8192, 4096, 2048, 1024, 512, 256, 128, 8):
@@ -1165,15 +1187,15 @@ class LikelihoodEngine:
         return lhs[:, :N].sum(axis=0)
 
     def _evaluate_batch_pallas(self, jp, jq, zs):
-        from .kernels.pallas_newview import evaluate_batch_psr
+        _PK = self.PK  # evaluate_batch_psr
         interpret = jax.default_backend() == 'cpu'
         jpd = jnp.asarray(jp)
         jqd = jnp.asarray(jq)
         if self.is_psr:
-            from .kernels.pallas_newview import evaluate_batch_stacked_psr
+            _PK = self.PK  # evaluate_batch_stacked_psr
             fn = self._jit_cache.get('pallas_eval_batch')
             if fn is None:
-                fn = jax.jit(evaluate_batch_psr,
+                fn = jax.jit(_PK.evaluate_batch_psr,
                              static_argnames=('block_w', 'log_min_scale',
                                               'interpret'))
                 self._jit_cache['pallas_eval_batch'] = fn
@@ -1196,7 +1218,7 @@ class LikelihoodEngine:
                     continue
                 pfn = self._jit_cache.get('pallas_evalb_stacked_psr')
                 if pfn is None:
-                    pfn = jax.jit(evaluate_batch_stacked_psr,
+                    pfn = jax.jit(_PK.evaluate_batch_stacked_psr,
                                   static_argnames=('block_w',
                                                    'log_min_scale',
                                                    'interpret'))
@@ -1341,7 +1363,7 @@ class LikelihoodEngine:
         """Pallas path for the PSR rate scan: run the traversal wave on
         scratch copies of the CLV buffers with the proposed per-site rates,
         then read per-site lnls at the root."""
-        from .kernels.pallas_newview import per_site_lnl_pallas
+        _PK = self.PK  # per_site_lnl_pallas
         from .traversal import chunk_entries
         tr = self.tree
         p = tr.start
@@ -1371,7 +1393,7 @@ class LikelihoodEngine:
             self._run_traversal_pallas(entries, None)
             lfn = self._jit_cache.get('pallas_pslnl')
             if lfn is None:
-                lfn = jax.jit(per_site_lnl_pallas,
+                lfn = jax.jit(_PK.per_site_lnl_pallas,
                               static_argnames=('block_w', 'log_min_scale',
                                                'interpret'))
                 self._jit_cache['pallas_pslnl'] = lfn
@@ -1392,10 +1414,10 @@ class LikelihoodEngine:
                         log_min_scale=self.log_min_scale,
                         interpret=interpret), dtype=np.float64)
                     continue
-                from .kernels.pallas_newview import per_site_lnl_stacked
+                _PK = self.PK  # per_site_lnl_stacked
                 sfn = self._jit_cache.get('pallas_pslnl_stacked')
                 if sfn is None:
-                    sfn = jax.jit(per_site_lnl_stacked,
+                    sfn = jax.jit(_PK.per_site_lnl_stacked,
                                   static_argnames=('block_w',
                                                    'log_min_scale',
                                                    'interpret'))
@@ -1518,10 +1540,7 @@ class LikelihoodEngine:
         """The fused multi-partition traversal as a reusable jnp-level
         function (consumed by the trav/trav_eval/trav_evalbatch programs
         and the on-device model-optimization programs)."""
-        from .kernels.pallas_newview import (blockdiag, blockdiag_tile,
-                                             fold_lam,
-                                             traversal_fused_pallas,
-                                             traversal_fused_stacked)
+        _PK = self.PK  # blockdiag, blockdiag_tile, fold_lam, traversal_fused_pallas, traversal_fused_stacked
 
         def traverse(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
                      sub, zqrs, nex, gammas, eigns, eis, evs):
@@ -1541,16 +1560,16 @@ class LikelihoodEngine:
                 if len(ms) == 1:
                     m = ms[0]
                     col = self._branch_col(m)
-                    lam = fold_lam(eigns[m],
+                    lam = _PK.fold_lam(eigns[m],
                                    gammas[m]).astype(jnp.float32)
                     g = self._pallas_group(m)
-                    c2, s2 = traversal_fused_pallas(
+                    c2, s2 = _PK.traversal_fused_pallas(
                         clvs[gi], scalers[gi], jp, jq, jr, jt,
                         lzq[:, col], lzr[:, col], lam[None, :],
-                        blockdiag_tile(
-                            blockdiag(eis[m]).astype(jnp.float32), g),
-                        blockdiag_tile(
-                            blockdiag(evs[m]).astype(jnp.float32), g),
+                        _PK.blockdiag_tile(
+                            _PK.blockdiag(eis[m]).astype(jnp.float32), g),
+                        _PK.blockdiag_tile(
+                            _PK.blockdiag(evs[m]).astype(jnp.float32), g),
                         n_exec=nex[0], n_rows=n_rows, block_w=plan[gi],
                         group=g, min_scale=self.min_scale,
                         inv_min_scale=self.inv_min_scale,
@@ -1560,16 +1579,16 @@ class LikelihoodEngine:
                 else:
                     cols = jnp.asarray(self._g_cols(ms))
                     lams = jnp.stack([
-                        fold_lam(eigns[m], gammas[m]).astype(jnp.float32)
+                        _PK.fold_lam(eigns[m], gammas[m]).astype(jnp.float32)
                         for m in ms])
                     eib = jnp.stack([
-                        blockdiag(eis[m]).astype(jnp.float32)
+                        _PK.blockdiag(eis[m]).astype(jnp.float32)
                         for m in ms])
                     evb = jnp.stack([
-                        blockdiag(evs[m]).astype(jnp.float32)
+                        _PK.blockdiag(evs[m]).astype(jnp.float32)
                         for m in ms])
                     ex_g = exec_mask[jnp.asarray(ms)].astype(jnp.int32)
-                    c2, s2 = traversal_fused_stacked(
+                    c2, s2 = _PK.traversal_fused_stacked(
                         clvs[gi], scalers[gi], jp, jq, jr, jt,
                         lzq[:, cols], lzr[:, cols], lams, eib, evb, ex_g,
                         n_exec=nex[0], n_rows=n_rows, block_w=plan[gi],
@@ -1669,9 +1688,7 @@ class LikelihoodEngine:
         partition). Level node counts are padded to powers of two (dummy
         updates land in the scratch row) to bound the number of compiled
         programs."""
-        from .kernels.pallas_newview import (make_p_batch,
-                                             newview_level_pallas,
-                                             newview_level_pallas_psr)
+        _PK = self.PK  # make_p_batch, newview_level_pallas, newview_level_pallas_psr
         from .traversal import chunk_entries
         tr = self.tree
         interpret = jax.default_backend() == 'cpu'
@@ -1689,22 +1706,22 @@ class LikelihoodEngine:
                                  min_scale, inv_min_scale, interpret):
                     lamq = eign[0][None, :] * K.log_z(zq)[:, None]
                     lamr = eign[0][None, :] * K.log_z(zr)[:, None]
-                    return newview_level_pallas_psr(
+                    return _PK.newview_level_pallas_psr(
                         clv, scaler, jp, jq, jr, jt,
                         lamq.astype(jnp.float32),
                         lamr.astype(jnp.float32), ei[0], ev[0], site_rates,
                         block_w=block_w, min_scale=min_scale,
                         inv_min_scale=inv_min_scale, interpret=interpret)
             else:
-                from .kernels.pallas_newview import blockdiag
+                _PK = self.PK  # blockdiag
 
                 def level_update(clv, scaler, jp, jq, jr, jt, zq, zr,
                                  gamma, eign, ei, ev, *, block_w, min_scale,
                                  inv_min_scale, interpret):
-                    pls, prs = make_p_batch(zq, zr, gamma, eign, ei)
-                    return newview_level_pallas(
+                    pls, prs = _PK.make_p_batch(zq, zr, gamma, eign, ei)
+                    return _PK.newview_level_pallas(
                         clv, scaler, jp, jq, jr, jt, pls, prs,
-                        blockdiag(ev),
+                        _PK.blockdiag(ev),
                         block_w=block_w, min_scale=min_scale,
                         inv_min_scale=inv_min_scale, interpret=interpret)
 
@@ -1745,9 +1762,8 @@ class LikelihoodEngine:
                     # stacked PSR group: lamq/lamr per (member, node)
                     pfn = self._jit_cache.get('pallas_nv_stacked_psr')
                     if pfn is None:
-                        from .kernels.pallas_newview import \
-                            newview_level_stacked_psr
-                        pfn = jax.jit(newview_level_stacked_psr,
+                        _PK = self.PK  # newview_level_stacked_psr
+                        pfn = jax.jit(_PK.newview_level_stacked_psr,
                                       donate_argnums=(0, 1),
                                       static_argnames=(
                                           'block_w', 'min_scale',
@@ -1791,14 +1807,13 @@ class LikelihoodEngine:
                 if sfn is None:
                     sfn = self._jit_cache.get('pallas_nv_stacked')
                 if sfn is None:
-                    from .kernels.pallas_newview import \
-                        newview_level_stacked
+                    _PK = self.PK  # newview_level_stacked
 
                     def level_update_stacked(clv, scaler, jp, jq, jr, jt,
                                              pls, prs, evb, ex, *,
                                              block_w, min_scale,
                                              inv_min_scale, interpret):
-                        return newview_level_stacked(
+                        return _PK.newview_level_stacked(
                             clv, scaler, jp, jq, jr, jt, pls, prs, evb,
                             ex, block_w=block_w, min_scale=min_scale,
                             inv_min_scale=inv_min_scale,
@@ -1811,18 +1826,17 @@ class LikelihoodEngine:
                                                    'interpret'))
                     self._jit_cache['pallas_nv_stacked'] = sfn
                     sfn = self._jit_cache['pallas_nv_stacked']
-                from .kernels.pallas_newview import (blockdiag,
-                                                     make_p_batch)
+                _PK = self.PK  # blockdiag, make_p_batch
                 pls, prs, evb = [], [], []
                 for m in ms:
                     col = self._branch_col(m)
-                    pl_m, pr_m = make_p_batch(
+                    pl_m, pr_m = _PK.make_p_batch(
                         jnp.asarray(qz[:, col], dtype=self.dtype),
                         jnp.asarray(rz[:, col], dtype=self.dtype),
                         self.d_gamma[m], self.d_EIGN[m], self.d_EI[m])
                     pls.append(pl_m.astype(jnp.float32))
                     prs.append(pr_m.astype(jnp.float32))
-                    evb.append(blockdiag(
+                    evb.append(_PK.blockdiag(
                         self.d_EV[m]).astype(jnp.float32))
                 ex_g = (np.ones(len(ms), dtype=bool) if exec_mask is None
                         else np.array([bool(exec_mask[m]) for m in ms]))
@@ -1957,20 +1971,19 @@ class LikelihoodEngine:
         return self.likelihood
 
     def _evaluate_pallas(self, p_row, q_row, qz):
-        from .kernels.pallas_newview import (evaluate_pallas,
-                                             evaluate_pallas_psr)
+        _PK = self.PK  # evaluate_pallas, evaluate_pallas_psr
         interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_eval')
         if fn is None:
-            fn = jax.jit(evaluate_pallas_psr if self.is_psr
-                         else evaluate_pallas,
+            fn = jax.jit(_PK.evaluate_pallas_psr if self.is_psr
+                         else _PK.evaluate_pallas,
                          static_argnames=('block_w', 'log_min_scale',
                                           'interpret'))
             self._jit_cache['pallas_eval'] = fn
         jp = jnp.asarray([p_row], dtype=jnp.int32)
         jq = jnp.asarray([q_row], dtype=jnp.int32)
         if self.is_psr:
-            from .kernels.pallas_newview import evaluate_stacked_psr
+            _PK = self.PK  # evaluate_stacked_psr
             outs = []
             for g, ms in enumerate(self.groups):
                 if len(ms) == 1:
@@ -1989,7 +2002,7 @@ class LikelihoodEngine:
                     continue
                 pfn = self._jit_cache.get('pallas_eval_stacked_psr')
                 if pfn is None:
-                    pfn = jax.jit(evaluate_stacked_psr,
+                    pfn = jax.jit(_PK.evaluate_stacked_psr,
                                   static_argnames=('block_w',
                                                    'log_min_scale',
                                                    'interpret'))
@@ -2009,16 +2022,15 @@ class LikelihoodEngine:
             return np.array([float(np.asarray(o)) for o in
                              self._unstack([np.asarray(o)
                                             for o in outs])])
-        from .kernels.pallas_newview import (evaluate_stacked, fold_lam,
-                                             fold_rw)
+        _PK = self.PK  # evaluate_stacked, fold_lam, fold_rw
         outs = []
         for g, ms in enumerate(self.groups):
             dws = []
             for m in ms:
                 col = self._branch_col(m)
                 lz = math.log(max(qz[col], C.ZMIN))
-                lam = fold_lam(self.d_EIGN[m], self.d_gamma[m])
-                dws.append((fold_rw(self.d_rate_weights[m],
+                lam = _PK.fold_lam(self.d_EIGN[m], self.d_gamma[m])
+                dws.append((_PK.fold_rw(self.d_rate_weights[m],
                                     self.d_EIGN[m].shape[1])
                             * jnp.exp(lam * lz))[None, :].astype(
                                 jnp.float32))
@@ -2031,7 +2043,7 @@ class LikelihoodEngine:
             else:
                 sfn = self._jit_cache.get('pallas_eval_stacked')
                 if sfn is None:
-                    sfn = jax.jit(evaluate_stacked,
+                    sfn = jax.jit(_PK.evaluate_stacked,
                                   static_argnames=('block_w',
                                                    'log_min_scale',
                                                    'interpret'))
@@ -2047,15 +2059,14 @@ class LikelihoodEngine:
                          self._unstack([np.asarray(o) for o in outs])])
 
     def _nr_pallas(self, p_row, q_row, core_lz):
-        from .kernels.pallas_newview import (nr_derivatives_pallas,
-                                             nr_derivatives_pallas_psr)
+        _PK = self.PK  # nr_derivatives_pallas, nr_derivatives_pallas_psr
         interpret = jax.default_backend() == 'cpu'
         fn = self._jit_cache.get('pallas_nrd')
         if fn is None:
             statics = (('block_w', 'interpret') if self.is_psr
                        else ('block_w', 'log_min_scale', 'interpret'))
-            fn = jax.jit(nr_derivatives_pallas_psr if self.is_psr
-                         else nr_derivatives_pallas,
+            fn = jax.jit(_PK.nr_derivatives_pallas_psr if self.is_psr
+                         else _PK.nr_derivatives_pallas,
                          static_argnames=statics)
             self._jit_cache['pallas_nrd'] = fn
         jp = jnp.asarray([p_row], dtype=jnp.int32)
@@ -2076,9 +2087,9 @@ class LikelihoodEngine:
                             block_w=self._block_w(self.widths[m]),
                             interpret=interpret)
             else:
-                from .kernels.pallas_newview import fold_lam, fold_rw
-                lam = fold_lam(self.d_EIGN[m], self.d_gamma[m])
-                d = (fold_rw(self.d_rate_weights[m],
+                _PK = self.PK  # fold_lam, fold_rw
+                lam = _PK.fold_lam(self.d_EIGN[m], self.d_gamma[m])
+                d = (_PK.fold_rw(self.d_rate_weights[m],
                              self.d_EIGN[m].shape[1])
                      * jnp.exp(lam * core_lz[col])).astype(jnp.float32)
                 d1, d2 = fn(self.clv[m], self.scaler[m], jp, jq,
@@ -2484,8 +2495,7 @@ class LikelihoodEngine:
         per branch optimization instead of one per NR iteration (the
         reference pays an MPI allreduce per iteration here,
         makenewzGenericSpecial.c:1241-1248)."""
-        from .kernels.pallas_newview import (nr_derivatives_pallas,
-                                             nr_derivatives_pallas_psr)
+        _PK = self.PK  # nr_derivatives_pallas, nr_derivatives_pallas_psr
         n_models = self.n_models
         B = self.num_branches
         interpret = jax.default_backend() == 'cpu'
@@ -2496,14 +2506,13 @@ class LikelihoodEngine:
                 return self._g_nr_derivs(clvs, scalers, gamma, eign,
                                          rate_weights, gwgts, jp, jq,
                                          core_lz, interpret)
-            from .kernels.pallas_newview import \
-                nr_derivatives_stacked_psr
+            _PK = self.PK  # nr_derivatives_stacked_psr
             d1o, d2o = [], []
             for g, ms in enumerate(self.groups):
                 if len(ms) == 1:
                     m = ms[0]
                     col = self._branch_col(m)
-                    d1, d2 = nr_derivatives_pallas_psr(
+                    d1, d2 = _PK.nr_derivatives_pallas_psr(
                         clvs[g], scalers[g], jp, jq,
                         eign[m][0][None, :].astype(jnp.float32),
                         gwgts[g].astype(jnp.float32),
@@ -2513,7 +2522,7 @@ class LikelihoodEngine:
                         interpret=interpret)
                 else:
                     cols = jnp.asarray(self._g_cols(ms))
-                    d1, d2 = nr_derivatives_stacked_psr(
+                    d1, d2 = _PK.nr_derivatives_stacked_psr(
                         clvs[g], scalers[g], jp, jq,
                         jnp.stack([eign[m][0].astype(jnp.float32)
                                    for m in ms]),

@@ -23,12 +23,101 @@ site-dimension work.
 from __future__ import annotations
 
 import functools
+import inspect
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Positional arguments sharded on their LAST axis (the site dimension).
+# Everything else (descriptors, branch lengths, eigen tensors) is
+# replicated — the reference's rank model exactly: every rank holds the
+# whole tree and model, only site data differ (examl/partitionAssignment.c).
+_SITE_ARGS = frozenset({'clv', 'scaler', 'wgt', 'site_rates', 'codes'})
+_MESH_AXIS = 'sites'
+
+
+def _is_operand(x):
+    return x is not None and (isinstance(x, (jax.Array, np.ndarray))
+                              or hasattr(x, 'aval'))
+
+
+def shardable(*outs):
+    """Make a kernel wrapper SPMD over a `jax.sharding.Mesh` site axis.
+
+    The decorated function gains a `mesh=None` kwarg. With a mesh, the
+    call runs inside `jax.shard_map`: site-axis operands (names in
+    _SITE_ARGS) are split on their last axis, everything else is
+    replicated, and each device runs the unmodified single-device kernel
+    on its local site block — pallas_call has no SPMD partitioning rule,
+    so this manual region is what lets the fast path execute on a mesh
+    at all (the reference's rank-local kernel wave,
+    examl/newviewGenericSpecial.c:917-1515).
+
+    `outs` declares the output structure: each entry is either the name
+    of an input argument whose sharding the output mirrors (CLV/scaler
+    updates, per-site vectors), or 'sum' for a site-dimension reduction,
+    which is `lax.psum`ed over the mesh (the reference's MPI_Allreduce,
+    examl/evaluateGenericSpecial.c:966-973)."""
+    def deco(fn):
+        names = [p.name for p in
+                 inspect.signature(fn).parameters.values()
+                 if p.kind in (p.POSITIONAL_ONLY,
+                               p.POSITIONAL_OR_KEYWORD)]
+
+        @functools.wraps(fn)
+        def wrapper(*args, mesh=None, **kwargs):
+            if mesh is None:
+                return fn(*args, **kwargs)
+            from jax.sharding import PartitionSpec as P
+
+            def spec(x, site):
+                if not site:
+                    return P(*([None] * x.ndim))
+                return P(*([None] * (x.ndim - 1)), _MESH_AXIS)
+
+            # operands pass through shard_map; python scalars / None are
+            # static and stay bound in the closure. Array-valued KWARGS
+            # (e.g. a traced n_exec) must be operands too — shard_map
+            # rejects closed-over tracers.
+            op_pos = [i for i, a in enumerate(args) if _is_operand(a)]
+            op_kw = [k for k, v in kwargs.items() if _is_operand(v)]
+            operands = ([args[i] for i in op_pos]
+                        + [kwargs[k] for k in op_kw])
+            in_specs = tuple(
+                [spec(args[i], names[i] in _SITE_ARGS) for i in op_pos]
+                + [spec(kwargs[k], False) for k in op_kw])
+            bound = dict(zip(names, args))
+            single = len(outs) == 1
+            out_specs = tuple(P() if o == 'sum' else spec(bound[o], True)
+                              for o in outs)
+
+            def body(*ops):
+                a = list(args)
+                kw = dict(kwargs)
+                n_pos = len(op_pos)
+                for j, i in enumerate(op_pos):
+                    a[i] = ops[j]
+                for j, k in enumerate(op_kw):
+                    kw[k] = ops[n_pos + j]
+                res = fn(*a, **kw)
+                if single:
+                    res = (res,)
+                res = tuple(jax.lax.psum(r, _MESH_AXIS) if o == 'sum'
+                            else r for r, o in zip(res, outs))
+                return res[0] if single else res
+
+            f = jax.shard_map(
+                body, mesh=mesh, in_specs=in_specs,
+                out_specs=out_specs[0] if single else out_specs,
+                check_vma=False)
+            return f(*operands)
+
+        wrapper._shardable = True
+        return wrapper
+    return deco
 
 
 def _newview_kernel(p_idx, q_idx, r_idx, tip_tip,       # scalar prefetch
@@ -83,6 +172,7 @@ def _newview_kernel(p_idx, q_idx, r_idx, tip_tip,       # scalar prefetch
     s3_ref[0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
 
 
+@shardable('clv', 'scaler')
 def newview_level_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                          pls, prs, ev, *, block_w=2048,
                          min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
@@ -287,6 +377,7 @@ def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex,
         jax.lax.fori_loop(0, nex[0] // group, body, 0)
 
 
+@shardable('clv', 'scaler')
 def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                            lzq, lzr, lam, ei, ev, *, n_exec=None,
                            n_rows=None, block_w=512, group=1,
@@ -386,6 +477,7 @@ def _tip_kernel(codes_ref, tipvec_ref, clv_in, out_clv,
         out_clv[i] = jnp.where(is_tip, tip_block, clv_in[i])
 
 
+@shardable('clv',)
 def tip_rows_pallas(clv, codes, tipvec, n_tips, *, block_w=8192,
                     interpret=False):
     """Fill rows 1..n_tips of the CLV buffer with materialized tip
@@ -486,6 +578,7 @@ def _evaluate_kernel(p_row, q_row,                       # scalar prefetch
     out_ref[wb, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
+@shardable('sum',)
 def evaluate_pallas(clv, scaler, p_row, q_row, dw, wgt,
                     *, block_w=8192, log_min_scale=float(np.log(2.0 ** -30)),
                     interpret=False):
@@ -572,6 +665,7 @@ def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
     out_ref[n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
+@shardable('sum',)
 def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
                           *, block_w=8192,
                           log_min_scale=float(np.log(2.0 ** -30)),
@@ -618,6 +712,7 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
     return jnp.sum(partials, axis=1)
 
 
+@shardable('sum',)
 def evaluate_batch_gamma(clv, scaler, p_rows, q_rows, lzs, lam_vec,
                          rw_vec, wgt, *, block_w=8192,
                          log_min_scale=float(np.log(2.0 ** -30)),
@@ -669,6 +764,7 @@ def _evaluate_batch_psr_kernel(p_rows, q_rows,
     out_ref[n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
+@shardable('sum',)
 def evaluate_batch_psr(clv, scaler, p_rows, q_rows, lzs, eign, wgt,
                        site_rates, *, block_w=8192,
                        log_min_scale=float(np.log(2.0 ** -30)),
@@ -767,6 +863,7 @@ def _nr_batch_kernel(p_rows, q_rows,                     # scalar prefetch
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
+@shardable('sum', 'sum')
 def nr_derivatives_batch_pallas(clv, scaler, p_rows, q_rows, lam,
                                 rate_weights, wgt, lzs, *, block_w=8192,
                                 log_min_scale=float(np.log(2.0 ** -30)),
@@ -849,6 +946,7 @@ def _nr_kernel(p_row, q_row,
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
+@shardable('sum', 'sum')
 def nr_derivatives_pallas(clv, scaler, p_row, q_row, lam, d, wgt,
                           *, block_w=8192,
                           log_min_scale=float(np.log(2.0 ** -30)),
@@ -951,6 +1049,7 @@ def _newview_psr_kernel(p_idx, q_idx, r_idx, tip_tip,
     s3_ref[0, 0] = s1_s[0] + s2_s[0] + scale.astype(jnp.int32)
 
 
+@shardable('clv', 'scaler')
 def newview_level_pallas_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                              lamq, lamr, ei, ev, site_rates, *,
                              block_w=8192, min_scale=2.0 ** -30,
@@ -1049,6 +1148,7 @@ def _evaluate_psr_kernel(p_row, q_row,
     out_ref[wb, 0] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
+@shardable('sum',)
 def evaluate_pallas_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
                         *, block_w=8192,
                         log_min_scale=float(np.log(2.0 ** -30)),
@@ -1134,6 +1234,7 @@ def _nr_psr_kernel(p_row, q_row,
     out_ref[wb, 1] = jnp.sum(w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
+@shardable('sum', 'sum')
 def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
                               site_rates, lz, *, block_w=8192,
                               interpret=False):
@@ -1211,6 +1312,7 @@ def _per_site_lnl_kernel(p_row, q_row,
     out_ref[0] = jnp.log(jnp.abs(term)) + s * log_min_scale
 
 
+@shardable('site_rates',)
 def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
                         *, block_w=8192,
                         log_min_scale=float(np.log(2.0 ** -30)),
@@ -1324,6 +1426,7 @@ def _traversal_fused_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
         jax.lax.fori_loop(0, nex[0], body, 0)
 
 
+@shardable('clv', 'scaler')
 def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                             lzq, lzr, lam, ei, ev, exec_mask, *,
                             n_exec=None, n_rows=None, block_w=512,
@@ -1453,6 +1556,7 @@ def _newview_level_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, ex,
         s3_ref[0, 0, 0] = s1_s[0]
 
 
+@shardable('clv', 'scaler')
 def newview_level_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                           pls, prs, ev, ex=None, *, block_w=2048,
                           min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
@@ -1548,6 +1652,7 @@ def _evaluate_stacked_kernel(p_row, q_row,
     out_ref[pid, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
+@shardable('sum',)
 def evaluate_stacked(clv, scaler, p_row, q_row, dw, wgt,
                      *, block_w=8192,
                      log_min_scale=float(np.log(2.0 ** -30)),
@@ -1626,6 +1731,7 @@ def _evaluate_batch_stacked_kernel(p_rows, q_rows,
     out_ref[pid, n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
+@shardable('sum',)
 def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
                            *, block_w=8192,
                            log_min_scale=float(np.log(2.0 ** -30)),
@@ -1670,6 +1776,7 @@ def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
     return jnp.sum(partials, axis=2)
 
 
+@shardable('sum',)
 def evaluate_batch_gamma_stacked(clv, scaler, p_rows, q_rows, lzs, lams,
                                  rws, wgt, *, block_w=8192,
                                  log_min_scale=float(np.log(2.0 ** -30)),
@@ -1730,6 +1837,7 @@ def _nr_stacked_kernel(p_row, q_row,
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
+@shardable('sum', 'sum')
 def nr_derivatives_stacked(clv, scaler, p_row, q_row, lam, d, wgt,
                            *, block_w=8192,
                            log_min_scale=float(np.log(2.0 ** -30)),
@@ -1815,6 +1923,7 @@ def _nr_batch_stacked_kernel(p_rows, q_rows,
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
+@shardable('sum', 'sum')
 def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
                                  rate_weights, wgt, lzs, *, block_w=8192,
                                  log_min_scale=float(np.log(2.0 ** -30)),
@@ -1876,6 +1985,7 @@ def _tip_stacked_kernel(codes_ref, tipvec_ref, clv_in, out_clv,
         out_clv[0, i] = jnp.where(is_tip, tip_block, clv_in[0, i])
 
 
+@shardable('clv',)
 def tip_rows_stacked(clv, codes, tipvec, n_tips, *, block_w=8192,
                      interpret=False):
     """Stacked tip materialization: clv [P, rows, K, W] (donated), codes
@@ -1985,6 +2095,7 @@ def _newview_psr_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, ex,
         s3_ref[0, 0, 0] = s1_s[0]
 
 
+@shardable('clv', 'scaler')
 def newview_level_stacked_psr(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                               lamq, lamr, ei, ev, site_rates, ex=None, *,
                               block_w=8192, min_scale=2.0 ** -30,
@@ -2085,6 +2196,7 @@ def _evaluate_psr_stacked_kernel(p_row, q_row,
     out_ref[pid, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
+@shardable('sum',)
 def evaluate_stacked_psr(clv, scaler, p_row, q_row, lam, wgt, site_rates,
                          *, block_w=8192,
                          log_min_scale=float(np.log(2.0 ** -30)),
@@ -2165,6 +2277,7 @@ def _evaluate_batch_psr_stacked_kernel(p_rows, q_rows,
     out_ref[pid, n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
+@shardable('sum',)
 def evaluate_batch_stacked_psr(clv, scaler, p_rows, q_rows, lams, wgt,
                                site_rates, *, block_w=8192,
                                log_min_scale=float(np.log(2.0 ** -30)),
@@ -2251,6 +2364,7 @@ def _nr_psr_stacked_kernel(p_row, q_row,
                                                 0.0))
 
 
+@shardable('sum', 'sum')
 def nr_derivatives_stacked_psr(clv, scaler, p_row, q_row, eign, wgt,
                                site_rates, lzs, *, block_w=8192,
                                interpret=False):
@@ -2330,6 +2444,7 @@ def _per_site_lnl_stacked_kernel(p_row, q_row,
     out_ref[0, 0] = jnp.log(jnp.abs(term)) + s * log_min_scale
 
 
+@shardable('site_rates',)
 def per_site_lnl_stacked(clv, scaler, p_row, q_row, eign, site_rates,
                          lzs, *, block_w=8192,
                          log_min_scale=float(np.log(2.0 ** -30)),

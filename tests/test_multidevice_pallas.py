@@ -1,0 +1,114 @@
+"""Multi-chip execution of the FAST (Pallas) path: every @shardable
+kernel wrapper runs inside shard_map over the 'sites' mesh axis, so the
+fused Mosaic kernels execute rank-locally on each device's site shard
+with psum replacing the reference's MPI_Allreduce
+(examl/evaluateGenericSpecial.c:966-973; the rank-local kernel wave is
+newviewGenericSpecial.c:917-1515). Run in interpret mode on the 8-device
+virtual CPU mesh — the same kernels Mosaic compiles on hardware.
+"""
+import pathlib
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from examl_tpu.engine import LikelihoodEngine
+from examl_tpu.io.bytefile import read_bytefile
+from examl_tpu.io.newick import parse_newick
+from examl_tpu.search.spr import SprSearch
+from examl_tpu.tree import Tree
+
+REF = pathlib.Path('/root/reference/testData')
+DATA = pathlib.Path(__file__).resolve().parent / 'data'
+
+GOLDEN_INITIAL = -19685.568214      # f64 evaluate at defaultz
+GOLDEN_SMOOTHED = -17992.17237      # f64 treeEvaluate(1)
+
+
+def _mesh(n=8):
+    devices = jax.devices()
+    if len(devices) < n:
+        pytest.skip(f'needs {n} virtual devices')
+    return Mesh(np.array(devices[:n]), ('sites',))
+
+
+def _engines(rate_het='GAMMA', stack=None, nwk=None):
+    """(single-device, 8-device-mesh) Pallas engines on testData/49."""
+    aln = read_bytefile(str(DATA / '49.binary'))
+    nwk = nwk or (REF / '49.tree').read_text()
+    engs = []
+    for mesh in (None, _mesh()):
+        tree = Tree(aln.taxon_names)
+        parse_newick(nwk, tree)
+        engs.append(LikelihoodEngine(
+            aln, tree, dtype=jnp.float32, use_pallas=True,
+            rate_het=rate_het, stack=stack, sharding=mesh))
+    return engs
+
+
+def test_pallas_mesh_evaluate_matches_single_device():
+    single, sharded = _engines()
+    assert sharded.use_pallas and sharded.mesh is not None
+    # the CLV buffers must actually be split over the mesh
+    for g in range(sharded.n_groups):
+        shapes = {s.data.shape for s in sharded.clv[g].addressable_shards}
+        assert all(sh[-1] == sharded.g_width[g] // 8 for sh in shapes), \
+            shapes
+
+    l1 = single.evaluate(single.tree.start, full_traversal_=True)
+    l8 = sharded.evaluate(sharded.tree.start, full_traversal_=True)
+    # identical math; only the psum association order differs
+    assert l8 == pytest.approx(l1, abs=0.02)
+    assert l8 == pytest.approx(GOLDEN_INITIAL, abs=0.5)
+
+
+def test_pallas_mesh_smoothing_and_nr():
+    single, sharded = _engines()
+    s1 = single.tree_evaluate(1.0)
+    s8 = sharded.tree_evaluate(1.0)
+    # on-device NR loops take identical steps when the psum'd derivatives
+    # match; tolerance covers f32 reduction-order noise through 32 rounds
+    assert s8 == pytest.approx(s1, abs=0.05)
+    assert s8 == pytest.approx(GOLDEN_SMOOTHED, abs=0.5)
+
+
+def test_pallas_mesh_spr_wave():
+    single, sharded = _engines()
+    scores = []
+    for eng in (single, sharded):
+        eng.tree_evaluate(1.0)
+        search = SprSearch(eng)
+        assert search.batch_lazy
+        search.start_lh = search.end_lh = eng.likelihood
+        search.best_of_node = -1e30
+        assert search.rearrange_big(eng.tree.nodep[eng.tree.mxtips + 5],
+                                    1, 5)
+        scores.append(search.best_of_node)
+    assert scores[1] == pytest.approx(scores[0], abs=0.05)
+
+
+def test_pallas_mesh_psr_path():
+    single, sharded = _engines(rate_het='PSR')
+    l1 = single.evaluate(single.tree.start, full_traversal_=True)
+    l8 = sharded.evaluate(sharded.tree.start, full_traversal_=True)
+    assert l8 == pytest.approx(l1, abs=0.05)
+    s1 = single.tree_evaluate(1.0)
+    s8 = sharded.tree_evaluate(1.0)
+    assert s8 == pytest.approx(s1, abs=0.05)
+
+
+@pytest.mark.slow
+def test_pallas_mesh_full_modopt():
+    """modOpt (Brent sweeps + on-device optimizer + smoothing) end to end
+    on the mesh: the complete `-f e` surface of the fast path."""
+    from examl_tpu.optimize.model_opt import ModelOptimizer
+    single, sharded = _engines()
+    outs = []
+    for eng in (single, sharded):
+        eng.evaluate(eng.tree.start, full_traversal_=True)
+        eng.tree_evaluate(1.0)
+        ModelOptimizer(eng).mod_opt(5.0)
+        outs.append(eng.likelihood)
+    assert outs[1] == pytest.approx(outs[0], abs=0.3)
