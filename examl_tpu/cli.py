@@ -167,6 +167,11 @@ def cmd_run(args):
         jax.config.update('jax_platforms', args.platform)
     if args.f64:
         jax.config.update('jax_enable_x64', True)
+    if args.distributed:
+        # MPI_Init analogue (axml.c:2575); coordinator/process-id come
+        # from the EXAML_TPU_* env vars or cluster autodetection
+        from .parallel.distributed import initialize
+        initialize()
     if jax.default_backend() not in ('cpu',):
         # persist compiled executables; the remote-compile path is slow
         cache = os.path.join(os.path.expanduser('~'), '.examl_tpu_cache')
@@ -206,6 +211,22 @@ def cmd_run(args):
                   max_categories=args.c)
     if args.stack != 'auto':
         kwargs['stack'] = args.stack == 'on'
+    if args.devices != 1:
+        # site-shard every per-site buffer over an N-device 'sites' mesh
+        # (the reference's rank parallelism, partitionAssignment.c; psum
+        # rides the ICI instead of MPI_Allreduce). 0 = all visible devices.
+        import numpy as np
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        n = args.devices or len(devs)
+        if n > len(devs):
+            raise SystemExit(f'--devices {n}: only {len(devs)} visible '
+                             f'(use --distributed / XLA_FLAGS='
+                             f'--xla_force_host_platform_device_count=N)')
+        if n > 1:
+            kwargs['sharding'] = Mesh(np.array(devs[:n]), ('sites',))
+            _info(info_path, f'Device mesh: {n} device(s) over the sites '
+                             f'axis\n')
     run_extra = dict(auto_prot_selection=args.auto_prot)
 
     import contextlib
@@ -357,6 +378,13 @@ def main(argv=None):
                    choices=['ml', 'bic', 'aic', 'aicc'])
     r.add_argument('--platform', default=None,
                    help='jax platform override (cpu|axon|tpu)')
+    r.add_argument('--devices', type=int, default=1, metavar='N',
+                   help='site-shard over an N-device mesh (0 = all '
+                        'visible devices; default 1 = no mesh)')
+    r.add_argument('--distributed', action='store_true',
+                   help='join the multi-process jax.distributed runtime '
+                        '(coordinator from EXAML_TPU_COORDINATOR / '
+                        'cluster autodetection) before building the mesh')
     r.add_argument('--stack', choices=('auto', 'on', 'off'),
                    default='auto',
                    help='partition-geometry stacking: one kernel launch '
