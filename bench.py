@@ -1,16 +1,24 @@
-"""Benchmark: CLV-update throughput (site-updates/sec/chip).
+"""Benchmark: likelihood-kernel throughput on one chip.
 
-Runs level-batched CLV waves (newview over every inner node of a random
-64-taxon tree, 65536 DNA sites, GTR+GAMMA, f32) using the fused Pallas
-kernel on one chip. Baseline: the reference's AVX build does 33.9M CLV
-site-updates/s/core on this machine (642 patterns x 47 nodes x 200
-full-traversal evaluations in 0.178 s, f64; measured with the
-instrumented build in .refbuild). vs_baseline is the ratio against that
-per-core number; the round target is >= 5.
+Primary metric (unchanged across rounds): CLV-update throughput of the
+fused whole-traversal DNA GTR+GAMMA wave (newview over every inner node
+of a random 64-taxon tree, 65536 sites, f32) — the engine's hot kernel.
+Baseline: the reference's AVX build does 33.9M CLV site-updates/s/core on
+this machine (642 patterns x 47 nodes x 200 full-traversal evaluations in
+0.178 s, f64; instrumented build, see BASELINE.md). vs_baseline is the
+ratio against that per-core number; the round target is >= 5.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra rows (VERDICT r2 weak #2: the bench was one synthetic shape):
+20-state (AA) newview, root evaluate, NR derivatives, and the
+partition-stacked evaluate — each reported as median site-updates/s (or
+site-terms/s for reductions) over >= 5 repetitions with relative spread,
+so tunnel noise is visible instead of silently folded into a best-of.
+
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "spread", "rows": {...}}
 """
 import json
+import statistics
 import sys
 import time
 
@@ -21,6 +29,23 @@ REF_AVX_UPDATES_PER_SEC = 33.9e6
 N_TAXA = 64
 SITES = 1 << 16
 ITERS = 60
+REPS = 5
+
+
+def _measure(step, sync, iters, reps):
+    """Median + relative spread of `iters` pipelined steps, `reps` times.
+    One value fetch per repetition is the only rigorous sync through the
+    device tunnel (block_until_ready under-reports; BASELINE.md r2)."""
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(iters):
+            step()
+        sync()
+        times.append(time.time() - t0)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med > 0 else 0.0
+    return med, spread
 
 
 def main():
@@ -35,8 +60,13 @@ def main():
     import jax.numpy as jnp
     sys.path.insert(0, '/root/repo')
     from __graft_entry__ import _synthetic
-    from examl_tpu.kernels.pallas_newview import (blockdiag, fold_lam,
-                                                  traversal_fused_pallas)
+    from examl_tpu.kernels import pallas_newview as PK
+
+    interpret = jax.default_backend() == 'cpu'
+    global ITERS, REPS
+    if interpret:
+        ITERS, REPS = 2, 3          # off-hardware smoke run only
+    rows_out = {}
 
     args, consts, level_args = _synthetic(n_taxa=N_TAXA, sites=SITES,
                                           dtype=jnp.float32)
@@ -45,57 +75,165 @@ def main():
     rows, C_, S_, W_ = a['clv'].shape
     a['clv'] = a['clv'].reshape(rows, C_ * S_, W_)
     a['scaler'] = a['scaler'][:, :1, :]
+    K = C_ * S_
 
-    # the engine's accelerator path: the WHOLE traversal is one Mosaic
-    # kernel (P matrices built on the fly from log branch lengths), one
-    # device dispatch per wave (engine._build_pallas_program); only the
-    # real ops execute (n_exec skips the bucketed descriptor padding)
+    # ---- primary row: fused DNA GAMMA whole-traversal wave -------------
     jp = a['p_idx'].astype(jnp.int32)
     jq = a['q_idx'].astype(jnp.int32)
     jr = a['r_idx'].astype(jnp.int32)
     jt = a['tip_tip'].astype(jnp.int32)
     lzq = jnp.log(jnp.maximum(a['qz'], 1e-15)).astype(jnp.float32)
     lzr = jnp.log(jnp.maximum(a['rz'], 1e-15)).astype(jnp.float32)
-    lam = fold_lam(a['eign'], a['gamma']).astype(jnp.float32)[None, :]
-    ei_bd = blockdiag(a['ei']).astype(jnp.float32)
-    ev_bd = blockdiag(a['ev']).astype(jnp.float32)
+    lam = PK.fold_lam(a['eign'], a['gamma']).astype(jnp.float32)[None, :]
+    ei_bd = PK.blockdiag(a['ei']).astype(jnp.float32)
+    ev_bd = PK.blockdiag(a['ev']).astype(jnp.float32)
     n_real = int(np.sum(np.asarray(a['p_idx']) != rows - 1))
 
     # VMEM plan (engine._fused_plan): rows*(C*S+1)*bw*4*2 <= ~12MB
-    bw = 512
-    fn = jax.jit(traversal_fused_pallas,
+    fn = jax.jit(PK.traversal_fused_pallas,
                  static_argnames=('n_exec', 'n_rows', 'block_w', 'group',
                                   'min_scale', 'inv_min_scale', 'interpret'),
                  donate_argnums=(0, 1))
 
-    def full_wave(clv, scaler):
-        return fn(clv, scaler, jp, jq, jr, jt, lzq, lzr, lam, ei_bd, ev_bd,
-                  n_exec=n_real, n_rows=rows, block_w=bw,
-                  min_scale=consts['min_scale'],
-                  inv_min_scale=consts['inv_min_scale'])
+    state = [a['clv'], a['scaler']]
 
-    clv, scaler = full_wave(a['clv'], a['scaler'])   # compile + warmup
-    # a value fetch is the only rigorous sync through the device tunnel
-    # (block_until_ready alone under-reports; see BASELINE.md round-2 notes)
-    float(jnp.sum(clv[2, 0, :8]))
+    def wave_step():
+        state[0], state[1] = fn(
+            state[0], state[1], jp, jq, jr, jt, lzq, lzr, lam, ei_bd,
+            ev_bd, n_exec=n_real, n_rows=rows, block_w=512,
+            min_scale=consts['min_scale'],
+            inv_min_scale=consts['inv_min_scale'], interpret=interpret)
 
-    n_updates = n_real             # count only REAL CLV updates
-    # per-process tunnel state is noisy for the first seconds after the
-    # chip claim; take the best of several measured repetitions
-    best_dt = float('inf')
-    for _ in range(4):
-        t0 = time.time()
-        for _ in range(ITERS):
-            clv, scaler = full_wave(clv, scaler)
-        float(jnp.sum(clv[2, 0, :8]))
-        best_dt = min(best_dt, time.time() - t0)
+    def wave_sync():
+        float(jnp.sum(state[0][2, 0, :8]))
 
-    rate = SITES * n_updates * ITERS / best_dt
+    wave_step()
+    wave_sync()                                    # compile + warmup
+    med, spread = _measure(wave_step, wave_sync, ITERS, REPS)
+    rate = SITES * n_real * ITERS / med
+    rows_out['newview_dna_gamma'] = dict(
+        value=rate, unit='site-updates/s', spread=round(spread, 3))
+
+    # ---- 20-state (AA) GAMMA newview level wave -------------------------
+    rng = np.random.default_rng(1)
+    SA, WA, NA = 24, 1 << 14, 16            # padded states, sites, nodes/level
+    KA = 4 * SA
+    rows_a = 48
+    clv_a = jnp.asarray(rng.uniform(0.1, 1.0, (rows_a, KA, WA)),
+                        jnp.float32)
+    sc_a = jnp.zeros((rows_a, 1, WA), jnp.int32)
+    pa = jnp.asarray(rng.integers(32, rows_a, NA), jnp.int32)
+    qa = jnp.asarray(rng.integers(1, 32, NA), jnp.int32)
+    ra = jnp.asarray(rng.integers(1, 32, NA), jnp.int32)
+    ta = jnp.zeros(NA, jnp.int32)
+    pls = jnp.asarray(rng.uniform(0.0, 0.2, (NA, KA, KA)), jnp.float32)
+    prs = jnp.asarray(rng.uniform(0.0, 0.2, (NA, KA, KA)), jnp.float32)
+    ev_a = jnp.asarray(rng.uniform(0.0, 0.2, (KA, KA)), jnp.float32)
+    fn_a = jax.jit(PK.newview_level_pallas,
+                   static_argnames=('block_w', 'min_scale', 'inv_min_scale',
+                                    'interpret'), donate_argnums=(0, 1))
+    st_a = [clv_a, sc_a]
+
+    def aa_step():
+        st_a[0], st_a[1] = fn_a(st_a[0], st_a[1], pa, qa, ra, ta, pls, prs,
+                                ev_a, block_w=1024,
+                                min_scale=consts['min_scale'],
+                                inv_min_scale=consts['inv_min_scale'],
+                                interpret=interpret)
+
+    def aa_sync():
+        float(jnp.sum(st_a[0][33, 0, :8]))
+
+    aa_step()
+    aa_sync()
+    med_a, spread_a = _measure(aa_step, aa_sync, 20, REPS)
+    rows_out['newview_aa_gamma'] = dict(
+        value=WA * NA * 20 / med_a, unit='site-updates/s',
+        spread=round(spread_a, 3))
+
+    # ---- root evaluate (site reduction -> lnL) --------------------------
+    wgt = jnp.ones(SITES, jnp.float32)
+    dw = jnp.asarray(rng.uniform(0.1, 0.5, (1, K)), jnp.float32)
+    p_row = jnp.asarray([2], jnp.int32)
+    q_row = jnp.asarray([3], jnp.int32)
+    fn_e = jax.jit(PK.evaluate_pallas,
+                   static_argnames=('block_w', 'log_min_scale', 'interpret'))
+    acc = [None]
+
+    def ev_step():
+        acc[0] = fn_e(state[0], state[1], p_row, q_row, dw, wgt,
+                      block_w=8192, log_min_scale=consts['log_min_scale'],
+                      interpret=interpret)
+
+    def ev_sync():
+        float(acc[0])
+
+    ev_step()
+    ev_sync()
+    it_e = ITERS * 10
+    med_e, spread_e = _measure(ev_step, ev_sync, it_e, REPS)
+    rows_out['evaluate_dna'] = dict(
+        value=SITES * it_e / med_e, unit='site-reductions/s',
+        spread=round(spread_e, 3))
+
+    # ---- NR derivative core ---------------------------------------------
+    lam_flat = lam.astype(jnp.float32)
+    d_vec = jnp.asarray(rng.uniform(0.1, 0.5, (1, K)), jnp.float32)
+    fn_n = jax.jit(PK.nr_derivatives_pallas,
+                   static_argnames=('block_w', 'log_min_scale', 'interpret'))
+    accn = [None]
+
+    def nr_step():
+        accn[0] = fn_n(state[0], state[1], p_row, q_row, lam_flat, d_vec,
+                       wgt, block_w=8192,
+                       log_min_scale=consts['log_min_scale'],
+                       interpret=interpret)
+
+    def nr_sync():
+        float(accn[0][0])
+
+    nr_step()
+    nr_sync()
+    it_n = ITERS * 10
+    med_n, spread_n = _measure(nr_step, nr_sync, it_n, REPS)
+    rows_out['nr_derivatives_dna'] = dict(
+        value=SITES * it_n / med_n, unit='site-reductions/s',
+        spread=round(spread_n, 3))
+
+    # ---- partition-stacked evaluate (4 same-geometry partitions) --------
+    P_, WS = 4, 1 << 14
+    clv_s = jnp.asarray(rng.uniform(0.1, 1.0, (P_, 16, K, WS)), jnp.float32)
+    sc_s = jnp.zeros((P_, 16, 1, WS), jnp.int32)
+    wgt_s = jnp.ones((P_, WS), jnp.float32)
+    dw_s = jnp.asarray(rng.uniform(0.1, 0.5, (P_, 1, K)), jnp.float32)
+    fn_s = jax.jit(PK.evaluate_stacked,
+                   static_argnames=('block_w', 'log_min_scale', 'interpret'))
+    accs = [None]
+
+    def st_step():
+        accs[0] = fn_s(clv_s, sc_s, p_row, q_row, dw_s, wgt_s,
+                       block_w=8192, log_min_scale=consts['log_min_scale'],
+                       interpret=interpret)
+
+    def st_sync():
+        float(accs[0][0])
+
+    st_step()
+    st_sync()
+    it_s = ITERS * 10
+    med_s, spread_s = _measure(st_step, st_sync, it_s, REPS)
+    rows_out['evaluate_stacked_4x'] = dict(
+        value=P_ * WS * it_s / med_s, unit='site-reductions/s',
+        spread=round(spread_s, 3))
+
+    primary = rows_out['newview_dna_gamma']
     print(json.dumps({
         'metric': 'clv_site_updates_per_sec_per_chip',
-        'value': rate,
+        'value': primary['value'],
         'unit': 'site-updates/s',
-        'vs_baseline': rate / REF_AVX_UPDATES_PER_SEC,
+        'vs_baseline': primary['value'] / REF_AVX_UPDATES_PER_SEC,
+        'spread': primary['spread'],
+        'rows': rows_out,
     }))
 
 

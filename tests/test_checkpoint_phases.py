@@ -140,3 +140,60 @@ def test_quartets_resume(tmp_path):
     assert out.read_text() == ref_out.read_text()
     # the resumed run only evaluates the remaining quartets
     assert len(res) < len(full)
+
+
+@pytest.mark.slow
+def test_resume_under_different_device_count(tmp_path):
+    """A checkpoint written on one device resumes on an 8-device mesh to
+    the uninterrupted result — the reference explicitly supports
+    restarting with a different rank count because per-site state is
+    checkpointed in global site order (searchAlgo.c:1586-1648). PSR mode
+    exercises the per-site rate/category arrays, the only genuinely
+    device-count-dependent state."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from examl_tpu.run import run_tree_evaluation
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip('needs 8 virtual devices')
+    mesh = Mesh(np.array(devices[:8]), ('sites',))
+
+    aln = read_bytefile(str(DATA / 'bin12.binary'))
+    nwk = (DATA / 'bin12.tree').read_text()
+    eps = 1e-5
+    kwargs = dict(rate_het='PSR', max_categories=25)
+
+    full = run_tree_evaluation(aln, nwk, likelihood_epsilon=eps, **kwargs)
+
+    import examl_tpu.optimize.model_opt as mo
+    orig = mo.ModelOptimizer.mod_opt
+    calls = {'n': 0}
+
+    def limited(self, e, checkpointer=None):
+        def bomb():
+            if checkpointer is not None:
+                checkpointer()
+            calls['n'] += 1
+            if calls['n'] >= 1:
+                raise Stop
+        return orig(self, e, checkpointer=bomb)
+
+    mo.ModelOptimizer.mod_opt = limited
+    try:
+        with pytest.raises(Stop):
+            run_tree_evaluation(aln, nwk, likelihood_epsilon=eps,
+                                checkpoint_run_id='xdev',
+                                checkpoint_workdir=str(tmp_path), **kwargs)
+    finally:
+        mo.ModelOptimizer.mod_opt = orig
+
+    # resume the single-device checkpoint on the 8-device mesh
+    res = run_tree_evaluation(aln, nwk, likelihood_epsilon=eps,
+                              checkpoint_run_id='xdev',
+                              checkpoint_workdir=str(tmp_path),
+                              resume_from_checkpoint=True,
+                              sharding=mesh, **kwargs)
+    assert res.engine.mesh is not None
+    assert res.likelihood == pytest.approx(full.likelihood, abs=1e-5)

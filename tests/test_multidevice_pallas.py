@@ -99,7 +99,7 @@ def test_pallas_mesh_psr_path():
     assert s8 == pytest.approx(s1, abs=0.05)
 
 
-@pytest.mark.slow
+@pytest.mark.veryslow
 def test_pallas_mesh_full_modopt():
     """modOpt (Brent sweeps + on-device optimizer + smoothing) end to end
     on the mesh: the complete `-f e` surface of the fast path."""
