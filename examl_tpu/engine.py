@@ -57,6 +57,16 @@ from .tree import Node, Tree
 PALLAS_GROUP = 8
 
 
+def _device_memory_limit():
+    """Per-device accelerator memory in bytes, or None when the backend
+    does not report one (CPU)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return stats.get('bytes_limit')
+    except Exception:
+        return None
+
+
 class _TimedJitCache(dict):
     """Cache of jitted programs that also attributes host-blocked time:
     any cached callable whose invocation blocks the host for more than
@@ -302,6 +312,7 @@ class LikelihoodEngine:
         self.PK = _Kernels(self.mesh if self.use_pallas else None)
 
         self._jit_cache = _TimedJitCache(self)
+        self._check_memory()
         self._build_buffers()
         self.update_eigen(range(self.n_models))
 
@@ -461,6 +472,51 @@ class LikelihoodEngine:
                 self.scaler.append(self._put(jnp.zeros(
                     (self.rows, self.n_cats, self.widths[m0]),
                     dtype=jnp.int32), 'scaler'))
+
+    def memory_estimate(self) -> dict:
+        """Device-memory budget for the CLV state, the analogue of the
+        reference parser's printed memory arithmetic (parser/axml.c:
+        2846-2884: CAT states*patterns*taxa*8 B, GAMMA 4x, + tips). Adds
+        what the reference model omits: the scratch-row pool, the state/
+        lane padding, and the scale counters — the folded (Pallas) layout
+        carries ONE int32 counter per (row, site) (the reference's own
+        per-site ex_L scheme); the jnp path carries one per (row,
+        category, site), a 4x HBM tax accepted for kernel simplicity on
+        the non-accelerator path. Returns bytes by component, plus the
+        per-device share under the mesh (sites axis sharded)."""
+        clv_b = self.clv_dtype.itemsize
+        clv = scaler = tips = 0
+        for m in range(self.n_models):
+            w = self.aln.partitions[m].width
+            W = max(self.pad, ((w + self.pad - 1) // self.pad) * self.pad)
+            S = self._padded_states(m)
+            clv += self.rows * self.n_cats * S * W * clv_b
+            cnt = 1 if self.folded else self.n_cats
+            scaler += self.rows * cnt * W * 4
+            tips += (((self.mxtips + 1 + 7) // 8) * 8) * W * 4
+        total = clv + scaler + tips
+        return dict(clv=clv, scaler=scaler, tips=tips, total=total,
+                    per_device=total // self.mesh_ndev)
+
+    def _check_memory(self):
+        """Fail fast (before any allocation) when the CLV state cannot fit
+        the mesh's per-device memory — the reference leaves this to an
+        MPI_Abort inside malloc_aligned (examl/axml.c:129-140); here the
+        error carries the parser-style sizing so the user can grow the
+        mesh instead of watching an opaque device OOM."""
+        est = self.memory_estimate()
+        limit = _device_memory_limit()
+        if limit and est['per_device'] > 0.92 * limit:
+            gib = 1 << 30
+            need = math.ceil(est['total'] / (0.92 * limit))
+            raise MemoryError(
+                f"CLV state needs {est['per_device'] / gib:.1f} GiB per "
+                f"device (CLVs {est['clv'] / gib:.1f} + scale counters "
+                f"{est['scaler'] / gib:.1f} + tips {est['tips'] / gib:.1f} "
+                f"GiB total over {self.mesh_ndev} device(s)) but the "
+                f"device reports {limit / gib:.1f} GiB; shard the sites "
+                f"axis over >= {need} devices (sharding=Mesh(...)), or "
+                f"use clv_dtype=bfloat16 to halve the CLV bytes")
 
     def _put(self, arr, kind):
         """Place an array on the device mesh with the sites axis sharded

@@ -136,6 +136,11 @@ class SprSearch:
         # -B: additional cache of the N best distinct ML trees
         self.best_ml = BestList(save_best_trees) if save_best_trees else None
 
+        # optional trajectory trace stream (tools/dbg_traj.py): one line
+        # per tested insertion candidate / applied improvement, used to
+        # pin the batched drivers to the sequential walk's exact decisions
+        self.trace = None
+
         self.ilist = InfoList()
         # per-cycle SPR bookkeeping (tree struct fields in the reference)
         self.start_lh = 0.0
@@ -293,6 +298,9 @@ class SprSearch:
 
         self.insert_big(p, q)
         lh = self.eng.evaluate(p.next.next)
+        if self.trace is not None:
+            self.trace.write(f'T {p.number} {q.number} {lh:.9f} '
+                             f'{self.end_lh:.9f}\n')
 
         if lh > self.best_of_node:
             self.best_of_node = lh
@@ -553,6 +561,9 @@ class SprSearch:
                 cut[i] = True            # ancestor was cut: never tested
                 continue
             lh = float(scores[i])
+            if self.trace is not None:
+                self.trace.write(f'T {p.number} {c["u"].number} {lh:.9f} '
+                                 f'{self.end_lh:.9f}\n')
             start_lh = self.end_lh
             if lh > self.best_of_node:
                 self.best_of_node = lh
@@ -857,6 +868,9 @@ class SprSearch:
             self.eng.likelihood = self.end_lh
 
     def restore_tree_fast(self):
+        if self.trace is not None:
+            self.trace.write(f'A {self.remove_node.number} '
+                             f'{self.insert_node.number}\n')
         self.remove_node_restore_big(self.remove_node)
         self.test_insert_restore_big(self.remove_node, self.insert_node)
 
@@ -911,6 +925,9 @@ class SprSearch:
         self.ilist.reset()
         bt.reset()
         self.start_lh = self.end_lh = eng.likelihood
+        if self.trace is not None:
+            self.trace.write(f'C {eng.likelihood:.9f} {maxtrav} '
+                             f'{int(self.thorough)}\n')
 
         if self.do_cutoff:
             factor = 0.5 if self.big_cutoff else 1.0

@@ -47,6 +47,27 @@ def test_full_search_49_f32_pallas():
     assert res.likelihood >= GOLDEN_SEARCH_LNL - 1.0
 
 
+GOLDEN_SEARCH_LNL_140 = -121176.571304   # reference -f d on testData/140
+                                         # (SSE3 build, 2968.7 s, BASELINE.md)
+
+
+@pytest.mark.veryslow
+def test_full_search_140_aa():
+    """Full -f d on the reference's second bundled dataset (140 taxa AA,
+    WAG + AUTO + AUTO partitions — AUTO model selection runs INSIDE the
+    search, optimizeModel.c:2669). A CPU run takes many hours (one
+    tree_evaluate alone is ~40 s), so this gate requires the accelerator;
+    tools/run140_hw.py is the standalone driver. Hardware results are
+    recorded in BASELINE.md."""
+    import jax
+    if jax.default_backend() == 'cpu':
+        pytest.skip('140 -f d needs the accelerator (CPU: many hours)')
+    aln = read_bytefile(str(DATA / '140.binary'))
+    res = run_search(aln, (REF / '140.tree').read_text())
+    # f32 accelerator trajectory: within 1 lnL of the reference optimum
+    assert res.likelihood >= GOLDEN_SEARCH_LNL_140 - 1.0
+
+
 @pytest.mark.veryslow
 def test_full_search_stacked_trajectory_identical():
     """Full -f d with partition stacking ON vs OFF at equal member

@@ -11,6 +11,7 @@ shortfall: numeric precision (f32 vs f64) vs trajectory mechanics
   python tools/dbg_traj.py f32-seq      # f32 Pallas, sequential walk
   python tools/dbg_traj.py f32-batch    # f32 Pallas, batched (default HW)
 """
+import os
 import pathlib
 import sys
 import time
@@ -37,10 +38,13 @@ def main(mode):
     f32 = mode.startswith('f32')
 
     orig_init = spr_mod.SprSearch.__init__
+    trace_path = os.environ.get('DBG_TRACE')
+    trace = open(trace_path, 'w', buffering=1) if trace_path else None
 
     def patched(self, engine, **kw):
         kw['batch_lazy'] = want_batch
         orig_init(self, engine, **kw)
+        self.trace = trace
         if not want_batch:
             self.batch_thorough = False
             self.speculate = False
