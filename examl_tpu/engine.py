@@ -1603,13 +1603,14 @@ class LikelihoodEngine:
             # exec_mask is a dynamic [M] bool vector (one compiled program
             # serves every evaluateChange mask pattern); masked partitions
             # keep their stale CLVs (singletons via a select, stacked
-            # groups in-kernel). Slots with sub[i] True take their rz
-            # branch length from the device value zqrs (speculative SPR:
-            # the prune-branch NR result never visits the host).
-            lzr = jnp.where(
-                sub[:, None],
-                jnp.log(jnp.maximum(zqrs, C.ZMIN)).astype(jnp.float32)[None, :],
-                lzr)
+            # groups in-kernel). Slots with sub[i]&1 take their rz branch
+            # length (sub[i]&2: qz) from the device value zqrs
+            # (speculative SPR: the prune-branch NR result never visits
+            # the host).
+            lzqr = jnp.log(jnp.maximum(zqrs, C.ZMIN)).astype(
+                jnp.float32)[None, :]
+            lzr = jnp.where((sub & 1).astype(bool)[:, None], lzqr, lzr)
+            lzq = jnp.where((sub & 2).astype(bool)[:, None], lzqr, lzq)
             out_c = list(clvs)
             out_s = list(scalers)
             for gi, ms in enumerate(self.groups):
@@ -1690,15 +1691,15 @@ class LikelihoodEngine:
         lzr = jnp.asarray(
             np.log(np.maximum(packed.rz, C.ZMIN)).astype(np.float32))
         nex = jnp.asarray([packed.exec_count()], dtype=jnp.int32)
-        # device-side branch substitution: slots with sub[i] True read
-        # their rz from zqr_sub — a device-resident value such as the
-        # in-flight prune-branch NR result of the speculative SPR driver —
-        # instead of the host descriptor (which then only carries a
-        # placeholder)
+        # device-side branch substitution: bit 1 of sub[i] replaces the
+        # slot's rz (bit 2: qz) with zqr_sub — a device-resident value
+        # such as the in-flight prune-branch NR result of the speculative
+        # SPR driver — instead of the host descriptor (which then only
+        # carries a placeholder). Boolean masks (rz-only) still work.
         L = packed.p_idx.shape[0]
-        sub = np.zeros(L, dtype=bool)
+        sub = np.zeros(L, dtype=np.int32)
         if sub_mask is not None:
-            sub[:len(sub_mask)] = sub_mask
+            sub[:len(sub_mask)] = np.asarray(sub_mask, dtype=np.int32)
         if zqr_sub is None:
             zqr_sub = jnp.full((self.num_branches,), C.DEFAULTZ,
                                jnp.float32)
@@ -1938,6 +1939,46 @@ class LikelihoodEngine:
             jnp.asarray(packed.qz, dtype=self.dtype),
             jnp.asarray(packed.rz, dtype=self.dtype),
             jnp.asarray(exec_mask))
+        self.clv = list(clvs)
+        self.scaler = list(scalers)
+
+    def copy_rows(self, src_rows, dst_rows):
+        """Copy CLV + scale-counter rows src->dst across every partition
+        group in ONE dispatch. This is the commit step of the stale-exact
+        batched SPR walk: after the candidate replay determines which
+        insertions the sequential walk would actually have tested, only
+        THEIR CLV recomputes move from the scratch versions to the main
+        rows — leaving exactly the persistent buffer state the reference's
+        walk leaves behind (its partial traversals trust these rows across
+        prune positions, newviewGenericSpecial.c:691-813)."""
+        n = len(src_rows)
+        if n == 0:
+            return
+        L = 1
+        while L < n:
+            L *= 2
+        src = np.zeros(L, dtype=np.int32)
+        dst = np.zeros(L, dtype=np.int32)
+        src[:n] = src_rows
+        dst[:n] = dst_rows
+        fn = self._jit_cache.get('copy_rows')
+        if fn is None:
+            def run(clvs, scalers, jsrc, jdst):
+                out_c, out_s = list(clvs), list(scalers)
+                for g, ms in enumerate(self.groups):
+                    row_ax = 1 if len(ms) > 1 else 0
+                    if row_ax == 1:
+                        out_c[g] = clvs[g].at[:, jdst].set(clvs[g][:, jsrc])
+                        out_s[g] = scalers[g].at[:, jdst].set(
+                            scalers[g][:, jsrc])
+                    else:
+                        out_c[g] = clvs[g].at[jdst].set(clvs[g][jsrc])
+                        out_s[g] = scalers[g].at[jdst].set(scalers[g][jsrc])
+                return tuple(out_c), tuple(out_s)
+            fn = jax.jit(run, donate_argnums=(0, 1))
+            self._jit_cache['copy_rows'] = fn
+        clvs, scalers = fn(tuple(self.clv), tuple(self.scaler),
+                           jnp.asarray(src), jnp.asarray(dst))
         self.clv = list(clvs)
         self.scaler = list(scalers)
 
@@ -2659,10 +2700,11 @@ class LikelihoodEngine:
         return jax.jit(nr_loop, static_argnames=())
 
 
-    def _makenewz_dispatch(self, p, q, z0, maxiter, mask=False):
-        """Dispatch the on-device NR while_loop; returns the optimized z
-        as a DEVICE handle [B] (no host sync). Inputs are assumed already
-        refreshed (x-flags honored by the caller)."""
+    def _makenewz_dispatch(self, p_row, q_row, z0, maxiter, mask=False):
+        """Dispatch the on-device NR while_loop on the CLVs at the given
+        buffer ROWS (node rows or scratch versions); returns the optimized
+        z as a DEVICE handle [B] (no host sync). Inputs are assumed
+        already refreshed (x-flags honored by the caller)."""
         fn = self._jit_cache.get('pallas_nr_loop')
         if fn is None:
             fn = self._build_nr_loop_fn()
@@ -2674,8 +2716,8 @@ class LikelihoodEngine:
         ex = (self.execute_model.copy() if mask
               else np.ones(self.n_models, dtype=bool))
         z = fn(tuple(self.clv), tuple(self.scaler),
-               jnp.asarray([p.number], dtype=jnp.int32),
-               jnp.asarray([q.number], dtype=jnp.int32),
+               jnp.asarray([p_row], dtype=jnp.int32),
+               jnp.asarray([q_row], dtype=jnp.int32),
                tuple(self.d_EIGN), tuple(self.d_gamma),
                tuple(self.d_rate_weights), tuple(self.g_wgt),
                tuple(self.g_site_rates),
@@ -2697,7 +2739,8 @@ class LikelihoodEngine:
         if not q.x:
             entries += partial_traversal(tr, q)
         self._run_traversal(entries)
-        return self._makenewz_dispatch(p, q, np.array(z0, dtype=np.float64),
+        return self._makenewz_dispatch(p.number, q.number,
+                                       np.array(z0, dtype=np.float64),
                                        maxiter)
 
     def speculation_supported(self) -> bool:
@@ -2740,7 +2783,8 @@ class LikelihoodEngine:
         self._run_traversal(entries, self.execute_model if mask else None)
 
         if self.use_pallas:
-            z = self._makenewz_dispatch(p, q, z0, maxiter, mask)
+            z = self._makenewz_dispatch(p.number, q.number, z0, maxiter,
+                                        mask)
             self._count('makenewz_device')
             t0 = time.perf_counter()
             z = np.asarray(z, dtype=np.float64)

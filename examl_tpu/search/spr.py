@@ -17,12 +17,244 @@ import numpy as np
 
 from .. import constants as C
 from ..engine import LikelihoodEngine
-from ..traversal import (TIP_TIP, INNER_INNER, TraversalEntry,
+from ..traversal import (TIP_TIP, TIP_INNER, INNER_INNER, TraversalEntry,
                          full_traversal, partial_traversal)
 from ..tree import Node, Tree
 from .topologies import BestList, canonical_key
 
 BAD_REAR = -1
+
+
+class _WaveCtx:
+    """Shared state of one speculative wave round: the virtual x-flag
+    overlay, the CLV version map, and the scratch-row allocator span the
+    whole batch, so a later prune node's recording reads an earlier
+    node's in-flight scratch versions instead of main rows the earlier
+    node has not committed yet."""
+
+    def __init__(self, eng):
+        self.vx = {}          # id(record) -> virtual x flag
+        self.ver = {}         # node number -> (scratch row, entry gid)
+        self.base = eng.scratch_base
+        self.cap = eng.n_scratch
+        self.nrows = 0
+        self.gid = 0          # global recorded-entry counter
+
+
+class _WaveRecorder:
+    """Engine stand-in for phase A of the stale-exact batched SPR walk.
+
+    The sequential walk's code (insert_big + the evaluate mirror,
+    searchAlgo.c:484-777) runs unmodified against this object: the tree
+    hookups happen for real, the x-flag evolution runs on a VIRTUAL
+    overlay (the live flags change only when _commit_side applies the
+    actually-tested candidates' orientations), and every CLV write is
+    redirected to a fresh scratch-row *version* while reads resolve
+    through the version map — falling back to the main row, i.e. the
+    stale content the reference's partial traversals trust
+    (newviewGenericSpecial.c:691-813). Nothing the recorder does touches
+    main rows, so an entire speculated wave can be discarded for free.
+
+    `reads` collects one token per CLV source consumed by the wave —
+    (node, version gid or 'pre') — forming the fingerprint the
+    speculative driver validates against the committed truth before
+    trusting a speculated node's scores."""
+
+    def __init__(self, spr, junction: int, sub_edge=None, ctx=None):
+        eng = spr.eng
+        self.spr = spr
+        self.tr = eng.tree
+        self.num_branches = eng.num_branches
+        self.junction = junction       # node number whose CLV is never
+        #                                read in-walk (elided; recomputed
+        #                                for real by the side restore)
+        self.sub_edge = sub_edge       # frozenset({a, b}): the pruned
+        #                                junction edge whose z is a
+        #                                device-substituted placeholder
+        self.ctx = ctx if ctx is not None else _WaveCtx(eng)
+        self.overflow = False
+        self.cand = -1                 # candidate being recorded
+        self.entries: List[TraversalEntry] = []
+        self.entry_node: List[Optional[int]] = []   # original target node
+        self.entry_writer: List[int] = []
+        self.entry_gid: List[int] = []
+        self.sub_flags: List[int] = []
+        self.orient_log = []           # (record, candidate index)
+        self.reads: List[tuple] = []   # (node, gid | 'pre') fingerprints
+        # lazy scoring reads
+        self.sc_p: List[int] = []
+        self.sc_q: List[int] = []
+        self.sc_z: List[list] = []
+        # thorough wave arrays
+        self.th_u: List[int] = []
+        self.th_v: List[int] = []
+        self.th_j: List[int] = []
+        self.th_z0: List[float] = []
+
+    # -- engine surface used by insert_big / the walk -------------------
+
+    def newview(self, p: Node, masked: bool = False):
+        if self.tr.is_tip(p.number):
+            return
+        self._record(p)
+
+    def makenewz(self, p: Node, q: Node, z0, maxiter: int,
+                 mask: bool = False):
+        if not self._flag(p):
+            self._record(p)
+        if not self._flag(q):
+            self._record(q)
+        return list(z0)
+
+    def local_smooth(self, p: Node, maxtimes: int):
+        # one validation pass mirrors engine.local_smooth exactly: later
+        # passes find every x-flag already oriented and record nothing
+        # (the junction ring's own churn is elided), so the recorded set
+        # is independent of the device-valued convergence pass count
+        q = p
+        while True:
+            self.makenewz(q, q.back, list(q.back.z), C.NEWZPERCYCLE)
+            q = q.next
+            if q is p:
+                break
+
+    def score_lazy(self, e: Node):
+        """engine.evaluate(e) of the lazy testInsertBIG: record the
+        junction CLV op + any x-governed recomputes, and the (junction,
+        proximal, z') scoring read."""
+        r = e.back
+        assert not self._flag(e)
+        jrow = self._record(e, keep_top=True)
+        if not self._flag(r):
+            self._record(r)
+        self.sc_p.append(jrow)
+        self.sc_q.append(self._read(r.number))
+        self.sc_z.append(list(r.z))
+
+    def score_thorough(self, u: Node, r: Node, z0):
+        """The thorough wave re-runs insertBIG's three NR fits +
+        localSmooth + evaluate on-device from (s, distal, proximal) CLVs
+        (engine.thorough_score_wave_lazy); the validations were already
+        recorded by the makenewz/newview/local_smooth sims, and the
+        sequential evaluate adds none (both endpoints' x-flags are set by
+        then)."""
+        self.th_u.append(self._read(u.number))
+        self.th_v.append(self._read(r.number))
+        self.th_j.append(self._alloc())
+        self.th_z0.append(z0[0])
+
+    # -- internals -------------------------------------------------------
+
+    def _flag(self, rec: Node) -> bool:
+        if self.tr.is_tip(rec.number):
+            return True
+        return self.ctx.vx.get(id(rec), bool(rec.x))
+
+    def _orient(self, p: Node):
+        self.orient_log.append((p, self.cand))
+        vx = self.ctx.vx
+        vx[id(p)] = True
+        s = p.next
+        while s is not p:
+            vx[id(s)] = False
+            s = s.next
+
+    def _read(self, n: int) -> int:
+        """Resolve a CLV read and log its content fingerprint."""
+        v = self.ctx.ver.get(n)
+        if v is None:
+            self.reads.append((n, 'pre'))
+            return n
+        self.reads.append((n, v[1]))
+        return v[0]
+
+    def _alloc(self) -> int:
+        ctx = self.ctx
+        if ctx.nrows >= ctx.cap:
+            self.overflow = True
+            return ctx.base
+        row = ctx.base + ctx.nrows
+        ctx.nrows += 1
+        return row
+
+    def _record(self, top: Node, keep_top: bool = False):
+        """The live compute_traversal logic (traversal.py:41, partial)
+        against the virtual x overlay, redirecting writes to versioned
+        scratch rows. Returns the top's row when keep_top (the scored
+        junction CLV); junction-targeted entries are otherwise elided —
+        their value is never read in-walk and the side restore recomputes
+        the junction row for real."""
+        tmp: List[TraversalEntry] = []
+        self._sim_traversal(top, tmp)
+        jrow = None
+        for i, e in enumerate(tmp):
+            if e.p_number == self.junction:
+                if not (keep_top and i == len(tmp) - 1):
+                    continue
+            sub = 0
+            if self.sub_edge is not None:
+                if frozenset((e.q_number, e.p_number)) == self.sub_edge:
+                    sub |= 2
+                if frozenset((e.r_number, e.p_number)) == self.sub_edge:
+                    sub |= 1
+            q_row = self._read(e.q_number)
+            r_row = self._read(e.r_number)
+            row = self._alloc()
+            gid = self.ctx.gid
+            self.ctx.gid += 1
+            if e.p_number == self.junction:
+                jrow = row
+                self.entry_node.append(None)
+            else:
+                self.ctx.ver[e.p_number] = (row, gid)
+                self.entry_node.append(e.p_number)
+            self.entries.append(TraversalEntry(e.tip_case, row, q_row,
+                                               r_row, e.qz, e.rz))
+            self.entry_writer.append(self.cand)
+            self.entry_gid.append(gid)
+            self.sub_flags.append(sub)
+        return jrow
+
+    def _sim_traversal(self, p: Node, entries: List[TraversalEntry]):
+        """compute_traversal (traversal.py:41) with the x-flags read from
+        and oriented into the virtual overlay."""
+        tr = self.tr
+        if tr.is_tip(p.number):
+            return
+        q = p.next.back
+        r = p.next.next.back
+        q_tip = tr.is_tip(q.number)
+        r_tip = tr.is_tip(r.number)
+        if q_tip and r_tip:
+            if not self._flag(p):
+                self._orient(p)
+            tip_case = TIP_TIP
+        elif q_tip or r_tip:
+            if r_tip:
+                q, r = r, q
+            if not self._flag(r):
+                self._sim_traversal(r, entries)
+            if not self._flag(p):
+                self._orient(p)
+            tip_case = TIP_INNER
+        else:
+            if not self._flag(q):
+                self._sim_traversal(q, entries)
+            if not self._flag(r):
+                self._sim_traversal(r, entries)
+            if not self._flag(p):
+                self._orient(p)
+            tip_case = INNER_INNER
+        entries.append(TraversalEntry(tip_case, p.number, q.number,
+                                      r.number, list(q.z), list(r.z)))
+
+    def fingerprint(self):
+        """Decision fingerprint for speculation validation: everything
+        that determines the wave's scores and commit effects, with row
+        numbers abstracted away."""
+        return (tuple(self.entry_node), tuple(self.reads),
+                tuple(self.sub_flags),
+                tuple(tuple(z) for z in self.sc_z), tuple(self.th_z0))
 
 
 def node_rectifier(tr: Tree) -> None:
@@ -129,6 +361,7 @@ class SprSearch:
         self.sub_capable = (engine.use_pallas
                             and engine.speculation_supported())
         self.speculate = self.sub_capable
+        self._wave_content = None       # batch content map (speculation)
         self.spec_depth = 16
         # constraint vector (tip group ids); inner entries are resolved by
         # recursion to the first tip (searchAlgo.c checker :69)
@@ -207,18 +440,23 @@ class SprSearch:
         p.next.back = p.next.next.back = None
         return q
 
-    def insert_big(self, p: Node, q: Node):
+    def insert_big(self, p: Node, q: Node, eng=None):
+        """insertBIG (searchAlgo.c:484). eng defaults to the real engine;
+        the stale-exact batched walk passes a _WaveRecorder instead so the
+        identical tree/x-flag/traversal logic runs with deferred device
+        work."""
         tr = self.tr
-        B = self.eng.num_branches
+        eng = eng or self.eng
+        B = eng.num_branches
         r = q.back
         s = p.back
         self.lzi = list(q.z)
         if self.thorough:
             qz = list(q.z)
             default = [C.DEFAULTZ] * B
-            zqr = self.eng.makenewz(q, r, qz, C.ITERATIONS, mask=False)
-            zqs = self.eng.makenewz(q, s, default, C.ITERATIONS, mask=False)
-            zrs = self.eng.makenewz(r, s, default, C.ITERATIONS, mask=False)
+            zqr = eng.makenewz(q, r, qz, C.ITERATIONS, mask=False)
+            zqs = eng.makenewz(q, s, default, C.ITERATIONS, mask=False)
+            zrs = eng.makenewz(r, s, default, C.ITERATIONS, mask=False)
             e1, e2, e3 = [0.0] * B, [0.0] * B, [0.0] * B
             for i in range(B):
                 lzqr = math.log(max(zqr[i], C.ZMIN))
@@ -245,9 +483,9 @@ class SprSearch:
             z = [min(max(math.sqrt(zi), C.ZMIN), C.ZMAX) for zi in q.z]
             tr.hookup(p.next, q, z)
             tr.hookup(p.next.next, r, z)
-        self.eng.newview(p)
+        eng.newview(p)
         if self.thorough:
-            self.eng.local_smooth(p, C.SMOOTHINGS)
+            eng.local_smooth(p, C.SMOOTHINGS)
             self.lzq = list(p.next.z)
             self.lzr = list(p.next.next.z)
             self.lzs = list(p.z)
@@ -329,190 +567,122 @@ class SprSearch:
         return True
 
     # ------------------------------------------------------------------
-    # batched lazy-SPR candidate scoring (the TPU-native form of the
-    # addTraverseBIG/testInsertBIG walk, searchAlgo.c:682-798): all
-    # insertion candidates of one pruned subtree are scored in a few
-    # device waves — synthetic newview ops build the "proximal" CLVs
-    # (the view from each insertion edge back toward the prune junction)
-    # and the candidate junction CLVs in scratch buffer rows, then one
-    # batched evaluate scores every candidate. The sequential cutoff /
-    # best-insertion bookkeeping is replayed host-side in traversal
-    # order, so results match the reference walk exactly (each lazy
-    # score is independent of evaluation order).
-
-    def _batched_dfs(self, p: Node, p1: Node, p2: Node,
-                     mintrav: int, maxtrav: int):
-        """Enumerate the candidate insertions below p1/p2 after pruning p
-        (mirrors the four addTraverseBIG calls of rearrangeBIG) together
-        with the proximal-CLV op graph they need."""
-        tr = self.tr
-        s = p.back
-        p_group = (self._subtree_group(s)
-                   if self.constraint is not None else None)
-
-        cands: List[dict] = []
-        prox_ops: List[dict] = []
-        walked: List[Node] = []
-
-        def new_prox(src1, z1, src2, z2, tip_tip, sub=False):
-            # sub: z2 is the pruned junction branch (the makenewz result) —
-            # under speculation a placeholder whose real value the device
-            # substitutes from the in-flight NR handle
-            prox_ops.append(dict(src1=src1, z1=list(z1), src2=src2,
-                                 z2=list(z2), tip_tip=tip_tip, sub=sub))
-            return len(prox_ops) - 1
-
-        def walk(q, mintrav, maxtrav, parent, vkey):
-            walked.append(q)
-            mintrav -= 1
-            new_parent = parent
-            if mintrav <= 0:
-                scored = True
-                if self.constraint is not None:
-                    q_group = self._subtree_group(q)
-                    r_group = self._subtree_group(q.back)
-                    if p_group != q_group and p_group != r_group:
-                        scored = False       # skipped, walk continues
-                if scored:
-                    zp = [min(max(math.sqrt(zi), C.ZMIN), C.ZMAX)
-                          for zi in q.z]
-                    cands.append(dict(u=q, parent=parent, vkey=vkey,
-                                      zprime=zp, z0=list(q.z)))
-                    new_parent = len(cands) - 1
-            maxtrav -= 1
-            if not tr.is_tip(q.number) and maxtrav > 0:
-                c1 = q.next.back
-                c2 = q.next.next.back
-                # view at q toward child c = combine(view at q.back toward
-                # q [= vkey's CLV] over branch q.z, distal CLV of the
-                # other child over its branch)
-                k1 = new_prox(('prox', vkey), q.z, ('row', c2.number),
-                              c2.z, False)
-                k2 = new_prox(('prox', vkey), q.z, ('row', c1.number),
-                              c1.z, False)
-                walk(c1, mintrav, maxtrav, new_parent, k1)
-                walk(c2, mintrav, maxtrav, new_parent, k2)
-
-        for a, b in ((p1, p2), (p2, p1)):
-            if tr.is_tip(a.number):
-                continue
-            r0 = a.next.back
-            r1 = a.next.next.back
-            # root proximal views at a: the pruned branch is now the
-            # direct a--b hookup with the freshly optimized zqr (= a.z)
-            k0 = new_prox(('row', r1.number), r1.z, ('row', b.number), a.z,
-                          tr.is_tip(r1.number) and tr.is_tip(b.number),
-                          sub=True)
-            k1 = new_prox(('row', r0.number), r0.z, ('row', b.number), a.z,
-                          tr.is_tip(r0.number) and tr.is_tip(b.number),
-                          sub=True)
-            walk(r0, mintrav, maxtrav, -1, k0)
-            walk(r1, mintrav, maxtrav, -1, k1)
-
-        return cands, prox_ops, walked
+    # Stale-exact batched SPR candidate scoring.
+    #
+    # The reference's lazy walk (addTraverseBIG/testInsertBIG,
+    # searchAlgo.c:682-798) trusts x-flags: every insertBIG/evaluate
+    # partial traversal recomputes only CLVs whose x-flag is not oriented
+    # the needed way, knowingly reusing rows left behind by EARLIER prune
+    # positions (whose junction has since been restored) — and the rows it
+    # does recompute PERSIST for later prune positions. Candidate scores
+    # therefore depend on the whole walk history. The batched form below
+    # reproduces that history exactly: phase A re-runs the sequential
+    # walk's tree/x-flag/traversal logic with a recording engine
+    # (_WaveRecorder) that redirects every CLV write to a versioned
+    # scratch row; the recorded ops + batched scoring dispatch as ONE
+    # device wave; the standard candidate replay (with the reference's
+    # cutoff-order bookkeeping) determines which candidates the
+    # sequential walk would actually have TESTED; and _commit_side then
+    # applies exactly those candidates' CLV mutations (device row copies)
+    # and x-flag orientations — leaving bit-identical persistent state,
+    # so batched and sequential trajectories coincide (tools/dbg_traj.py
+    # traces are line-identical).
 
     def _dispatch_side(self, p: Node, p1: Node, p2: Node,
-                       mintrav: int, maxtrav: int, zqr_dev=None):
-        """Dispatch every candidate wave of one pruned side WITHOUT
-        fetching. Returns a side spec (None when no candidates): cands
-        metadata plus device handles per segment; _fetch_sides
-        materializes the handles and _replay_side runs the sequential
-        testInsertBIG bookkeeping. zqr_dev is the device-resident junction
-        NR result under speculation (the root proximal ops' descriptors
-        then carry placeholders substituted on device)."""
+                       mintrav: int, maxtrav: int, zqr_dev=None,
+                       ctx=None, record_only: bool = False,
+                       sub_edge=None):
+        """Phase A + dispatch for one pruned side, WITHOUT fetching.
+        Returns a side spec for _fetch_sides/_replay_side/_commit_side,
+        None when there are no candidates, or 'overflow' when the side
+        exceeds the scratch pool (caller falls back to the sequential
+        walk). zqr_dev is the device-resident junction NR result
+        (descriptor slots crossing the junction edge carry placeholders
+        substituted on device). ctx shares the version map / x overlay /
+        scratch allocator across a speculative batch; record_only skips
+        the device dispatch (speculation validation re-simulation)."""
         tr = self.tr
         eng = self.eng
         s = p.back
-        cands, prox_ops, walked = self._batched_dfs(p, p1, p2, mintrav,
-                                                    maxtrav)
+        if sub_edge is None and zqr_dev is not None:
+            sub_edge = frozenset((p1.number, p2.number))
+        rec = _WaveRecorder(self, junction=p.number, sub_edge=sub_edge,
+                            ctx=ctx)
+        p_group = (self._subtree_group(s)
+                   if self.constraint is not None else None)
+        cands: List[dict] = []
+
+        def sim_test(u, parent):
+            r = u.back
+            if self.constraint is not None:
+                u_group = self._subtree_group(u)
+                r_group = self._subtree_group(r)
+                if p_group != u_group and p_group != r_group:
+                    return None          # skipped, walk continues
+            qz = list(u.z)
+            pz = list(p.z)
+            rec.cand = len(cands)
+            self.insert_big(p, u, eng=rec)
+            if self.thorough:
+                rec.score_thorough(u, r, qz)
+            else:
+                rec.score_lazy(p.next.next)
+            # un-insert (testInsertBIG restore, searchAlgo.c:753-761)
+            tr.hookup(u, r, qz)
+            p.next.back = p.next.next.back = None
+            if self.thorough:
+                tr.hookup(p, s, pz)
+            cands.append(dict(u=u, parent=parent, z0=qz))
+            return len(cands) - 1
+
+        def walk(q, mintrav, maxtrav, parent):
+            if rec.overflow:
+                return
+            mintrav -= 1
+            new_parent = parent
+            if mintrav <= 0:
+                ci = sim_test(q, parent)
+                if ci is not None:
+                    new_parent = ci
+            maxtrav -= 1
+            if (not tr.is_tip(q.number)) and maxtrav > 0:
+                walk(q.next.back, mintrav, maxtrav, new_parent)
+                walk(q.next.next.back, mintrav, maxtrav, new_parent)
+
+        for a, _b in ((p1, p2), (p2, p1)):
+            if tr.is_tip(a.number):
+                continue
+            walk(a.next.back, mintrav, maxtrav, -1)
+            walk(a.next.next.back, mintrav, maxtrav, -1)
+
+        if rec.overflow:
+            return 'overflow'
         if not cands:
             return None
+        side = dict(p=p, cands=cands, rec=rec)
+        if self.thorough:
+            # thorough's shared s-row read belongs to the fingerprint too
+            side['s_row'] = rec._read(s.number)
+        if record_only:
+            return side
 
-        # 1. make every distal source CLV valid in the main buffer
-        entries: List[TraversalEntry] = []
-        for node in [s, p1, p2] + walked:
-            if not tr.is_tip(node.number) and not node.x:
-                entries += partial_traversal(tr, node)
-        if entries:
-            eng._run_traversal(entries)
-
-        # 2. score in segments bounded by the scratch-row pool
-        segs = []
-        cap = eng.n_scratch
-        i0 = 0
-        while i0 < len(cands):
-            seg: List[int] = []
-            needed: dict = {}            # prox key -> insertion order
-            i = i0
-            while i < len(cands):
-                chain = []
-                k = cands[i]['vkey']
-                while k is not None and k not in needed:
-                    chain.append(k)
-                    src1 = prox_ops[k]['src1']
-                    k = src1[1] if src1[0] == 'prox' else None
-                if seg and len(needed) + len(chain) + len(seg) + 1 > cap:
-                    break
-                for k2 in reversed(chain):
-                    needed[k2] = None
-                seg.append(i)
-                i += 1
-
-            base = eng.scratch_base
-            prox_row = {}
-            syn: List[TraversalEntry] = []
-            sub: List[bool] = []
-            for j, k in enumerate(needed):
-                row = base + j
-                prox_row[k] = row
-                op = prox_ops[k]
-                q_num = (prox_row[op['src1'][1]]
-                         if op['src1'][0] == 'prox' else op['src1'][1])
-                syn.append(TraversalEntry(
-                    TIP_TIP if op['tip_tip'] else INNER_INNER,
-                    row, q_num, op['src2'][1], op['z1'], op['z2']))
-                sub.append(op['sub'])
-            if zqr_dev is None:
-                sub = None
-            jbase = base + len(needed)
-            if self.thorough:
-                # batched thorough wave: the whole insertBIG + localSmooth
-                # + evaluate pipeline per candidate, one dispatch
-                u_rows, v_rows, j_rows, z0 = [], [], [], []
-                for jj, ci in enumerate(seg):
-                    c = cands[ci]
-                    u_rows.append(c['u'].number)
-                    v_rows.append(prox_row[c['vkey']])
-                    j_rows.append(jbase + jj)
-                    z0.append(c['z0'][0])
-                eng._run_traversal(syn, sub_mask=sub, zqr_sub=zqr_dev)
-                handles = eng.thorough_score_wave_lazy(
-                    s.number, u_rows, v_rows, j_rows, z0)
-                segs.append(dict(idx=seg, handles=handles, n=len(seg)))
-            else:
-                p_rows, q_rows, zs = [], [], []
-                for jj, ci in enumerate(seg):
-                    c = cands[ci]
-                    u = c['u']
-                    jrow = jbase + jj
-                    tt = tr.is_tip(s.number) and tr.is_tip(u.number)
-                    # candidate junction CLV: pruned subtree (via its old
-                    # branch p.z) joined with the walked node's distal CLV
-                    # over the lazy half-branch z' (insertBIG lazy path)
-                    syn.append(TraversalEntry(
-                        TIP_TIP if tt else INNER_INNER,
-                        jrow, s.number, u.number, list(p.z), c['zprime']))
-                    p_rows.append(jrow)
-                    q_rows.append(prox_row[c['vkey']])
-                    zs.append(c['zprime'])
-                if sub is not None:
-                    sub = sub + [False] * len(seg)
-                handle = eng.traverse_and_score_lazy(
-                    syn, p_rows, q_rows, np.asarray(zs),
-                    sub_mask=sub, zqr_sub=zqr_dev)
-                segs.append(dict(idx=seg, handle=handle, n=len(seg)))
-            i0 = i
-        return dict(p=p, cands=cands, segs=segs)
+        sub = rec.sub_flags if any(rec.sub_flags) else None
+        if self.thorough:
+            if rec.entries:
+                eng._run_traversal(rec.entries, sub_mask=sub,
+                                   zqr_sub=zqr_dev)
+            handles = eng.thorough_score_wave_lazy(
+                side['s_row'], rec.th_u, rec.th_v, rec.th_j, rec.th_z0)
+            segs = [dict(idx=list(range(len(cands))), handles=handles,
+                         n=len(cands))]
+        else:
+            handle = eng.traverse_and_score_lazy(
+                rec.entries, rec.sc_p, rec.sc_q, np.asarray(rec.sc_z),
+                sub_mask=sub, zqr_sub=zqr_dev)
+            segs = [dict(idx=list(range(len(cands))), handle=handle,
+                         n=len(cands))]
+        side['segs'] = segs
+        return side
 
     def _fetch_sides(self, sides):
         """Materialize every device handle of the given side specs in ONE
@@ -542,9 +712,11 @@ class SprSearch:
                 seg['scores'] = seg['raw'][:, :seg['n']].sum(axis=0)
 
     def _replay_side(self, side):
-        """Step 3: replay testInsertBIG bookkeeping in traversal order
-        over the fetched scores (each lazy score is independent of
-        evaluation order, so this matches the reference walk exactly)."""
+        """Replay testInsertBIG bookkeeping in traversal order over the
+        fetched scores — identical decisions to the sequential walk, since
+        the wave computed each candidate's score from the exact CLV state
+        the sequential walk would have used. Marks side['tested'] for
+        _commit_side."""
         p = side['p']
         cands = side['cands']
         scores = np.empty(len(cands))
@@ -556,10 +728,13 @@ class SprSearch:
                                        float(seg['e2'][jj]),
                                        float(seg['e3'][jj]))
         cut = [False] * len(cands)
+        tested = [False] * len(cands)
+        side['tested'] = tested
         for i, c in enumerate(cands):
             if c['parent'] >= 0 and cut[c['parent']]:
                 cut[i] = True            # ancestor was cut: never tested
                 continue
+            tested[i] = True
             lh = float(scores[i])
             if self.trace is not None:
                 self.trace.write(f'T {p.number} {c["u"].number} {lh:.9f} '
@@ -590,22 +765,55 @@ class SprSearch:
                 if not ((start_lh - lh) < self.lh_cutoff):
                     cut[i] = True
 
+    def _commit_side(self, side):
+        """Apply exactly the TESTED candidates' walk mutations: x-flags
+        are reset to the side-start state and the tested candidates'
+        orientations replayed in order; the last tested version of every
+        recomputed CLV row is copied from its scratch version to the main
+        row in one device dispatch. Untested (cut-skipped) candidates
+        leave no trace — matching the sequential walk bit-for-bit."""
+        rec = side['rec']
+        tested = side['tested']
+        for recd, ci in rec.orient_log:
+            if tested[ci]:
+                Tree.orient(recd)
+        commit = {}
+        for i, node in enumerate(rec.entry_node):
+            if node is None:             # junction score rows: never read
+                continue
+            if tested[rec.entry_writer[i]]:
+                commit[node] = rec.entries[i].p_number
+        if commit:
+            self.eng.copy_rows(list(commit.values()), list(commit.keys()))
+
     def _batched_rearrange_side(self, p: Node, p1: Node, p2: Node,
                                 mintrav: int, maxtrav: int):
-        """Synchronous batched side scoring: dispatch, fetch, replay. On
-        the fused-program path the junction branch still flows through the
-        device substitution (re-uploading the fetched zqr bit-exactly), so
-        the speculative and synchronous drivers run the identical device
-        computation."""
+        """Synchronous batched side scoring: record, dispatch, fetch,
+        replay, commit. On the fused-program path the junction branch
+        still flows through the device substitution (re-uploading the
+        fetched zqr bit-exactly), so the speculative and synchronous
+        drivers run the identical device computation."""
         import jax.numpy as jnp
         zdev = (jnp.asarray(self.zqr, jnp.float32)
                 if self.sub_capable else None)
         side = self._dispatch_side(p, p1, p2, mintrav, maxtrav,
                                    zqr_dev=zdev)
+        if side == 'overflow':
+            # radius beyond the scratch pool: the recording touched
+            # nothing persistent (virtual x, scratch-only rows) — run the
+            # reference-sequential walk instead
+            for a in (p1, p2):
+                if self.tr.is_tip(a.number):
+                    continue
+                self.add_traverse_big(p, a.next.back, mintrav, maxtrav)
+                self.add_traverse_big(p, a.next.next.back, mintrav,
+                                      maxtrav)
+            return
         if side is None:
             return
         self._fetch_sides([side])
         self._replay_side(side)
+        self._commit_side(side)
 
     def add_traverse_big(self, p: Node, q: Node, mintrav: int, maxtrav: int):
         mintrav -= 1
@@ -730,33 +938,95 @@ class SprSearch:
                 best_t.save(self.tr, eng.likelihood, keep_identical=True)
         return impr, lh
 
-    def rearrange_dispatch(self, p: Node, mintrav: int, maxtrav: int):
+    def rearrange_dispatch(self, p: Node, mintrav: int, maxtrav: int,
+                           ctx: _WaveCtx, record_only: bool = False):
         """rearrange_big's dispatch phase for the speculative driver:
-        prune both positions, dispatch the candidate waves lazily (the
-        junction NR runs on device and its result is substituted into the
-        wave descriptors there), restore the tree. Returns a node spec for
-        rearrange_replay, or None when rearrange_big would return 0."""
+        prune both positions, record + dispatch the candidate waves
+        lazily (the junction NR runs on device reading the version-
+        resolved endpoint CLVs; its result is substituted into the wave
+        descriptors there), record the restore newviews, restore the
+        tree. Every device write lands in scratch versions shared through
+        ctx, so a speculated node costs nothing to discard. Returns a
+        node spec for rearrange_replay, None when rearrange_big would
+        return 0, or 'overflow' when the scratch pool ran out (the caller
+        ends the batch and handles the node synchronously).
+
+        record_only re-runs ONLY the decision simulation (no device
+        work): the speculative replay uses it to re-derive the
+        fingerprints against the committed truth and validate that the
+        speculated wave's scores are exactly what the sequential walk
+        would compute now."""
         tr = self.tr
+        eng = self.eng
         if maxtrav < 1 or mintrav > maxtrav:
             return None
         q = p.back
-        sides = []
+        items = []          # ordered: ('aux', rec) | ('side', side dict)
+
+        def aux(rec):
+            if rec.entries and not record_only:
+                eng._run_traversal(rec.entries, sub_mask=None)
+            items.append(('aux', rec))
+
+        def prune_one(prune, a1, a2, mt):
+            """One pruned position: remove (NR on device), walk, restore.
+            Returns False on scratch overflow."""
+            c1 = prune.next.back
+            c2 = prune.next.next.back
+            zqr0 = [za * zb for za, zb in zip(c1.z, c2.z)]
+            # removeNodeBIG's makenewz validations (searchAlgo.c:442-464),
+            # recorded against the virtual overlay BEFORE the hookup —
+            # exactly the sequential order
+            rrem = _WaveRecorder(self, junction=-1, ctx=ctx)
+            rrem.cand = -1
+            rrem.makenewz(c1, c2, zqr0, C.ITERATIONS)
+            if rrem.overflow:
+                return False
+            aux(rrem)
+            p_row = rrem._read(c1.number)
+            q_row = rrem._read(c2.number)
+            zdev = None
+            if not record_only:
+                zdev = eng._makenewz_dispatch(
+                    p_row, q_row, np.array(zqr0, dtype=np.float64),
+                    C.ITERATIONS)
+            tr.hookup(c1, c2, zqr0)
+            prune.next.back = prune.next.next.back = None
+
+            side = self._dispatch_side(
+                prune, c1, c2, mt, maxtrav, zqr_dev=zdev, ctx=ctx,
+                record_only=record_only,
+                sub_edge=frozenset((c1.number, c2.number)))
+            overflow = side == 'overflow'
+            if side is not None and not overflow:
+                side['zqr_handle'] = zdev
+                side['zqr0'] = zqr0
+                items.append(('side', side))
+
+            # restore + the junction recompute (the sequential driver's
+            # eng.newview(prune)), recorded so its row version is
+            # committed and readable by later speculated nodes
+            tr.hookup(prune.next, c1, list(a1z_store[0]))
+            tr.hookup(prune.next.next, c2, list(a2z_store[0]))
+            rres = _WaveRecorder(self, junction=-1, ctx=ctx)
+            rres.cand = -1
+            rres.newview(prune)
+            if rres.overflow:
+                return False
+            aux(rres)
+            return not overflow
+
+        a1z_store = [None]
+        a2z_store = [None]
 
         if not tr.is_tip(p.number):
             p1 = p.next.back
             p2 = p.next.next.back
             if not tr.is_tip(p1.number) or not tr.is_tip(p2.number):
-                p1z = list(p1.z)
-                p2z = list(p2.z)
-                _, zdev = self.remove_node_big_lazy(p)
-                side = self._dispatch_side(p, p1, p2, mintrav, maxtrav,
-                                           zqr_dev=zdev)
-                if side is not None:
-                    side['zqr_handle'] = zdev
-                    sides.append(side)
-                tr.hookup(p.next, p1, p1z)
-                tr.hookup(p.next.next, p2, p2z)
-                self.eng.newview(p)
+                a1z_store[0] = list(p1.z)
+                a2z_store[0] = list(p2.z)
+                if not prune_one(p, p1, p2, mintrav):
+                    return 'overflow'
 
         if not tr.is_tip(q.number) and maxtrav > 0:
             q1 = q.next.back
@@ -767,26 +1037,97 @@ class SprSearch:
                     or (not tr.is_tip(q2.number)
                         and (not tr.is_tip(q2.next.back.number)
                              or not tr.is_tip(q2.next.next.back.number)))):
-                q1z = list(q1.z)
-                q2z = list(q2.z)
-                _, zdev = self.remove_node_big_lazy(q)
-                side = self._dispatch_side(q, q1, q2, max(mintrav, 2),
-                                           maxtrav, zqr_dev=zdev)
-                if side is not None:
-                    side['zqr_handle'] = zdev
-                    sides.append(side)
-                tr.hookup(q.next, q1, q1z)
-                tr.hookup(q.next.next, q2, q2z)
-                self.eng.newview(q)
-        return dict(node=p, sides=sides)
+                a1z_store[0] = list(q1.z)
+                a2z_store[0] = list(q2.z)
+                if not prune_one(q, q1, q2, max(mintrav, 2)):
+                    return 'overflow'
+        return dict(node=p, items=items,
+                    sides=[it for k, it in items if k == 'side'])
+
+    def _node_fingerprint(self, spec, content=None):
+        """Canonical decision fingerprint of one dispatched node: for
+        every recorder, the entry structure, the version-canonicalized
+        read tokens, the substitution flags and the branch values. With
+        content=None the tokens describe the DISPATCH-time resolution;
+        with the batch content map they describe the committed truth, so
+        equality certifies the speculated scores (see _WaveRecorder)."""
+        recs = [it if k == 'aux' else it['rec'] for k, it in spec['items']]
+        gid_local = {}
+        for ri, rec in enumerate(recs):
+            for ei, g in enumerate(rec.entry_gid):
+                gid_local[g] = (ri, ei)
+        out = []
+        for rec in recs:
+            reads = []
+            for n, g in rec.reads:
+                if g == 'pre':
+                    tag = 'pre' if content is None else content.get(n, 'pre')
+                elif g in gid_local:
+                    tag = ('node',) + gid_local[g]
+                else:
+                    tag = g              # an earlier batch node's version
+                reads.append((n, tag))
+            out.append((tuple(rec.entry_node), tuple(reads),
+                        tuple(rec.sub_flags),
+                        tuple(tuple(z) for z in rec.sc_z),
+                        tuple(rec.th_z0)))
+        # candidate walk structure per side (u, parent linkage)
+        for kind, it in spec['items']:
+            if kind == 'side':
+                out.append(tuple((c['u'].number, c['parent'])
+                                 for c in it['cands']))
+        return out
+
+    def _revalidate(self, spec, mintrav, maxtrav):
+        """True when the speculated node's wave is still exact: re-run the
+        decision simulation against the committed truth and compare
+        fingerprints. Any divergence (a cut in an earlier node changed an
+        x-flag or a row version this node's wave consumed) forces a
+        re-dispatch."""
+        truth = self.rearrange_dispatch(spec['node'], mintrav, maxtrav,
+                                        _WaveCtx(self.eng),
+                                        record_only=True)
+        if truth in (None, 'overflow'):
+            return False
+        return (self._node_fingerprint(truth, self._wave_content)
+                == self._node_fingerprint(spec))
 
     def rearrange_replay(self, spec):
         """Replay the bookkeeping of one dispatched node after its handles
         were fetched (mutates best_of_node / end_lh / cutoff state exactly
-        like the synchronous rearrange_big)."""
+        like the synchronous rearrange_big), then commit the tested
+        mutations in recorded order."""
         for side in spec['sides']:
             self.zqr = [float(v) for v in side['zqr']]
             self._replay_side(side)
+        self._commit_node(spec)
+
+    def _commit_node(self, spec):
+        """Apply the node's persistent effects in sequential order: the
+        always-run remove/restore recomputes, and the TESTED candidates'
+        walk mutations of each side (x-flag orientations to the live
+        tree; the final version of every recomputed row copied to its
+        main row in one device dispatch)."""
+        commit = {}
+        for kind, it in spec['items']:
+            rec = it if kind == 'aux' else it['rec']
+            tested = None if kind == 'aux' else it['tested']
+            for recd, ci in rec.orient_log:
+                if ci < 0 or tested[ci]:
+                    Tree.orient(recd)
+            for i, node in enumerate(rec.entry_node):
+                if node is None:
+                    continue
+                ci = rec.entry_writer[i]
+                if ci < 0 or tested[ci]:
+                    commit[node] = (rec.entries[i].p_number,
+                                    rec.entry_gid[i])
+        if commit:
+            self.eng.copy_rows([v[0] for v in commit.values()],
+                               list(commit.keys()))
+            if self._wave_content is not None:
+                for node, (_row, gid) in commit.items():
+                    self._wave_content[node] = gid
 
     def _spr_pass(self, nodes, mintrav: int, maxtrav: int, on_node):
         """Run the rearrangement loop over `nodes`, calling on_node(node)
@@ -795,14 +1136,16 @@ class SprSearch:
 
         On accelerators this speculates: the device programs of up to
         spec_depth consecutive prune nodes are dispatched without any
-        host sync (assuming no intervening applies), the whole batch is
-        fetched in ONE round trip, and the sequential bookkeeping is
-        replayed; at the first applied improvement the remaining
-        speculated results are discarded and re-dispatched against the
-        updated tree. A misprediction leaves only benignly-stale CLV
-        refreshes — the same staleness class the reference's lazy SPR
-        embraces (it trusts x-flags across restoreTreeFast,
-        newviewGenericSpecial.c:691-813)."""
+        host sync (the junction NR results flow into the wave programs by
+        device-side branch substitution; every CLV write goes to a shared
+        scratch-version pool), the whole batch is fetched in ONE round
+        trip, and the sequential bookkeeping is replayed node by node —
+        each speculated node first REVALIDATED against the committed
+        truth (fingerprint comparison, see _WaveRecorder) so the
+        trajectory stays bit-identical to the sequential walk. At the
+        first applied improvement or failed validation the remaining
+        speculated results are discarded (free: nothing touched main
+        rows) and re-dispatched against the updated state."""
         batched = self.batch_thorough if self.thorough else self.batch_lazy
         if not (self.speculate and batched):
             for node in nodes:
@@ -814,21 +1157,47 @@ class SprSearch:
         depth = 1
         while i < len(nodes):
             batch = nodes[i:i + depth]
-            specs = [self.rearrange_dispatch(n, mintrav, maxtrav)
-                     for n in batch]
-            self._fetch_sides([side for spec in specs if spec
+            ctx = _WaveCtx(self.eng)
+            self._wave_content = {}
+            specs = []
+            for n in batch:
+                spec = self.rearrange_dispatch(n, mintrav, maxtrav, ctx)
+                specs.append(spec)
+                if spec == 'overflow':
+                    break
+            self._fetch_sides([side for spec in specs
+                               if spec not in (None, 'overflow')
                                for side in spec['sides']])
             mispredicted = False
             for j, spec in enumerate(specs):
+                node = batch[j]
+                if spec == 'overflow':
+                    # scratch pool exhausted mid-recording: everything
+                    # dispatched for this node is discardable scratch
+                    # state; run it synchronously (exact) instead
+                    i += 1
+                    self.best_of_node = C.UNLIKELY
+                    if self.rearrange_big(node, mintrav, maxtrav):
+                        on_node(node)
+                    mispredicted = True
+                    break
+                if j > 0 and spec is not None:
+                    if not self._revalidate(spec, mintrav, maxtrav):
+                        # an earlier node's cuts changed state this wave
+                        # consumed: re-dispatch from here
+                        mispredicted = True
+                        break
                 i += 1
                 if spec is None:
                     continue
                 self.best_of_node = C.UNLIKELY
                 self.rearrange_replay(spec)
-                if on_node(batch[j]) and j < len(specs) - 1:
+                if on_node(node) and j < len(specs) - 1:
                     mispredicted = True
                     break
-            depth = 1 if mispredicted else min(2 * depth, self.spec_depth)
+            self._wave_content = None
+            depth = (max(1, depth // 2) if mispredicted
+                     else min(2 * depth, self.spec_depth))
 
     def test_insert_restore_big(self, p: Node, q: Node):
         tr = self.tr
