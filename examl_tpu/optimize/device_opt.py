@@ -18,11 +18,14 @@ like the reference). One dispatch + one fetch per parameter instead of
 re-applying a frozen lane's value never perturbs another lane's
 likelihood — the same property the reference's vectorization relies on.
 
-Supported parameter types: ALPHA (Γ shape; rates from gamma_cats_dev)
-and RATE (GTR exchangeabilities; eigensystem from make_eigen_dev, the
-rate index a traced argument so one compiled program serves every rate).
-LG4X/LG4M weights+rates and base frequencies stay on the host path (they
-are a tiny fraction of the probe count)."""
+Supported parameter types: ALPHA (Γ shape; rates from gamma_cats_dev),
+RATE (GTR exchangeabilities; eigensystem from make_eigen_dev, the rate
+index a traced argument so one compiled program serves every rate) and
+FREQ (base-frequency exponents, optimizeModel.c optBaseFreqs :1501:
+softmax over the exponent vector feeds the same device eigensystem
+rebuild). LG4X/LG4M weights+rates stay on the host path (four
+eigensystems per probe for a rare model family and a tiny fraction of
+the probe count)."""
 from __future__ import annotations
 
 import numpy as np
@@ -40,7 +43,7 @@ MNBRAK_GLIMIT = 100.0
 BRENT_ZEPS = 1.e-5
 BRENT_CGOLD = 0.3819660
 
-ALPHA_F, RATE_F = 0, 1
+ALPHA_F, RATE_F, FREQ_F = 0, 1, 2
 
 
 def _sign(a, b):
@@ -60,7 +63,7 @@ class DeviceParamOptimizer:
         eng = self.eng
         if not eng.use_pallas or eng.is_psr:
             return False
-        if which not in (ALPHA_F, RATE_F):
+        if which not in (ALPHA_F, RATE_F, FREQ_F):
             return False
         if not eng.speculation_supported():     # fused program must plan
             return False
@@ -71,7 +74,7 @@ class DeviceParamOptimizer:
             pm = eng.partitions[m]
             if pm.prot_model in (ProtModel.LG4M, ProtModel.LG4X):
                 return False
-            if which == RATE_F:
+            if which in (RATE_F, FREQ_F):
                 if states is None:
                     states = pm.states
                 elif pm.states != states:
@@ -115,8 +118,15 @@ class DeviceParamOptimizer:
             if which == ALPHA_F:
                 g = gamma_cats_dev(value, n_cats, use_median)
                 return (g.astype(dtype), eign_m, ei_m, ev_m, tv_m)
-            rates_m, freqs_m = base_m
-            rates2 = rates_m.at[rn].set(value)
+            rates_m, freqs_m, fexp_m = base_m
+            if which == FREQ_F:
+                # exponent-space proposal -> softmax frequencies
+                # (_change_parameter FREQ_F / optimizeModel.c:431-449)
+                w = jnp.exp(fexp_m.at[rn].set(value))
+                freqs_m = w / w.sum()
+                rates2 = rates_m
+            else:
+                rates2 = rates_m.at[rn].set(value)
             EIGN, EV, EI, tv = make_eigen_dev(rates2, freqs_m, bits[m])
             p = pads[m]
             EIGN = jnp.pad(EIGN, (0, p))
@@ -151,7 +161,7 @@ class DeviceParamOptimizer:
                                tipvecs[m])
                     out = rebuild(m, values[lane], rn, base[m], model_m)
                     g2[m], ei2[m], eei2[m], ev2[m], tv2[m] = out
-                if which == RATE_F:
+                if which in (RATE_F, FREQ_F):
                     # stacked groups refresh every member (non-lane
                     # members rewrite identical tip rows — a no-op)
                     clvs = eng._g_tip_rows(
@@ -401,6 +411,7 @@ class DeviceParamOptimizer:
             state before the next rate sees it."""
             rates0 = tuple(base[m][0] for m in range(M))
             freqs = tuple(base[m][1] for m in range(M))
+            fexps = tuple(base[m][2] for m in range(M))
             Rmax = rates0[0].shape[0]
             fdt = lim_inf.dtype
 
@@ -409,7 +420,8 @@ class DeviceParamOptimizer:
 
             def body(rn, carry):
                 clvs, scalers, rates, winners, endl, conv = carry
-                basei = tuple((rates[m], freqs[m]) for m in range(M))
+                basei = tuple((rates[m], freqs[m], fexps[m])
+                              for m in range(M))
                 f = make_f(tuple(trav_desc) + (p_row, q_row, qz, codes,
                                                rate_weights, wgts, rn,
                                                basei, model))
@@ -468,7 +480,8 @@ class DeviceParamOptimizer:
         trav_desc = eng._trav_args(packed)[:9]
         base = tuple(
             (jnp.asarray(eng.partitions[m].subst_rates),
-             jnp.asarray(eng.partitions[m].frequencies))
+             jnp.asarray(eng.partitions[m].frequencies),
+             jnp.asarray(eng.partitions[m].freq_exponents))
             for m in range(eng.n_models))
         model = (tuple(eng.d_gamma), tuple(eng.d_EIGN), tuple(eng.d_EI),
                  tuple(eng.d_EV), tuple(eng.d_tipvec))
@@ -519,7 +532,8 @@ class DeviceParamOptimizer:
                   else np.float32)
         base = tuple(
             (jnp.asarray(eng.partitions[m].subst_rates, fdtype),
-             jnp.asarray(eng.partitions[m].frequencies, fdtype))
+             jnp.asarray(eng.partitions[m].frequencies, fdtype),
+             jnp.asarray(eng.partitions[m].freq_exponents, fdtype))
             for m in range(eng.n_models))
         model = (tuple(eng.d_gamma), tuple(eng.d_EIGN), tuple(eng.d_EI),
                  tuple(eng.d_EV), tuple(eng.d_tipvec))

@@ -574,24 +574,33 @@ class SprSearch:
     # partial traversal recomputes only CLVs whose x-flag is not oriented
     # the needed way, knowingly reusing rows left behind by EARLIER prune
     # positions (whose junction has since been restored) — and the rows it
-    # does recompute PERSIST for later prune positions. Candidate scores
-    # therefore depend on the whole walk history. The batched form below
-    # reproduces that history exactly: phase A re-runs the sequential
-    # walk's tree/x-flag/traversal logic with a recording engine
-    # (_WaveRecorder) that redirects every CLV write to a versioned
-    # scratch row; the recorded ops + batched scoring dispatch as ONE
-    # device wave; the standard candidate replay (with the reference's
-    # cutoff-order bookkeeping) determines which candidates the
-    # sequential walk would actually have TESTED; and _commit_side then
-    # applies exactly those candidates' CLV mutations (device row copies)
-    # and x-flag orientations — leaving bit-identical persistent state,
-    # so batched and sequential trajectories coincide (tools/dbg_traj.py
-    # traces are line-identical).
+    # does recompute PERSIST for later prune positions AND for later
+    # candidates within the same walk. Candidate scores therefore depend
+    # on the whole walk history, including which candidates the cutoff
+    # heuristic cut (a cut stops the DFS descent, so the skipped
+    # candidates' CLV recomputes never happen and later candidates read
+    # different rows — measured effect on testData/49: thousands of lnL
+    # units through stale rows, tools/dbg_bogus.py).
+    #
+    # The batched form reproduces all of it exactly: phase A re-runs the
+    # sequential walk's tree/x-flag/traversal logic with a recording
+    # engine (_WaveRecorder) that redirects every CLV write to a
+    # versioned scratch row; the recorded ops + batched scoring dispatch
+    # as ONE device wave; the replay applies the reference's bookkeeping
+    # in order and STOPS at the first cut verdict the dispatch did not
+    # anticipate (the walk below that candidate must not have happened);
+    # the side then RE-DISPATCHES from there with the verdict prefix
+    # steering the walk — so a side costs (effective cuts + 1) waves,
+    # and cycles whose cutoff never fires (the common mid-search case,
+    # cutoff = inf after a decrease-free cycle) cost exactly one. The
+    # accepted candidates' mutations are committed to the main rows
+    # (device row copies + live x orientations) after each round,
+    # leaving bit-identical persistent state to the sequential walk.
 
     def _dispatch_side(self, p: Node, p1: Node, p2: Node,
                        mintrav: int, maxtrav: int, zqr_dev=None,
                        ctx=None, record_only: bool = False,
-                       sub_edge=None):
+                       sub_edge=None, verdicts=None):
         """Phase A + dispatch for one pruned side, WITHOUT fetching.
         Returns a side spec for _fetch_sides/_replay_side/_commit_side,
         None when there are no candidates, or 'overflow' when the side
@@ -600,12 +609,17 @@ class SprSearch:
         (descriptor slots crossing the junction edge carry placeholders
         substituted on device). ctx shares the version map / x overlay /
         scratch allocator across a speculative batch; record_only skips
-        the device dispatch (speculation validation re-simulation)."""
+        the device dispatch (speculation validation re-simulation).
+        verdicts[k] is the known test outcome (True = descend) of the
+        k-th tested candidate from earlier replay rounds; beyond the
+        prefix the walk assumes no cut."""
         tr = self.tr
         eng = self.eng
         s = p.back
         if sub_edge is None and zqr_dev is not None:
             sub_edge = frozenset((p1.number, p2.number))
+        if verdicts is None:
+            verdicts = []
         rec = _WaveRecorder(self, junction=p.number, sub_edge=sub_edge,
                             ctx=ctx)
         p_group = (self._subtree_group(s)
@@ -644,6 +658,10 @@ class SprSearch:
                 ci = sim_test(q, parent)
                 if ci is not None:
                     new_parent = ci
+                    descend = (verdicts[ci] if ci < len(verdicts)
+                               else True)
+                    if not descend:
+                        return           # the cut stopped this descent
             maxtrav -= 1
             if (not tr.is_tip(q.number)) and maxtrav > 0:
                 walk(q.next.back, mintrav, maxtrav, new_parent)
@@ -659,7 +677,7 @@ class SprSearch:
             return 'overflow'
         if not cands:
             return None
-        side = dict(p=p, cands=cands, rec=rec)
+        side = dict(p=p, cands=cands, rec=rec, verdicts=verdicts)
         if self.thorough:
             # thorough's shared s-row read belongs to the fingerprint too
             side['s_row'] = rec._read(s.number)
@@ -713,12 +731,17 @@ class SprSearch:
 
     def _replay_side(self, side):
         """Replay testInsertBIG bookkeeping in traversal order over the
-        fetched scores — identical decisions to the sequential walk, since
-        the wave computed each candidate's score from the exact CLV state
-        the sequential walk would have used. Marks side['tested'] for
-        _commit_side."""
+        fetched scores, starting after the verdict prefix already
+        replayed by earlier rounds. Stops at the first candidate whose
+        cut verdict invalidates the no-cut walk below it (its recorded
+        descendants must not have been tested — their scores AND their
+        persistent CLV mutations are wrong for every later candidate).
+        Extends side['verdicts'] in place; marks side['accepted'] = one
+        past the last candidate whose bookkeeping was applied. Returns
+        True when the whole side replayed (no re-dispatch needed)."""
         p = side['p']
         cands = side['cands']
+        verdicts = side['verdicts']
         scores = np.empty(len(cands))
         for seg in side['segs']:
             scores[seg['idx']] = seg['scores'][:seg['n']]
@@ -727,14 +750,13 @@ class SprSearch:
                     cands[ci]['lz'] = (float(seg['e1'][jj]),
                                        float(seg['e2'][jj]),
                                        float(seg['e3'][jj]))
-        cut = [False] * len(cands)
-        tested = [False] * len(cands)
-        side['tested'] = tested
-        for i, c in enumerate(cands):
-            if c['parent'] >= 0 and cut[c['parent']]:
-                cut[i] = True            # ancestor was cut: never tested
-                continue
-            tested[i] = True
+        has_child = [False] * len(cands)
+        for c in cands:
+            if c['parent'] >= 0:
+                has_child[c['parent']] = True
+        start = len(verdicts)
+        for i in range(start, len(cands)):
+            c = cands[i]
             lh = float(scores[i])
             if self.trace is not None:
                 self.trace.write(f'T {p.number} {c["u"].number} {lh:.9f} '
@@ -759,61 +781,91 @@ class SprSearch:
                 self.remove_node = p
                 self.current_zqr = list(self.zqr)
                 self.end_lh = lh
+            cut = False
             if self.do_cutoff and lh < start_lh:
                 self.lh_avg += start_lh - lh
                 self.lh_dec += 1
-                if not ((start_lh - lh) < self.lh_cutoff):
-                    cut[i] = True
+                cut = not ((start_lh - lh) < self.lh_cutoff)
+            verdicts.append(not cut)
+            if cut and has_child[i]:
+                # the dispatch walked below this candidate; everything
+                # after is contaminated by the skipped mutations
+                side['accepted'] = i + 1
+                return False
+        side['accepted'] = len(cands)
+        return True
 
     def _commit_side(self, side):
-        """Apply exactly the TESTED candidates' walk mutations: x-flags
-        are reset to the side-start state and the tested candidates'
-        orientations replayed in order; the last tested version of every
-        recomputed CLV row is copied from its scratch version to the main
-        row in one device dispatch. Untested (cut-skipped) candidates
-        leave no trace — matching the sequential walk bit-for-bit."""
+        """Apply the accepted candidates' walk mutations of THIS round:
+        x-flag orientations replayed in order on the live tree and the
+        last accepted version of every recomputed CLV row copied from its
+        scratch version to the main row in one device dispatch. Verdict-
+        prefix candidates re-recorded by a later round contribute no new
+        mutations (their recomputes find the committed rows already
+        oriented), so committing [round start, accepted) is exact."""
         rec = side['rec']
-        tested = side['tested']
+        first = side.get('replayed_from', 0)
+        accepted = side['accepted']
         for recd, ci in rec.orient_log:
-            if tested[ci]:
+            if first <= ci < accepted:
                 Tree.orient(recd)
         commit = {}
         for i, node in enumerate(rec.entry_node):
             if node is None:             # junction score rows: never read
                 continue
-            if tested[rec.entry_writer[i]]:
-                commit[node] = rec.entries[i].p_number
+            ci = rec.entry_writer[i]
+            if first <= ci < accepted:
+                commit[node] = (rec.entries[i].p_number, rec.entry_gid[i])
         if commit:
-            self.eng.copy_rows(list(commit.values()), list(commit.keys()))
+            self.eng.copy_rows([v[0] for v in commit.values()],
+                               list(commit.keys()))
+            if self._wave_content is not None:
+                for node, (_row, gid) in commit.items():
+                    self._wave_content[node] = gid
+
+    def _side_rounds(self, p, p1, p2, mintrav, maxtrav, verdicts=None):
+        """The verdict-driven round loop for one pruned side: dispatch
+        (no-cut beyond the known prefix), fetch, replay to the first
+        unanticipated effective cut, commit the accepted range,
+        re-dispatch the remainder — until the side completes. verdicts
+        continues a side whose first round was replayed elsewhere (the
+        speculative driver)."""
+        import jax.numpy as jnp
+        verdicts = list(verdicts) if verdicts else []
+        while True:
+            zdev = (jnp.asarray(self.zqr, jnp.float32)
+                    if self.sub_capable else None)
+            side = self._dispatch_side(p, p1, p2, mintrav, maxtrav,
+                                       zqr_dev=zdev, verdicts=verdicts)
+            if side == 'overflow':
+                # verdict-steered walks only shrink, so overflow can only
+                # happen on the first (no-prefix) round
+                assert not verdicts, 'overflow after a partial replay'
+                for a in (p1, p2):
+                    if self.tr.is_tip(a.number):
+                        continue
+                    self.add_traverse_big(p, a.next.back, mintrav,
+                                          maxtrav)
+                    self.add_traverse_big(p, a.next.next.back,
+                                          mintrav, maxtrav)
+                return
+            if side is None:
+                return
+            self._fetch_sides([side])
+            side['replayed_from'] = len(verdicts)
+            done = self._replay_side(side)
+            self._commit_side(side)
+            verdicts = side['verdicts']
+            if done:
+                return
 
     def _batched_rearrange_side(self, p: Node, p1: Node, p2: Node,
                                 mintrav: int, maxtrav: int):
-        """Synchronous batched side scoring: record, dispatch, fetch,
-        replay, commit. On the fused-program path the junction branch
-        still flows through the device substitution (re-uploading the
-        fetched zqr bit-exactly), so the speculative and synchronous
-        drivers run the identical device computation."""
-        import jax.numpy as jnp
-        zdev = (jnp.asarray(self.zqr, jnp.float32)
-                if self.sub_capable else None)
-        side = self._dispatch_side(p, p1, p2, mintrav, maxtrav,
-                                   zqr_dev=zdev)
-        if side == 'overflow':
-            # radius beyond the scratch pool: the recording touched
-            # nothing persistent (virtual x, scratch-only rows) — run the
-            # reference-sequential walk instead
-            for a in (p1, p2):
-                if self.tr.is_tip(a.number):
-                    continue
-                self.add_traverse_big(p, a.next.back, mintrav, maxtrav)
-                self.add_traverse_big(p, a.next.next.back, mintrav,
-                                      maxtrav)
-            return
-        if side is None:
-            return
-        self._fetch_sides([side])
-        self._replay_side(side)
-        self._commit_side(side)
+        """Synchronous batched side scoring. On the fused-program path
+        the junction branch still flows through the device substitution
+        (re-uploading the fetched zqr bit-exactly), so the speculative
+        and synchronous drivers run the identical device computation."""
+        self._side_rounds(p, p1, p2, mintrav, maxtrav)
 
     def add_traverse_big(self, p: Node, q: Node, mintrav: int, maxtrav: int):
         mintrav -= 1
@@ -1000,7 +1052,9 @@ class SprSearch:
             overflow = side == 'overflow'
             if side is not None and not overflow:
                 side['zqr_handle'] = zdev
-                side['zqr0'] = zqr0
+                side.update(prune=prune, c1=c1, c2=c2, mt=mt,
+                            maxtrav=maxtrav, a1z=list(a1z_store[0]),
+                            a2z=list(a2z_store[0]))
                 items.append(('side', side))
 
             # restore + the junction recompute (the sequential driver's
@@ -1094,34 +1148,63 @@ class SprSearch:
 
     def rearrange_replay(self, spec):
         """Replay the bookkeeping of one dispatched node after its handles
-        were fetched (mutates best_of_node / end_lh / cutoff state exactly
-        like the synchronous rearrange_big), then commit the tested
-        mutations in recorded order."""
-        for side in spec['sides']:
-            self.zqr = [float(v) for v in side['zqr']]
-            self._replay_side(side)
-        self._commit_node(spec)
+        were fetched, committing effects in sequential order. When a
+        side's replay stops at an unanticipated cut (the dispatched walk
+        descended where the sequential walk would not), everything the
+        node dispatched after that point is discarded — free: nothing
+        touched main rows — and redone synchronously: the side's
+        remaining rounds, a real restore newview, and any remaining prune
+        position via the sync path."""
+        items = spec['items']
+        diverged_at = None
+        for idx, (kind, it) in enumerate(items):
+            if kind == 'aux':
+                self._commit_node_aux(it)
+                continue
+            self.zqr = [float(v) for v in it['zqr']]
+            it['replayed_from'] = 0
+            done = self._replay_side(it)
+            self._commit_side(it)
+            if not done:
+                diverged_at = idx
+                break
+        if diverged_at is None:
+            return
+        side = items[diverged_at][1]
+        tr = self.tr
+        prune, c1, c2 = side['prune'], side['c1'], side['c2']
+        # finish this side's rounds on the re-pruned tree, then restore
+        # with a real junction recompute
+        tr.hookup(c1, c2, self.zqr)
+        prune.next.back = prune.next.next.back = None
+        self._side_rounds(prune, c1, c2, side['mt'], side['maxtrav'],
+                          verdicts=side['verdicts'])
+        tr.hookup(prune.next, c1, side['a1z'])
+        tr.hookup(prune.next.next, c2, side['a2z'])
+        self.eng.newview(prune)
+        # any remaining prune position: full synchronous path
+        for kind, it in items[diverged_at + 1:]:
+            if kind != 'side':
+                continue
+            p2_, c1_, c2_ = it['prune'], it['c1'], it['c2']
+            a1z, a2z = list(c1_.z), list(c2_.z)
+            self.remove_node_big(p2_)
+            self._side_rounds(p2_, c1_, c2_, it['mt'], it['maxtrav'])
+            tr.hookup(p2_.next, c1_, a1z)
+            tr.hookup(p2_.next.next, c2_, a2z)
+            self.eng.newview(p2_)
 
-    def _commit_node(self, spec):
-        """Apply the node's persistent effects in sequential order: the
-        always-run remove/restore recomputes, and the TESTED candidates'
-        walk mutations of each side (x-flag orientations to the live
-        tree; the final version of every recomputed row copied to its
-        main row in one device dispatch)."""
+    def _commit_node_aux(self, rec):
+        """Commit an always-run auxiliary recorder (the remove-NR
+        validations / restore junction recompute of a speculated prune):
+        replay its orientations on the live tree and copy its row
+        versions to the main rows."""
+        for recd, _ci in rec.orient_log:
+            Tree.orient(recd)
         commit = {}
-        for kind, it in spec['items']:
-            rec = it if kind == 'aux' else it['rec']
-            tested = None if kind == 'aux' else it['tested']
-            for recd, ci in rec.orient_log:
-                if ci < 0 or tested[ci]:
-                    Tree.orient(recd)
-            for i, node in enumerate(rec.entry_node):
-                if node is None:
-                    continue
-                ci = rec.entry_writer[i]
-                if ci < 0 or tested[ci]:
-                    commit[node] = (rec.entries[i].p_number,
-                                    rec.entry_gid[i])
+        for i, node in enumerate(rec.entry_node):
+            if node is not None:
+                commit[node] = (rec.entries[i].p_number, rec.entry_gid[i])
         if commit:
             self.eng.copy_rows([v[0] for v in commit.values()],
                                list(commit.keys()))

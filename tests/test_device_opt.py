@@ -57,6 +57,30 @@ def test_device_alpha_matches_host():
 
 
 @pytest.mark.slow
+def test_device_freqs_match_host():
+    """FREQ_F on device (optBaseFreqs :1501): exponent-space proposals,
+    softmax frequencies, full eigensystem + tip rebuild per probe."""
+    results = []
+    for device in (True, False):
+        eng, mod, ll = _setup(device=device)
+        for pm in eng.partitions:
+            pm.optimize_base_frequencies = True
+        mod.opt_base_freqs(0.0001, ll)
+        results.append(eng)
+        if device:
+            assert eng.op_stats.get('devopt_param', 0) >= 4
+    eng_d, eng_h = results
+    for pd, ph in zip(eng_d.partitions, eng_h.partitions):
+        assert np.allclose(pd.frequencies, ph.frequencies, rtol=5e-3,
+                           atol=5e-4)
+    lh_d = eng_d.evaluate(eng_d.tree.start, full_traversal_=True)
+    lh_h = eng_h.evaluate(eng_h.tree.start, full_traversal_=True)
+    # four sequential exponent optimizations compound the per-probe
+    # jnp-vs-scipy eigen ulps on a flat surface; measured gap ~0.24
+    assert lh_d == pytest.approx(lh_h, abs=0.5)
+
+
+@pytest.mark.slow
 def test_device_rates_match_host():
     eng_d, mod_d, ll_d = _setup(device=True)
     mod_d.opt_rates_generic(0.0001, ll_d)
