@@ -660,9 +660,18 @@ def _evaluate_batch_kernel(p_rows, q_rows,                # scalar prefetch
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
     wgt = wgt_ref[0]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
-    # whole-array SMEM output (TPU requires full-shape scalar blocks);
-    # each sequential grid step writes its own cell
-    out_ref[n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    val = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    # whole-array SMEM output (TPU requires full-shape scalar blocks),
+    # accumulated over the sequential site-block grid dim so its size is
+    # [N] not [N, nb] (SMEM is 1 MB; whole-genome widths overflow it)
+
+    @pl.when(wb == 0)
+    def _init():
+        out_ref[n] = val
+
+    @pl.when(wb > 0)
+    def _acc():
+        out_ref[n] = out_ref[n] + val
 
 
 @shardable('sum',)
@@ -694,7 +703,7 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
             pl.BlockSpec((1, 1, k_dim), lambda n, w, p, q: (n, 0, 0)),
             pl.BlockSpec((1, bw), lambda n, w, p, q: (0, w)),
         ],
-        out_specs=pl.BlockSpec((N, nb), lambda n, w, p, q: (0, 0),
+        out_specs=pl.BlockSpec((N,), lambda n, w, p, q: (0,),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((k_dim, bw), clv.dtype),
@@ -704,12 +713,11 @@ def evaluate_batch_pallas(clv, scaler, p_rows, q_rows, dws, wgt,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    partials = pl.pallas_call(
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, nb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N,), jnp.float32),
         interpret=interpret,
     )(p_rows, q_rows, clv, scaler, dws, wgt)
-    return jnp.sum(partials, axis=1)
 
 
 @shardable('sum',)
@@ -1728,7 +1736,17 @@ def _evaluate_batch_stacked_kernel(p_rows, q_rows,
     s = (s1_s[0] + s2_s[0]).astype(jnp.float32)
     wgt = wgt_ref[0, 0]
     site_log = jnp.log(jnp.abs(term)) + s * log_min_scale
-    out_ref[pid, n, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    val = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
+    # SMEM output accumulated over the sequential site-block dim: [P, N]
+    # not [P, N, nb] (1 MB SMEM overflows at whole-genome widths)
+
+    @pl.when(wb == 0)
+    def _init():
+        out_ref[pid, n] = val
+
+    @pl.when(wb > 0)
+    def _acc():
+        out_ref[pid, n] = out_ref[pid, n] + val
 
 
 @shardable('sum',)
@@ -1758,7 +1776,7 @@ def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
                          lambda p, n, w, *_: (p, n, 0, 0)),
             pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
         ],
-        out_specs=pl.BlockSpec((P, N, nb), lambda p, n, w, *_: (0, 0, 0),
+        out_specs=pl.BlockSpec((P, N), lambda p, n, w, *_: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((k_dim, bw), clv.dtype),
@@ -1768,12 +1786,11 @@ def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    partials = pl.pallas_call(
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, N, nb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, N), jnp.float32),
         interpret=interpret,
     )(p_rows, q_rows, clv, scaler, dws, wgt)
-    return jnp.sum(partials, axis=2)
 
 
 @shardable('sum',)

@@ -88,6 +88,9 @@ def main():
     t_build = time.time() - t0
     est = eng.memory_estimate()
 
+    print(f'# engine built in {t_build:.1f}s, parse {t_parse:.1f}s, '
+          f'patterns {n_patterns}, clv {est["total"] / (1 << 30):.2f} GiB',
+          flush=True)
     t0 = time.time()
     lnl = eng.evaluate(tree.start, full_traversal_=True)
     t_first_eval = time.time() - t0            # includes compiles
@@ -97,9 +100,12 @@ def main():
     # CLV throughput of the warm full traversal
     updates = n_patterns * (n_taxa - 2)
 
+    print(f'# eval warm {t_eval:.3f}s ({updates / t_eval:.3g} '
+          f'site-updates/s), first {t_first_eval:.1f}s', flush=True)
     t0 = time.time()
     eng.tree_evaluate(1.0)
     t_smooth = time.time() - t0
+    print(f'# tree_evaluate {t_smooth:.1f}s', flush=True)
 
     s = SprSearch(eng)
     s.start_lh = s.end_lh = eng.likelihood
