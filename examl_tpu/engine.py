@@ -229,11 +229,14 @@ class LikelihoodEngine:
         if self.use_pallas and jax.default_backend() != 'cpu':
             # Mosaic DMA slices must be lane-tile aligned
             self.pad = max(self.pad, 128)
+        self.pad_unit = self.pad
         if self.mesh is not None:
-            # each device's site shard must itself satisfy the per-device
-            # alignment unit, so pad to unit * n_devices (the reference
-            # pads each rank's slice independently; here the global width
-            # carries the product)
+            # site-sharded arrays: each device's site shard must itself
+            # satisfy the per-device alignment unit, so pad to
+            # unit * n_devices (the reference pads each rank's slice
+            # independently; here the global width carries the product).
+            # Member-sharded stacked groups (_plan_groups) keep the bare
+            # unit — their site axis never splits.
             self.pad = self.pad * self.mesh_ndev
         # Mosaic tiles the second-minor (state) axis by 8 sublanes; DMA
         # slices of a 20-state CLV are not tile-aligned on real hardware,
@@ -326,7 +329,57 @@ class LikelihoodEngine:
     # ------------------------------------------------------------------
     # device state construction
 
+    def _plan_groups(self):
+        """Group partitions by stacked geometry and choose each
+        multi-member group's mesh layout. Default: the site axis splits
+        over the mesh (every member padded to pad_unit * n_devices).
+        Alternative: MEMBER-axis sharding — whole partitions per device,
+        the TPU form of the reference's whole-partition assignment
+        (Kassian's algorithm, examl/partitionAssignment.c:156-390,
+        rationale axml.h:906-927): when a group holds many partitions
+        narrower than the per-device lane unit, splitting the member
+        axis wastes far less HBM than padding every gene to n_dev lane
+        units (a 200-site gene on a 64-device mesh would pad 40x).
+        Member-sharded groups pad their membership to a device multiple
+        with zero-weight duplicate slots, chosen whenever that padded
+        volume is smaller. Returns (groups, member_sharded [per group],
+        pad per partition)."""
+        if self.stack:
+            by_key = {}
+            for m in range(self.n_models):
+                key = (self.partitions[m].data_type,
+                       self.partitions[m].states)
+                by_key.setdefault(key, []).append(m)
+            groups = list(by_key.values())
+        else:
+            groups = [[m] for m in range(self.n_models)]
+        member_sharded = []
+        pad_of = [self.pad] * self.n_models
+        nd = self.mesh_ndev
+
+        def padded(w, u):
+            return max(u, ((w + u - 1) // u) * u)
+
+        for gi, ms in enumerate(groups):
+            ok = (self.mesh is not None and not self.is_psr
+                  and self.folded and len(ms) >= max(2, nd))
+            if ok:
+                unit = self.pad_unit
+                widths = [self.aln.partitions[m].width for m in ms]
+                vol_site = len(ms) * max(padded(w, unit * nd)
+                                         for w in widths)
+                p_mem = ((len(ms) + nd - 1) // nd) * nd
+                vol_mem = p_mem * max(padded(w, unit) for w in widths)
+                ok = vol_mem < vol_site
+                if ok:
+                    for m in ms:
+                        pad_of[m] = self.pad_unit
+                    groups[gi] = ms + [ms[0]] * (p_mem - len(ms))
+            member_sharded.append(bool(ok))
+        return groups, member_sharded, pad_of
+
     def _build_buffers(self):
+        groups, g_member, pad_of = self._plan_groups()
         self.widths = []        # padded widths
         self.real_widths = []
         self.tip_codes = []     # [mxtips+1, W] int32 per partition
@@ -336,7 +389,8 @@ class LikelihoodEngine:
         self.host_wgts = []     # host copies (multi-process safe)
         for m, meta in enumerate(self.aln.partitions):
             w = meta.width
-            W = max(self.pad, ((w + self.pad - 1) // self.pad) * self.pad)
+            pad = pad_of[m]
+            W = max(pad, ((w + pad - 1) // pad) * pad)
             inf = info_for(meta.data_type)
             # tip-code rows padded to a sublane multiple for the on-device
             # tip-materialization kernel (row 0 + tail are ignored)
@@ -350,11 +404,16 @@ class LikelihoodEngine:
             self.real_widths.append(w)
             self.host_wgts.append(wgt)
             self.host_tip_codes.append(codes)
-            self.tip_codes.append(self._put(jnp.asarray(codes), 'codes'))
+            # per-partition site arrays of member-sharded partitions are
+            # replicated (their width is a bare lane unit; the sharded
+            # tensors are the group stacks)
+            ax = None if pad_of[m] != self.pad else -1
+            self.tip_codes.append(self._put(jnp.asarray(codes), 'codes',
+                                            axis=ax))
             self.wgts.append(self._put(jnp.asarray(wgt, dtype=self.dtype),
-                                       'sites'))
+                                       'sites', axis=ax))
             self.wgts_i.append(self._put(jnp.asarray(wgt, dtype=jnp.int32),
-                                         'sites'))
+                                         'sites', axis=ax))
             self.partitions[m].partition_weight = float(wgt.sum())
 
         # device model tensors (filled by update_eigen)
@@ -389,21 +448,22 @@ class LikelihoodEngine:
         # member width; short members carry wgt = 0 columns) and run ONE
         # stacked kernel per engine op (GAMMA and PSR). Without stacking
         # (or on the jnp path) every group is a singleton and the storage
-        # layout is exactly the ungrouped one.
-        if self.stack:
-            by_key = {}
-            for m in range(self.n_models):
-                key = (self.partitions[m].data_type,
-                       self.partitions[m].states)
-                by_key.setdefault(key, []).append(m)
-            self.groups = list(by_key.values())
-        else:
-            self.groups = [[m] for m in range(self.n_models)]
+        # layout is exactly the ungrouped one. Under a mesh a group is
+        # either site-sharded (default) or member-sharded (_plan_groups;
+        # zero-weight duplicate slots pad the membership to a device
+        # multiple, marked in g_n_real).
+        self.groups = groups
+        self.g_member_sharded = g_member
         self.n_groups = len(self.groups)
         self.gslot = [None] * self.n_models      # m -> (g, slot)
+        self.g_n_real = []
         for g, ms in enumerate(self.groups):
+            seen = set()
             for j, m in enumerate(ms):
-                self.gslot[m] = (g, j)
+                if m not in seen:
+                    self.gslot[m] = (g, j)
+                    seen.add(m)
+            self.g_n_real.append(len(seen))
         self.g_width = [max(self.widths[m] for m in ms)
                         for ms in self.groups]
 
@@ -418,23 +478,26 @@ class LikelihoodEngine:
                 self.g_wgt.append(self.wgts[ms[0]])
                 self.g_codes.append(self.tip_codes[ms[0]])
                 continue
+            gax = 0 if self.g_member_sharded[g] else -1
             Wg = self.g_width[g]
             wstk = np.zeros((len(ms), Wg), dtype=np.float64)
             cstk = []
             for j, m in enumerate(ms):
                 # host copies: the device arrays may span non-addressable
                 # shards in multi-process runs
-                wstk[j, :self.widths[m]] = self.host_wgts[m]
                 c = self.host_tip_codes[m]
                 inf = info_for(self.partitions[m].data_type)
                 cpad = np.full((c.shape[0], Wg), inf.undetermined,
                                dtype=np.int32)
                 cpad[:, :c.shape[1]] = c
                 cstk.append(cpad)
+                if j >= self.g_n_real[g]:
+                    continue             # duplicate slot: weight 0
+                wstk[j, :self.widths[m]] = self.host_wgts[m]
             self.g_wgt.append(self._put(
-                jnp.asarray(wstk, dtype=self.dtype), 'sites'))
+                jnp.asarray(wstk, dtype=self.dtype), 'sites', axis=gax))
             self.g_codes.append(self._put(
-                jnp.asarray(np.stack(cstk)), 'codes'))
+                jnp.asarray(np.stack(cstk)), 'codes', axis=gax))
 
         for g in range(self.n_groups):
             self._refresh_g_site_rates(g)
@@ -448,12 +511,13 @@ class LikelihoodEngine:
             S = self._padded_states(m0)
             if len(ms) > 1:
                 assert self.folded
+                gax = 0 if self.g_member_sharded[g] else -1
                 self.clv.append(self._put(jnp.zeros(
                     (len(ms), self.rows, self.n_cats * S, self.g_width[g]),
-                    dtype=self.clv_dtype), 'clv'))
+                    dtype=self.clv_dtype), 'clv', axis=gax))
                 self.scaler.append(self._put(jnp.zeros(
                     (len(ms), self.rows, 1, self.g_width[g]),
-                    dtype=jnp.int32), 'scaler'))
+                    dtype=jnp.int32), 'scaler', axis=gax))
             elif self.folded:
                 # scaler keeps a vestigial middle axis: Mosaic requires
                 # the last two block dims to be lane/sublane-aligned or
@@ -486,14 +550,19 @@ class LikelihoodEngine:
         per-device share under the mesh (sites axis sharded)."""
         clv_b = self.clv_dtype.itemsize
         clv = scaler = tips = 0
-        for m in range(self.n_models):
-            w = self.aln.partitions[m].width
-            W = max(self.pad, ((w + self.pad - 1) // self.pad) * self.pad)
-            S = self._padded_states(m)
-            clv += self.rows * self.n_cats * S * W * clv_b
+        groups, g_member, pad_of = self._plan_groups()
+        for g, ms in enumerate(groups):
+            Wg = 0
+            for m in set(ms):
+                w = self.aln.partitions[m].width
+                pad = pad_of[m]
+                Wg = max(Wg, max(pad, ((w + pad - 1) // pad) * pad))
+            S = self._padded_states(ms[0])
+            clv += len(ms) * self.rows * self.n_cats * S * Wg * clv_b
             cnt = 1 if self.folded else self.n_cats
-            scaler += self.rows * cnt * W * 4
-            tips += (((self.mxtips + 1 + 7) // 8) * 8) * W * 4
+            scaler += len(ms) * self.rows * cnt * Wg * 4
+            tips += len(set(ms)) * (((self.mxtips + 1 + 7) // 8) * 8) \
+                * Wg * 4
         total = clv + scaler + tips
         return dict(clv=clv, scaler=scaler, tips=tips, total=total,
                     per_device=total // self.mesh_ndev)
@@ -518,20 +587,27 @@ class LikelihoodEngine:
                 f"axis over >= {need} devices (sharding=Mesh(...)), or "
                 f"use clv_dtype=bfloat16 to halve the CLV bytes")
 
-    def _put(self, arr, kind):
-        """Place an array on the device mesh with the sites axis sharded
-        (the analogue of the reference's per-rank site slices,
-        examl/partitionAssignment.c + byteFile.c readMyData). When the
-        mesh spans multiple processes, each process materializes only its
+    def _put(self, arr, kind, axis=-1):
+        """Place an array on the device mesh: axis -1 shards the sites
+        axis (the analogue of the reference's per-rank site slices,
+        examl/partitionAssignment.c + byteFile.c readMyData), axis 0
+        shards the member axis of a member-sharded stacked group (whole
+        partitions per device), axis None replicates. When the mesh spans
+        multiple processes, each process materializes only its
         addressable shards."""
         if self.mesh is None:
             return arr
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .parallel.distributed import put_global
-        # sites are always the last axis, whatever the buffer rank
-        # (folded [rows, K, W] vs per-category [rows, C, S, W])
-        spec = P(*([None] * (arr.ndim - 1)), 'sites')
+        if axis is None:
+            spec = P(*([None] * arr.ndim))
+        elif axis == 0:
+            spec = P('sites')
+        else:
+            # sites are always the last axis, whatever the buffer rank
+            # (folded [rows, K, W] vs per-category [rows, C, S, W])
+            spec = P(*([None] * (arr.ndim - 1)), 'sites')
         return put_global(arr, NamedSharding(self.mesh, spec))
 
     def host_sites(self, arr) -> np.ndarray:
@@ -665,11 +741,12 @@ class LikelihoodEngine:
 
     def _stack_site_rates(self, g, rates_per_m):
         """[P, Wg] stacked site-rate tensor for group g from per-member
-        host vectors (short members zero-padded)."""
+        host vectors, POSITIONAL in group order (short members
+        zero-padded)."""
         ms = self.groups[g]
         stk = np.zeros((len(ms), self.g_width[g]))
         for j, m in enumerate(ms):
-            stk[j, :self.widths[m]] = np.asarray(rates_per_m[m])
+            stk[j, :self.widths[m]] = np.asarray(rates_per_m[j])
         return self._put(jnp.asarray(stk, dtype=self.dtype), 'sites')
 
     def _refresh_g_site_rates(self, g):
@@ -760,7 +837,8 @@ class LikelihoodEngine:
             if len(ms) == 1:
                 res[ms[0]] = outs[g]
             else:
-                for j, m in enumerate(ms):
+                # skip zero-weight duplicate slots of member-sharded pads
+                for j, m in enumerate(ms[:self.g_n_real[g]]):
                     res[m] = outs[g][j]
         return res
 
@@ -797,6 +875,7 @@ class LikelihoodEngine:
                     clvs[g], scalers[g], p_row, q_row, jnp.stack(dws),
                     gwgts[g].astype(jnp.float32), block_w=bw,
                     log_min_scale=self.log_min_scale,
+                    shard_member=self.g_member_sharded[g],
                     interpret=interpret))
         return jnp.stack(self._unstack(outs))
 
@@ -840,6 +919,7 @@ class LikelihoodEngine:
                     jnp.stack(dws)[:, :, None, :],
                     gwgts[g].astype(jnp.float32), block_w=bw,
                     log_min_scale=self.log_min_scale,
+                    shard_member=self.g_member_sharded[g],
                     interpret=interpret))
         return jnp.stack(self._unstack(outs))
 
@@ -871,6 +951,7 @@ class LikelihoodEngine:
                     clvs[g], scalers[g], jp, jq, jnp.stack(lams),
                     jnp.stack(ds), gwgts[g].astype(jnp.float32),
                     block_w=bw, log_min_scale=self.log_min_scale,
+                    shard_member=self.g_member_sharded[g],
                     interpret=interpret)
             d1o.append(d1)
             d2o.append(d2)
@@ -903,6 +984,7 @@ class LikelihoodEngine:
                     clvs[g], scalers[g], jp, jq, jnp.stack(lams),
                     jnp.stack(rws), gwgts[g].astype(jnp.float32), lzs,
                     block_w=bw, log_min_scale=self.log_min_scale,
+                    shard_member=self.g_member_sharded[g],
                     interpret=interpret)
             d1o.append(d1)
             d2o.append(d2)
@@ -938,6 +1020,7 @@ class LikelihoodEngine:
                     jnp.stack(pls), jnp.stack(prs), jnp.stack(evb),
                     block_w=bw, min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,
+                    shard_member=self.g_member_sharded[g],
                     interpret=interpret)
             out_c[g] = c2
             out_s[g] = s2
@@ -966,6 +1049,7 @@ class LikelihoodEngine:
                     for m in ms])
                 out[g] = _PK.tip_rows_stacked(
                     clvs[g], codes[g], tv, self.mxtips, block_w=bw,
+                    shard_member=self.g_member_sharded[g],
                     interpret=interpret)
         return tuple(out)
 
@@ -1651,6 +1735,7 @@ class LikelihoodEngine:
                         n_exec=nex[0], n_rows=n_rows, block_w=plan[gi],
                         min_scale=self.min_scale,
                         inv_min_scale=self.inv_min_scale,
+                        shard_member=self.g_member_sharded[gi],
                         interpret=interpret)
                     out_c[gi] = c2
                     out_s[gi] = s2
@@ -1869,17 +1954,20 @@ class LikelihoodEngine:
                     def level_update_stacked(clv, scaler, jp, jq, jr, jt,
                                              pls, prs, evb, ex, *,
                                              block_w, min_scale,
-                                             inv_min_scale, interpret):
+                                             inv_min_scale, shard_member,
+                                             interpret):
                         return _PK.newview_level_stacked(
                             clv, scaler, jp, jq, jr, jt, pls, prs, evb,
                             ex, block_w=block_w, min_scale=min_scale,
                             inv_min_scale=inv_min_scale,
+                            shard_member=shard_member,
                             interpret=interpret)
 
                     sfn = jax.jit(level_update_stacked,
                                   donate_argnums=(0, 1),
                                   static_argnames=('block_w', 'min_scale',
                                                    'inv_min_scale',
+                                                   'shard_member',
                                                    'interpret'))
                     self._jit_cache['pallas_nv_stacked'] = sfn
                     sfn = self._jit_cache['pallas_nv_stacked']
@@ -1904,6 +1992,7 @@ class LikelihoodEngine:
                     block_w=self._block_w(self.g_width[g]),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,
+                    shard_member=self.g_member_sharded[g],
                     interpret=interpret)
 
     def _run_traversal(self, entries: List[TraversalEntry],
@@ -2143,6 +2232,7 @@ class LikelihoodEngine:
                     sfn = jax.jit(_PK.evaluate_stacked,
                                   static_argnames=('block_w',
                                                    'log_min_scale',
+                                                   'shard_member',
                                                    'interpret'))
                     self._jit_cache['pallas_eval_stacked'] = sfn
                     sfn = self._jit_cache['pallas_eval_stacked']
@@ -2151,6 +2241,7 @@ class LikelihoodEngine:
                                 self.g_wgt[g].astype(jnp.float32),
                                 block_w=self._block_w(self.g_width[g]),
                                 log_min_scale=self.log_min_scale,
+                                shard_member=self.g_member_sharded[g],
                                 interpret=interpret))
         return np.array([float(np.asarray(o)) for o in
                          self._unstack([np.asarray(o) for o in outs])])

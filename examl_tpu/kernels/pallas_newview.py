@@ -44,7 +44,7 @@ def _is_operand(x):
                               or hasattr(x, 'aval'))
 
 
-def shardable(*outs):
+def shardable(*outs, member_axes=None):
     """Make a kernel wrapper SPMD over a `jax.sharding.Mesh` site axis.
 
     The decorated function gains a `mesh=None` kwarg. With a mesh, the
@@ -60,7 +60,18 @@ def shardable(*outs):
     of an input argument whose sharding the output mirrors (CLV/scaler
     updates, per-site vectors), or 'sum' for a site-dimension reduction,
     which is `lax.psum`ed over the mesh (the reference's MPI_Allreduce,
-    examl/evaluateGenericSpecial.c:966-973)."""
+    examl/evaluateGenericSpecial.c:966-973).
+
+    Stacked kernels may also declare `member_axes` (arg name -> axis of
+    the partition/member dimension) and then support `shard_member=True`:
+    the mesh axis splits the MEMBER dimension instead of sites — whole
+    partitions per device, the TPU form of the reference's
+    whole-partition assignment (Kassian's algorithm,
+    examl/partitionAssignment.c:156-390, rationale axml.h:906-927),
+    which avoids padding every narrow partition to a lane multiple of
+    the device count. 'sum' outputs are then per-member values computed
+    wholly on their owner, so they concatenate (out spec on the member
+    axis) instead of psum."""
     def deco(fn):
         names = [p.name for p in
                  inspect.signature(fn).parameters.values()
@@ -68,13 +79,20 @@ def shardable(*outs):
                                p.POSITIONAL_OR_KEYWORD)]
 
         @functools.wraps(fn)
-        def wrapper(*args, mesh=None, **kwargs):
+        def wrapper(*args, mesh=None, shard_member=False, **kwargs):
             if mesh is None:
                 return fn(*args, **kwargs)
             from jax.sharding import PartitionSpec as P
+            assert not (shard_member and member_axes is None), \
+                'kernel has no member-axis table'
 
-            def spec(x, site):
-                if not site:
+            def spec(x, name):
+                if shard_member:
+                    ax = (member_axes or {}).get(name)
+                    if ax is None:
+                        return P(*([None] * x.ndim))
+                    return P(*([None] * ax), _MESH_AXIS)
+                if name not in _SITE_ARGS:
                     return P(*([None] * x.ndim))
                 return P(*([None] * (x.ndim - 1)), _MESH_AXIS)
 
@@ -87,12 +105,17 @@ def shardable(*outs):
             operands = ([args[i] for i in op_pos]
                         + [kwargs[k] for k in op_kw])
             in_specs = tuple(
-                [spec(args[i], names[i] in _SITE_ARGS) for i in op_pos]
-                + [spec(kwargs[k], False) for k in op_kw])
+                [spec(args[i], names[i]) for i in op_pos]
+                + [spec(kwargs[k], '') for k in op_kw])
             bound = dict(zip(names, args))
             single = len(outs) == 1
-            out_specs = tuple(P() if o == 'sum' else spec(bound[o], True)
-                              for o in outs)
+            if shard_member:
+                # per-member results live wholly on their owner device
+                out_specs = tuple(P(_MESH_AXIS) if o == 'sum'
+                                  else spec(bound[o], o) for o in outs)
+            else:
+                out_specs = tuple(P() if o == 'sum' else spec(bound[o], o)
+                                  for o in outs)
 
             def body(*ops):
                 a = list(args)
@@ -105,8 +128,9 @@ def shardable(*outs):
                 res = fn(*a, **kw)
                 if single:
                     res = (res,)
-                res = tuple(jax.lax.psum(r, _MESH_AXIS) if o == 'sum'
-                            else r for r, o in zip(res, outs))
+                if not shard_member:
+                    res = tuple(jax.lax.psum(r, _MESH_AXIS) if o == 'sum'
+                                else r for r, o in zip(res, outs))
                 return res[0] if single else res
 
             f = jax.shard_map(
@@ -115,6 +139,10 @@ def shardable(*outs):
                 check_vma=False)
             return f(*operands)
 
+        # functools.wraps sets __wrapped__, which inspect.signature (and
+        # hence jax.jit's static_argnames validation) follows — hiding
+        # the wrapper's mesh/shard_member kwargs. Drop it.
+        wrapper.__dict__.pop('__wrapped__', None)
         wrapper._shardable = True
         return wrapper
     return deco
@@ -1434,7 +1462,8 @@ def _traversal_fused_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
         jax.lax.fori_loop(0, nex[0], body, 0)
 
 
-@shardable('clv', 'scaler')
+@shardable('clv', 'scaler', member_axes=dict(
+    clv=0, scaler=0, lzq=1, lzr=1, lam=0, ei=0, ev=0, exec_mask=0))
 def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                             lzq, lzr, lam, ei, ev, exec_mask, *,
                             n_exec=None, n_rows=None, block_w=512,
@@ -1564,7 +1593,8 @@ def _newview_level_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, ex,
         s3_ref[0, 0, 0] = s1_s[0]
 
 
-@shardable('clv', 'scaler')
+@shardable('clv', 'scaler', member_axes=dict(
+    clv=0, scaler=0, pls=0, prs=0, ev=0, ex=0))
 def newview_level_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                           pls, prs, ev, ex=None, *, block_w=2048,
                           min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
@@ -1660,7 +1690,7 @@ def _evaluate_stacked_kernel(p_row, q_row,
     out_ref[pid, wb] = jnp.sum(jnp.where(wgt > 0, wgt * site_log, 0.0))
 
 
-@shardable('sum',)
+@shardable('sum', member_axes=dict(clv=0, scaler=0, dw=0, wgt=0))
 def evaluate_stacked(clv, scaler, p_row, q_row, dw, wgt,
                      *, block_w=8192,
                      log_min_scale=float(np.log(2.0 ** -30)),
@@ -1749,7 +1779,7 @@ def _evaluate_batch_stacked_kernel(p_rows, q_rows,
         out_ref[pid, n] = out_ref[pid, n] + val
 
 
-@shardable('sum',)
+@shardable('sum', member_axes=dict(clv=0, scaler=0, dws=0, wgt=0))
 def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
                            *, block_w=8192,
                            log_min_scale=float(np.log(2.0 ** -30)),
@@ -1793,7 +1823,8 @@ def evaluate_batch_stacked(clv, scaler, p_rows, q_rows, dws, wgt,
     )(p_rows, q_rows, clv, scaler, dws, wgt)
 
 
-@shardable('sum',)
+@shardable('sum', member_axes=dict(
+    clv=0, scaler=0, lzs=0, lams=0, rws=0, wgt=0))
 def evaluate_batch_gamma_stacked(clv, scaler, p_rows, q_rows, lzs, lams,
                                  rws, wgt, *, block_w=8192,
                                  log_min_scale=float(np.log(2.0 ** -30)),
@@ -1854,7 +1885,8 @@ def _nr_stacked_kernel(p_row, q_row,
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
-@shardable('sum', 'sum')
+@shardable('sum', 'sum', member_axes=dict(
+    clv=0, scaler=0, lam=0, d=0, wgt=0))
 def nr_derivatives_stacked(clv, scaler, p_row, q_row, lam, d, wgt,
                            *, block_w=8192,
                            log_min_scale=float(np.log(2.0 ** -30)),
@@ -1940,7 +1972,8 @@ def _nr_batch_stacked_kernel(p_rows, q_rows,
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
-@shardable('sum', 'sum')
+@shardable('sum', 'sum', member_axes=dict(
+    clv=0, scaler=0, lam=0, rate_weights=0, wgt=0))
 def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
                                  rate_weights, wgt, lzs, *, block_w=8192,
                                  log_min_scale=float(np.log(2.0 ** -30)),
@@ -2002,7 +2035,7 @@ def _tip_stacked_kernel(codes_ref, tipvec_ref, clv_in, out_clv,
         out_clv[0, i] = jnp.where(is_tip, tip_block, clv_in[0, i])
 
 
-@shardable('clv',)
+@shardable('clv', member_axes=dict(clv=0, codes=0, tipvec=0))
 def tip_rows_stacked(clv, codes, tipvec, n_tips, *, block_w=8192,
                      interpret=False):
     """Stacked tip materialization: clv [P, rows, K, W] (donated), codes
