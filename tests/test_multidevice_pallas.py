@@ -112,3 +112,31 @@ def test_pallas_mesh_full_modopt():
         ModelOptimizer(eng).mod_opt(5.0)
         outs.append(eng.likelihood)
     assert outs[1] == pytest.approx(outs[0], abs=0.3)
+
+
+@pytest.mark.slow
+def test_full_search_on_mesh_matches_single_device():
+    """The COMPLETE -f d surface (modOpt, speculative SPR with verdict
+    rounds, BestList scans, checkpoint-free run) end to end on the
+    8-device mesh: trajectory must be IDENTICAL to the single-device
+    Pallas engine — same final lnL, same topology (the reference's every
+    code path is rank-parallel by construction, examl/axml.c:2573-2794)."""
+    from examl_tpu.run import run_search
+    from examl_tpu.search.topologies import canonical_key
+
+    results = []
+    for mesh in (None, _mesh()):
+        aln = read_bytefile(str(DATA / 'bin12.binary'))
+        res = run_search(aln, (DATA / 'bin12.tree').read_text(),
+                         dtype=jnp.float32, use_pallas=True, pad=128,
+                         sharding=mesh)
+        results.append(res)
+    single, sharded = results
+    assert sharded.engine.mesh is not None
+    assert sharded.likelihood == pytest.approx(single.likelihood,
+                                               abs=1e-4)
+    t0 = Tree(single.engine.tree.taxon_names)
+    parse_newick(single.tree_newick, t0)
+    t1 = Tree(sharded.engine.tree.taxon_names)
+    parse_newick(sharded.tree_newick, t1)
+    assert canonical_key(t0) == canonical_key(t1)

@@ -90,7 +90,7 @@ def test_full_search_stacked_trajectory_identical():
         results.append(res)
     assert results[0].likelihood == results[1].likelihood
     t0 = Tree(results[0].engine.tree.taxon_names)
-    parse_newick(results[0].newick, t0)
+    parse_newick(results[0].tree_newick, t0)
     t1 = Tree(results[1].engine.tree.taxon_names)
-    parse_newick(results[1].newick, t1)
+    parse_newick(results[1].tree_newick, t1)
     assert canonical_key(t0) == canonical_key(t1)
