@@ -351,6 +351,21 @@ class LikelihoodEngine:
                        self.partitions[m].states)
                 by_key.setdefault(key, []).append(m)
             groups = list(by_key.values())
+            # big trees: the stacked fused-traversal kernel is VMEM-row-
+            # resident only; when even its smallest block cannot fit the
+            # rows, de-stack so the singletons use the HBM-resident fused
+            # variant (traversal_fused_hbm) instead of the per-level
+            # fallback (whose [K, K] matmuls are ~1000x slower at scale)
+            budget = 12 * 2 ** 20
+            flat = []
+            for ms in groups:
+                K = self.n_cats * self._padded_states(ms[0])
+                need = self.rows * (K + 1) * 128 * 4 * 2 + 4 * K * 128 * 4
+                if len(ms) > 1 and need > budget:
+                    flat.extend([m] for m in ms)
+                else:
+                    flat.append(ms)
+            groups = flat
         else:
             groups = [[m] for m in range(self.n_models)]
         member_sharded = []
@@ -1602,7 +1617,13 @@ class LikelihoodEngine:
 
     def _fused_plan(self, packed):
         """(n_rows, per-model block_w) for the fused whole-traversal
-        kernel, or None when the VMEM working set does not fit."""
+        kernel, or None when the VMEM working set does not fit. A
+        NEGATIVE block_w entry selects the HBM-resident variant
+        (traversal_fused_hbm: per-op child DMA instead of keeping every
+        row's column block in VMEM) with |block_w| — big trees exceed
+        the resident kernel's row ceiling but keep the one-dispatch
+        structure; only singleton groups have the HBM variant (the
+        layout planner de-stacks geometries that would need it)."""
         max_row = int(max(packed.p_idx.max(), packed.q_idx.max(),
                           packed.r_idx.max()))
         n_rows = (2 * self.mxtips if max_row < 2 * self.mxtips
@@ -1628,7 +1649,15 @@ class LikelihoodEngine:
                     bw = cand
                     break
             if bw is None:
-                return None
+                if len(ms) > 1:
+                    return None          # stacked: resident-only
+                for cand in (4096, 2048, 1024, 512, 256, 128):
+                    if cand <= self.g_width[g] \
+                            and self.g_width[g] % cand == 0:
+                        bw = -cand       # HBM-resident marker
+                        break
+                if bw is None:
+                    return None
             plan.append(bw)
         return n_rows, tuple(plan)
 
@@ -1703,18 +1732,34 @@ class LikelihoodEngine:
                     col = self._branch_col(m)
                     lam = _PK.fold_lam(eigns[m],
                                    gammas[m]).astype(jnp.float32)
-                    g = self._pallas_group(m)
-                    c2, s2 = _PK.traversal_fused_pallas(
-                        clvs[gi], scalers[gi], jp, jq, jr, jt,
-                        lzq[:, col], lzr[:, col], lam[None, :],
-                        _PK.blockdiag_tile(
-                            _PK.blockdiag(eis[m]).astype(jnp.float32), g),
-                        _PK.blockdiag_tile(
-                            _PK.blockdiag(evs[m]).astype(jnp.float32), g),
-                        n_exec=nex[0], n_rows=n_rows, block_w=plan[gi],
-                        group=g, min_scale=self.min_scale,
-                        inv_min_scale=self.inv_min_scale,
-                        interpret=interpret)
+                    if plan[gi] < 0:
+                        # HBM-resident variant: rows exceed the resident
+                        # kernel's VMEM ceiling (big trees)
+                        c2, s2 = _PK.traversal_fused_hbm(
+                            clvs[gi], scalers[gi], jp, jq, jr, jt,
+                            lzq[:, col], lzr[:, col], lam[None, :],
+                            _PK.blockdiag(eis[m]).astype(jnp.float32),
+                            _PK.blockdiag(evs[m]).astype(jnp.float32),
+                            n_exec=nex[0], block_w=-plan[gi],
+                            min_scale=self.min_scale,
+                            inv_min_scale=self.inv_min_scale,
+                            interpret=interpret)
+                    else:
+                        g = self._pallas_group(m)
+                        c2, s2 = _PK.traversal_fused_pallas(
+                            clvs[gi], scalers[gi], jp, jq, jr, jt,
+                            lzq[:, col], lzr[:, col], lam[None, :],
+                            _PK.blockdiag_tile(
+                                _PK.blockdiag(eis[m]).astype(jnp.float32),
+                                g),
+                            _PK.blockdiag_tile(
+                                _PK.blockdiag(evs[m]).astype(jnp.float32),
+                                g),
+                            n_exec=nex[0], n_rows=n_rows,
+                            block_w=plan[gi],
+                            group=g, min_scale=self.min_scale,
+                            inv_min_scale=self.inv_min_scale,
+                            interpret=interpret)
                     out_c[gi] = jnp.where(exec_mask[m], c2, clvs[gi])
                     out_s[gi] = jnp.where(exec_mask[m], s2, scalers[gi])
                 else:

@@ -480,6 +480,130 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     return clv_out, scaler_out
 
 
+def _traversal_fused_hbm_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
+                                nex, clv_hbm, scaler_hbm, lam_ref, ei_ref,
+                                ev_ref, out_clv, out_scaler,
+                                xq, xr, x3, sq, sr, s3, sems,
+                                *, bw, min_scale, inv_min_scale):
+    """HBM-resident whole-traversal wave: the descriptor loop of
+    _traversal_fused_kernel, but CLV rows stay in HBM — each op DMAs its
+    two child blocks in and its result block out (the level kernels'
+    traffic pattern) instead of keeping every row's column block in VMEM.
+    This removes the VMEM row ceiling (rows*(K+1)*bw*8 <= ~12 MB caps
+    the resident kernel at ~350 taxa) while keeping the one-dispatch /
+    on-the-fly-P structure: at 512+ taxa the per-level fallback's [K, K]
+    matmuls fill ~2% of the MXU and measured 1000x slower than this
+    DMA-roofline loop. Sequential DMA waits order read-after-write
+    between chained ops."""
+    wb = pl.program_id(0)
+    col = wb * bw
+    lam = lam_ref[0]
+    ei = ei_ref[...]
+    ev = ev_ref[...]
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(n, _):
+        q = q_idx[n]
+        r = r_idx[n]
+        p = p_idx[n]
+        cin = [
+            pltpu.make_async_copy(
+                out_clv.at[q, :, pl.ds(col, bw)], xq, sems.at[0]),
+            pltpu.make_async_copy(
+                out_clv.at[r, :, pl.ds(col, bw)], xr, sems.at[1]),
+            pltpu.make_async_copy(
+                out_scaler.at[q, :, pl.ds(col, bw)], sq, sems.at[2]),
+            pltpu.make_async_copy(
+                out_scaler.at[r, :, pl.ds(col, bw)], sr, sems.at[3]),
+        ]
+        for c in cin:
+            c.start()
+        for c in cin:
+            c.wait()
+        pls = jnp.exp(lam * lzq[n])[None, :] * ei
+        prs = jnp.exp(lam * lzr[n])[None, :] * ei
+        a = jnp.dot(pls, xq[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32, precision=hi)
+        b = jnp.dot(prs, xr[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32, precision=hi)
+        y = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
+                    precision=hi)
+        m = jnp.max(jnp.abs(y), axis=0)
+        scale = jnp.logical_and(m < min_scale, tip_tip[n] == 0)
+        y = jnp.where(scale[None, :], y * inv_min_scale, y)
+        x3[...] = y.astype(x3.dtype)
+        s3[...] = sq[...] + sr[...] + scale.astype(jnp.int32)[None, :]
+        cout = [
+            pltpu.make_async_copy(
+                x3, out_clv.at[p, :, pl.ds(col, bw)], sems.at[0]),
+            pltpu.make_async_copy(
+                s3, out_scaler.at[p, :, pl.ds(col, bw)], sems.at[1]),
+        ]
+        for c in cout:
+            c.start()
+        for c in cout:
+            c.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nex[0], body, 0)
+
+
+@shardable('clv', 'scaler')
+def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
+                        lzq, lzr, lam, ei, ev, *, n_exec=None,
+                        block_w=2048, min_scale=2.0 ** -30,
+                        inv_min_scale=2.0 ** 30, interpret=False):
+    """traversal_fused_pallas without the VMEM row-residency requirement
+    (see _traversal_fused_hbm_kernel). Flat (group=1) descriptors;
+    ei/ev [K, K]."""
+    rows, k_dim, W = clv.shape
+    L = p_idx.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nex = jnp.asarray(L if n_exec is None else n_exec,
+                      jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _traversal_fused_hbm_kernel, bw=bw, min_scale=min_scale,
+        inv_min_scale=inv_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(W // bw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # scaler
+            pl.BlockSpec((1, k_dim), lambda w, *_: (0, 0)),
+            pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
+            pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((k_dim, bw), clv.dtype),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.VMEM((1, bw), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    clv_out, scaler_out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+        ],
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex, clv, scaler, lam, ei,
+      ev)
+    return clv_out, scaler_out
+
+
 def _tip_kernel(codes_ref, tipvec_ref, clv_in, out_clv,
                 *, n_codes, bw, n_tips):
     """Materialize tip CLV rows on device: out[t, :, w] =
