@@ -18,14 +18,16 @@ like the reference). One dispatch + one fetch per parameter instead of
 re-applying a frozen lane's value never perturbs another lane's
 likelihood — the same property the reference's vectorization relies on.
 
-Supported parameter types: ALPHA (Γ shape; rates from gamma_cats_dev),
-RATE (GTR exchangeabilities; eigensystem from make_eigen_dev, the rate
-index a traced argument so one compiled program serves every rate) and
-FREQ (base-frequency exponents, optimizeModel.c optBaseFreqs :1501:
-softmax over the exponent vector feeds the same device eigensystem
-rebuild). LG4X/LG4M weights+rates stay on the host path (four
-eigensystems per probe for a rare model family and a tiny fraction of
-the probe count)."""
+Supported parameter types: ALPHA (Γ shape; rates from gamma_cats_dev;
+LG4M too — its four eigensystems are constants), RATE (GTR
+exchangeabilities; eigensystem from make_eigen_dev, the rate index a
+traced argument so one compiled program serves every rate), FREQ
+(base-frequency exponents, optimizeModel.c optBaseFreqs :1501: softmax
+over the exponent vector feeds the same device eigensystem rebuild),
+and the LG4X free parameters (optLG4X :1116): category rates and
+weight exponents only rescale the CONSTANT four-matrix eigensystem
+(scaleLG4X_EIGN, optimizeModel.c:341) and the rate weights, so an
+LG4X probe costs two dot products and an EIGN scale on device."""
 from __future__ import annotations
 
 import numpy as np
@@ -43,7 +45,7 @@ MNBRAK_GLIMIT = 100.0
 BRENT_ZEPS = 1.e-5
 BRENT_CGOLD = 0.3819660
 
-ALPHA_F, RATE_F, FREQ_F = 0, 1, 2
+ALPHA_F, RATE_F, FREQ_F, LXRATE_F, LXWEIGHT_F = 0, 1, 2, 3, 4
 
 
 def _sign(a, b):
@@ -63,7 +65,8 @@ class DeviceParamOptimizer:
         eng = self.eng
         if not eng.use_pallas or eng.is_psr:
             return False
-        if which not in (ALPHA_F, RATE_F, FREQ_F):
+        if which not in (ALPHA_F, RATE_F, FREQ_F, LXRATE_F,
+                         LXWEIGHT_F):
             return False
         if not eng.speculation_supported():     # fused program must plan
             return False
@@ -72,7 +75,14 @@ class DeviceParamOptimizer:
             if lane < 0:
                 continue
             pm = eng.partitions[m]
-            if pm.prot_model in (ProtModel.LG4M, ProtModel.LG4X):
+            if pm.prot_model == ProtModel.LG4X:
+                # LG4X rate heterogeneity is its own free-parameter set
+                if which not in (LXRATE_F, LXWEIGHT_F):
+                    return False
+            elif pm.prot_model == ProtModel.LG4M:
+                if which != ALPHA_F:
+                    return False
+            elif which in (LXRATE_F, LXWEIGHT_F):
                 return False
             if which in (RATE_F, FREQ_F):
                 if states is None:
@@ -114,11 +124,30 @@ class DeviceParamOptimizer:
                 for m in range(M) if lane_of[m] >= 0}
 
         def rebuild(m, value, rn, base_m, model_m):
-            gamma_m, eign_m, ei_m, ev_m, tv_m = model_m
+            gamma_m, eign_m, ei_m, ev_m, tv_m, rw_m = model_m
             if which == ALPHA_F:
                 g = gamma_cats_dev(value, n_cats, use_median)
-                return (g.astype(dtype), eign_m, ei_m, ev_m, tv_m)
-            rates_m, freqs_m, fexp_m = base_m
+                return (g.astype(dtype), eign_m, ei_m, ev_m, tv_m, rw_m)
+            rates_m, freqs_m, fexp_m, gr_m, wexp_m = base_m
+            if which in (LXRATE_F, LXWEIGHT_F):
+                # scaleLG4X_EIGN: the four eigensystems are constant;
+                # only the 1/dot(weights, rates) EIGN scale and the rate
+                # weights move (update_eigen LG4X branch / _change_parameter)
+                w0 = jnp.exp(wexp_m)
+                w0 = w0 / w0.sum()
+                acc0 = jnp.dot(w0, gr_m)
+                if which == LXRATE_F:
+                    gr2 = gr_m.at[rn].set(value)
+                    w2 = w0
+                else:
+                    wexp2 = wexp_m.at[rn].set(value)
+                    w2 = jnp.exp(wexp2)
+                    w2 = w2 / w2.sum()
+                    gr2 = gr_m
+                acc2 = jnp.dot(w2, gr2)
+                eign2 = eign_m * (acc0 / acc2).astype(eign_m.dtype)
+                return (gr2.astype(dtype), eign2, ei_m, ev_m, tv_m,
+                        w2.astype(dtype))
             if which == FREQ_F:
                 # exponent-space proposal -> softmax frequencies
                 # (_change_parameter FREQ_F / optimizeModel.c:431-449)
@@ -127,6 +156,7 @@ class DeviceParamOptimizer:
                 rates2 = rates_m
             else:
                 rates2 = rates_m.at[rn].set(value)
+            del gr_m, wexp_m
             EIGN, EV, EI, tv = make_eigen_dev(rates2, freqs_m, bits[m])
             p = pads[m]
             EIGN = jnp.pad(EIGN, (0, p))
@@ -139,7 +169,7 @@ class DeviceParamOptimizer:
 
             return (gamma_m, tile(EIGN).astype(dtype),
                     tile(EI).astype(dtype), tile(EV).astype(dtype),
-                    tile(tv).astype(dtype))
+                    tile(tv).astype(dtype), rw_m)
 
         def make_f(ev_args):
             (jpw, jqw, jrw, jtw, lzqw, lzrw, subw, zqrw, nexw, p_row,
@@ -153,14 +183,15 @@ class DeviceParamOptimizer:
                 eei2 = list(eis)
                 ev2 = list(evs)
                 tv2 = list(tipvecs)
+                rw2 = list(rate_weights)
                 for m in range(M):
                     lane = lane_of[m]
                     if lane < 0:
                         continue
                     model_m = (gammas[m], eigns[m], eis[m], evs[m],
-                               tipvecs[m])
+                               tipvecs[m], rate_weights[m])
                     out = rebuild(m, values[lane], rn, base[m], model_m)
-                    g2[m], ei2[m], eei2[m], ev2[m], tv2[m] = out
+                    g2[m], ei2[m], eei2[m], ev2[m], tv2[m], rw2[m] = out
                 if which in (RATE_F, FREQ_F):
                     # stacked groups refresh every member (non-lane
                     # members rewrite identical tip rows — a no-op)
@@ -174,7 +205,7 @@ class DeviceParamOptimizer:
                                          tuple(ei2), tuple(eei2),
                                          tuple(ev2))
                 lhs = eng._g_evaluate_all(
-                    clvs, scalers, tuple(g2), tuple(ei2), rate_weights,
+                    clvs, scalers, tuple(g2), tuple(ei2), tuple(rw2),
                     wgts, p_row, q_row, qz, interpret,
                     only=[lane_of[m] >= 0 for m in range(M)])
                 res = jnp.zeros(n, values.dtype)
@@ -410,8 +441,7 @@ class DeviceParamOptimizer:
             applying the guarded winner to the device-resident rate
             state before the next rate sees it."""
             rates0 = tuple(base[m][0] for m in range(M))
-            freqs = tuple(base[m][1] for m in range(M))
-            fexps = tuple(base[m][2] for m in range(M))
+            rest = tuple(base[m][1:] for m in range(M))
             Rmax = rates0[0].shape[0]
             fdt = lim_inf.dtype
 
@@ -420,8 +450,7 @@ class DeviceParamOptimizer:
 
             def body(rn, carry):
                 clvs, scalers, rates, winners, endl, conv = carry
-                basei = tuple((rates[m], freqs[m], fexps[m])
-                              for m in range(M))
+                basei = tuple((rates[m],) + rest[m] for m in range(M))
                 f = make_f(tuple(trav_desc) + (p_row, q_row, qz, codes,
                                                rate_weights, wgts, rn,
                                                basei, model))
@@ -481,7 +510,9 @@ class DeviceParamOptimizer:
         base = tuple(
             (jnp.asarray(eng.partitions[m].subst_rates),
              jnp.asarray(eng.partitions[m].frequencies),
-             jnp.asarray(eng.partitions[m].freq_exponents))
+             jnp.asarray(eng.partitions[m].freq_exponents),
+             jnp.asarray(eng.partitions[m].gamma_rates),
+             jnp.asarray(eng.partitions[m].weight_exponents))
             for m in range(eng.n_models))
         model = (tuple(eng.d_gamma), tuple(eng.d_EIGN), tuple(eng.d_EI),
                  tuple(eng.d_EV), tuple(eng.d_tipvec))
@@ -533,7 +564,9 @@ class DeviceParamOptimizer:
         base = tuple(
             (jnp.asarray(eng.partitions[m].subst_rates, fdtype),
              jnp.asarray(eng.partitions[m].frequencies, fdtype),
-             jnp.asarray(eng.partitions[m].freq_exponents, fdtype))
+             jnp.asarray(eng.partitions[m].freq_exponents, fdtype),
+             jnp.asarray(eng.partitions[m].gamma_rates, fdtype),
+             jnp.asarray(eng.partitions[m].weight_exponents, fdtype))
             for m in range(eng.n_models))
         model = (tuple(eng.d_gamma), tuple(eng.d_EIGN), tuple(eng.d_EI),
                  tuple(eng.d_EV), tuple(eng.d_tipvec))

@@ -81,6 +81,37 @@ def test_device_freqs_match_host():
 
 
 @pytest.mark.slow
+def test_device_lg4x_matches_host():
+    """LXRATE_F/LXWEIGHT_F on device (optLG4X :1116): the four
+    eigensystems are constant — each probe is a scaleLG4X_EIGN rescale
+    plus new rate weights. Full modOpt on the LG4X dataset, device vs
+    host probes, must land on the same optimum (golden: reference
+    -5029.7566)."""
+    import jax
+    from examl_tpu.run import run_tree_evaluation
+    results = []
+    for device in ('1', '0'):
+        import os
+        os.environ['EXAML_DEVICE_OPT'] = device
+        try:
+            aln = read_bytefile(str(DATA / 'aa20x.binary'))
+            res = run_tree_evaluation(aln,
+                                      (DATA / 'aa20.tree').read_text(),
+                                      dtype=jax.numpy.float32,
+                                      use_pallas=True, pad=128)
+            results.append(res)
+            if device == '1':
+                n_dev = sum(v for k, v in res.engine.op_stats.items()
+                            if 'devopt_param' in k)
+                assert n_dev >= 8        # LG4X rates+weights on device
+        finally:
+            os.environ.pop('EXAML_DEVICE_OPT', None)
+    assert results[0].likelihood == pytest.approx(results[1].likelihood,
+                                                  abs=0.5)
+    assert results[0].likelihood == pytest.approx(-5029.7566, abs=1.0)
+
+
+@pytest.mark.slow
 def test_device_rates_match_host():
     eng_d, mod_d, ll_d = _setup(device=True)
     mod_d.opt_rates_generic(0.0001, ll_d)
