@@ -938,6 +938,41 @@ class LikelihoodEngine:
                     interpret=interpret))
         return jnp.stack(self._unstack(outs))
 
+    def _g_evaluate_batch_all_psr(self, clvs, scalers, eigns, gwgts, srs,
+                                  bp_rows, bq_rows, bzs, interpret):
+        """PSR batched root lnLs -> [M, N]; bzs [N, B]. Traceable (jnp)
+        counterpart of _evaluate_batch_pallas's PSR branch, used inside
+        the thorough-wave program (evaluateGTRCAT, evaluateGeneric
+        Special.c, per-site rates in the exponent)."""
+        _PK = self.PK  # evaluate_batch_psr, evaluate_batch_stacked_psr
+        outs = []
+        for g, ms in enumerate(self.groups):
+            bw = self._block_w(self.g_width[g])
+            if len(ms) == 1:
+                m = ms[0]
+                lzs = K.log_z(bzs[:, self._branch_col(m)]).astype(
+                    jnp.float32)
+                outs.append(_PK.evaluate_batch_psr(
+                    clvs[g], scalers[g], bp_rows, bq_rows, lzs,
+                    eigns[m][0].astype(jnp.float32),
+                    gwgts[g].astype(jnp.float32),
+                    srs[g].astype(jnp.float32), block_w=bw,
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            else:
+                lams = jnp.stack([
+                    eigns[m][0][None, :].astype(jnp.float32)
+                    * K.log_z(bzs[:, self._branch_col(m)]).astype(
+                        jnp.float32)[:, None]
+                    for m in ms])                       # [P, N, S]
+                outs.append(_PK.evaluate_batch_stacked_psr(
+                    clvs[g], scalers[g], bp_rows, bq_rows, lams,
+                    gwgts[g].astype(jnp.float32),
+                    srs[g].astype(jnp.float32), block_w=bw,
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+        return jnp.stack(self._unstack(outs))
+
     def _g_nr_derivs(self, clvs, scalers, gammas, eigns, rate_weights,
                      gwgts, jp, jq, core_lz, interpret):
         """(d1 [M], d2 [M]) NR derivatives at branch (jp, jq), core_lz
@@ -974,13 +1009,45 @@ class LikelihoodEngine:
                 jnp.stack(self._unstack(d2o)))
 
     def _g_nr_derivs_batch(self, clvs, scalers, gammas, eigns,
-                           rate_weights, gwgts, jp, jq, lzs, interpret):
+                           rate_weights, gwgts, jp, jq, lzs, interpret,
+                           srs=None):
         """([M, N], [M, N]) batched NR derivatives; lzs [N] per-candidate
-        log branch lengths shared by all partitions (wave semantics)."""
+        log branch lengths shared by all partitions (wave semantics), or
+        [N, B] with per-branch-class columns (-M waves). srs: per-group
+        site-rate tuple (PSR mode only)."""
         _PK = self.PK  # fold_lam, fold_rw, nr_derivatives_batch_pallas, nr_derivatives_batch_stacked
+        if lzs.ndim == 1:
+            lzs = lzs[:, None]
+
+        def _col(m):
+            return self._branch_col(m) if lzs.shape[1] > 1 else 0
+
         d1o, d2o = [], []
         for g, ms in enumerate(self.groups):
             bw = self._block_w(self.g_width[g])
+            if self.is_psr:
+                if len(ms) == 1:
+                    m = ms[0]
+                    d1, d2 = _PK.nr_derivatives_batch_pallas_psr(
+                        clvs[g], scalers[g], jp, jq,
+                        eigns[m][0].astype(jnp.float32),
+                        gwgts[g].astype(jnp.float32),
+                        srs[g].astype(jnp.float32),
+                        lzs[:, _col(m)].astype(jnp.float32),
+                        block_w=bw, interpret=interpret)
+                else:
+                    d1, d2 = _PK.nr_derivatives_batch_stacked_psr(
+                        clvs[g], scalers[g], jp, jq,
+                        jnp.stack([eigns[m][0].astype(jnp.float32)
+                                   for m in ms]),
+                        gwgts[g].astype(jnp.float32),
+                        srs[g].astype(jnp.float32),
+                        jnp.stack([lzs[:, _col(m)]
+                                   for m in ms]).astype(jnp.float32),
+                        block_w=bw, interpret=interpret)
+                d1o.append(d1)
+                d2o.append(d2)
+                continue
             lams, rws = [], []
             for m in ms:
                 lams.append(_PK.fold_lam(eigns[m], gammas[m]).astype(
@@ -991,13 +1058,16 @@ class LikelihoodEngine:
             if len(ms) == 1:
                 d1, d2 = _PK.nr_derivatives_batch_pallas(
                     clvs[g], scalers[g], jp, jq, lams[0], rws[0],
-                    gwgts[g].astype(jnp.float32), lzs, block_w=bw,
+                    gwgts[g].astype(jnp.float32),
+                    lzs[:, _col(ms[0])], block_w=bw,
                     log_min_scale=self.log_min_scale,
                     interpret=interpret)
             else:
                 d1, d2 = _PK.nr_derivatives_batch_stacked(
                     clvs[g], scalers[g], jp, jq, jnp.stack(lams),
-                    jnp.stack(rws), gwgts[g].astype(jnp.float32), lzs,
+                    jnp.stack(rws), gwgts[g].astype(jnp.float32),
+                    jnp.stack([lzs[:, _col(m)]
+                               for m in ms]),
                     block_w=bw, log_min_scale=self.log_min_scale,
                     shard_member=self.g_member_sharded[g],
                     interpret=interpret)
@@ -1007,17 +1077,66 @@ class LikelihoodEngine:
                 jnp.stack(self._unstack(d2o)))
 
     def _g_junctions(self, clvs, scalers, gammas, eigns, eis, evs,
-                     j_rows, a_rows, b_rows, za, zb, tt, interpret):
+                     j_rows, a_rows, b_rows, za, zb, tt, interpret,
+                     srs=None):
         """Junction CLV updates (scratch row j_i = combine(a_i via za_i,
-        b_i via zb_i)) for every partition; za/zb [N]."""
+        b_i via zb_i)) for every partition; za/zb [N] or [N, B] (-M
+        per-branch-class columns). srs: per-group site rates (PSR)."""
         _PK = self.PK  # blockdiag, make_p_batch, newview_level_pallas, newview_level_stacked
+        if za.ndim == 1:
+            za = za[:, None]
+            zb = zb[:, None]
+
+        def _col(m):
+            return self._branch_col(m) if za.shape[1] > 1 else 0
         out_c = list(clvs)
         out_s = list(scalers)
+        if self.is_psr:
+            for g, ms in enumerate(self.groups):
+                bw = self._block_w(self.g_width[g])
+                lamqs, lamrs = [], []
+                for m in ms:
+                    col = _col(m)
+                    lza = K.log_z(za[:, col])
+                    lzb = K.log_z(zb[:, col])
+                    e = eigns[m][0].astype(jnp.float32)
+                    lamqs.append(e[None, :] * lza[:, None].astype(
+                        jnp.float32))                    # [N, S]
+                    lamrs.append(e[None, :] * lzb[:, None].astype(
+                        jnp.float32))
+                if len(ms) == 1:
+                    m = ms[0]
+                    c2, s2 = _PK.newview_level_pallas_psr(
+                        clvs[g], scalers[g], j_rows, a_rows, b_rows, tt,
+                        lamqs[0], lamrs[0],
+                        eis[m][0].astype(jnp.float32),
+                        evs[m][0].astype(jnp.float32),
+                        srs[g].astype(jnp.float32), block_w=bw,
+                        min_scale=self.min_scale,
+                        inv_min_scale=self.inv_min_scale,
+                        interpret=interpret)
+                else:
+                    c2, s2 = _PK.newview_level_stacked_psr(
+                        clvs[g], scalers[g], j_rows, a_rows, b_rows, tt,
+                        jnp.stack(lamqs), jnp.stack(lamrs),
+                        jnp.stack([eis[m][0].astype(jnp.float32)
+                                   for m in ms]),
+                        jnp.stack([evs[m][0].astype(jnp.float32)
+                                   for m in ms]),
+                        srs[g].astype(jnp.float32), block_w=bw,
+                        min_scale=self.min_scale,
+                        inv_min_scale=self.inv_min_scale,
+                        interpret=interpret)
+                out_c[g] = c2
+                out_s[g] = s2
+            return tuple(out_c), tuple(out_s)
         for g, ms in enumerate(self.groups):
             bw = self._block_w(self.g_width[g])
             pls, prs, evb = [], [], []
             for m in ms:
-                pl_m, pr_m = _PK.make_p_batch(za, zb, gammas[m], eigns[m],
+                col = _col(m)
+                pl_m, pr_m = _PK.make_p_batch(za[:, col], zb[:, col],
+                                          gammas[m], eigns[m],
                                           eis[m])
                 pls.append(pl_m.astype(jnp.float32))
                 prs.append(pr_m.astype(jnp.float32))
@@ -2342,29 +2461,45 @@ class LikelihoodEngine:
     # ONE device dispatch — a vectorized Newton-Raphson state machine over
     # candidates with per-round junction CLV rebuilds in scratch rows
 
+    def _wave_model(self):
+        """The device model tuple consumed by the wave programs; the
+        trailing per-group site-rate tuple feeds the PSR kernels (empty
+        under GAMMA — the programs never index it there)."""
+        srs = (tuple(self._gsr(g) for g in range(self.n_groups))
+               if self.is_psr else ())
+        return (tuple(self.d_gamma), tuple(self.d_EIGN),
+                tuple(self.d_EI), tuple(self.d_EV),
+                tuple(self.d_rate_weights), tuple(self.g_wgt), srs)
+
     def _make_wave_ops(self, interpret):
         """(batch_nr, junctions): the vectorized branch-NR state machine
         and the batched junction-CLV builder shared by the thorough-
         insertion and quartet wave programs."""
         M = self.n_models
+        B = self.num_branches
 
         def batch_nr(clvs, scalers, model, jp, jq, z0, maxiter, frozen):
             """topLevelMakenewz vectorized over N branches (rows jp/jq);
-            frozen lanes keep z0."""
-            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            z0 [N] (linked branches) or [N, B] (per-partition classes,
+            the reference's numBranches > 1 NR lanes); frozen lanes keep
+            z0."""
+            gammas, eigns, eis, evs, rate_weights, gwgts, srs = model
+            vec = z0.ndim == 2
+            z0m = z0 if vec else z0[:, None]
 
-            def derivs(core_lz):
+            def derivs(core_lz):                   # [N, B']
                 d1m, d2m = self._g_nr_derivs_batch(
                     clvs, scalers, gammas, eigns, rate_weights, gwgts,
-                    jp, jq, core_lz, interpret)
-                d1t = jnp.zeros_like(core_lz)
-                d2t = jnp.zeros_like(core_lz)
-                for m in range(M):
-                    d1t = d1t + d1m[m]
-                    d2t = d2t + d2m[m]
-                return d1t, d2t
+                    jp, jq, core_lz, interpret, srs=srs)
+                if B == 1:
+                    return (jnp.sum(d1m, axis=0)[:, None],
+                            jnp.sum(d2m, axis=0)[:, None])
+                # per-partition branch classes: class of model m is m
+                # (engine asserts num_branches == n_models)
+                return d1m.T, d2m.T
 
-            N = z0.shape[0]
+            N = z0m.shape[0]
+            frozen2 = jnp.broadcast_to(frozen[:, None], z0m.shape)
 
             def cond(st):
                 return ~jnp.all(st[4])
@@ -2400,24 +2535,25 @@ class LikelihoodEngine:
                 maxi = jnp.where(do_nr, maxi - 1, maxi)
                 moved = jnp.abs(z - zprev) > zstep
                 give_up = do_nr & moved & (maxi < -20)
-                z = jnp.where(give_up, z0, z)
+                z = jnp.where(give_up, z0m, z)
                 outer = jnp.where(do_nr,
                                   jnp.where(moved, give_up, True), outer)
                 return (z, zprev, zstep, maxi, outer, curvat)
 
-            st = (z0, z0, jnp.zeros_like(z0),
-                  jnp.full(N, maxiter, jnp.int32), frozen,
-                  jnp.ones(N, bool))
-            return jax.lax.while_loop(cond, body, st)[0]
+            st = (z0m, z0m, jnp.zeros_like(z0m),
+                  jnp.full(z0m.shape, maxiter, jnp.int32), frozen2,
+                  jnp.ones(z0m.shape, bool))
+            zf = jax.lax.while_loop(cond, body, st)[0]
+            return zf if vec else zf[:, 0]
 
         def junctions(clvs, scalers, model, j_rows, a_rows, b_rows, za, zb,
                       tt):
             """N junction CLVs: scratch row j_i = combine(a_i via za_i,
             b_i via zb_i)."""
-            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts, srs = model
             return self._g_junctions(clvs, scalers, gammas, eigns, eis,
                                      evs, j_rows, a_rows, b_rows, za, zb,
-                                     tt, interpret)
+                                     tt, interpret, srs=srs)
 
         return batch_nr, junctions
 
@@ -2433,7 +2569,7 @@ class LikelihoodEngine:
 
         def run(clvs, scalers, model, t1, t2, t3, t4, ja, jb, tt12, tt34,
                 pad):
-            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts, srs = model
             N = t1.shape[0]
             z = jnp.full((N, 5), C.DEFAULTZ, jnp.float32)
             tt0 = jnp.zeros(N, jnp.int32)
@@ -2526,9 +2662,7 @@ class LikelihoodEngine:
         if fn is None:
             fn = self._build_quartet_program()
             self._jit_cache['quartetprog'] = fn
-        model = (tuple(self.d_gamma), tuple(self.d_EIGN),
-                 tuple(self.d_EI), tuple(self.d_EV),
-                 tuple(self.d_rate_weights), tuple(self.g_wgt))
+        model = self._wave_model()
         clvs, scalers, lhs = fn(
             tuple(self.clv), tuple(self.scaler), model,
             jnp.asarray(t[0]), jnp.asarray(t[1]), jnp.asarray(t[2]),
@@ -2546,12 +2680,12 @@ class LikelihoodEngine:
 
         def run(clvs, scalers, model, s_row, u_rows, v_rows, j_rows, z0,
                 pad):
-            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts, srs = model
             N = u_rows.shape[0]
             live = pad                         # frozen mask for batch_nr
             s_rows = jnp.broadcast_to(s_row.astype(jnp.int32), (N,))
             tt_uv = jnp.zeros(N, jnp.int32)    # junction rows: never tips
-            defaultz = jnp.full(N, C.DEFAULTZ, z0.dtype)
+            defaultz = jnp.full(z0.shape, C.DEFAULTZ, z0.dtype)
 
             # insertBIG thorough: three independent NR optimizations from
             # the pre-insertion state (searchAlgo.c:495-536)
@@ -2606,7 +2740,9 @@ class LikelihoodEngine:
                 moved = ((jnp.abs(e1n - e1) > C.DELTAZ)
                          | (jnp.abs(e2n - e2) > C.DELTAZ)
                          | (jnp.abs(e3n - e3) > C.DELTAZ))
-                active = active & moved
+                # allSmoothed over the branch classes (searchAlgo.c:278:
+                # the candidate keeps smoothing while ANY class moved)
+                active = active & jnp.any(moved, axis=-1)
                 return (k + 1, clvs, scalers, e1n, e2n, e3n, active)
 
             def round_cond(carry):
@@ -2622,9 +2758,14 @@ class LikelihoodEngine:
             # localSmooth is toward v); evaluate at branch (junction, v)
             clvs, scalers = junctions(clvs, scalers, model, j_rows,
                                       s_rows, u_rows, e3, e1, tt_uv)
-            lhs = self._g_evaluate_batch_all(
-                clvs, scalers, gammas, eigns, rate_weights, gwgts,
-                j_rows, v_rows, e2[:, None], interpret)
+            if self.is_psr:
+                lhs = self._g_evaluate_batch_all_psr(
+                    clvs, scalers, eigns, gwgts, srs,
+                    j_rows, v_rows, e2, interpret)
+            else:
+                lhs = self._g_evaluate_batch_all(
+                    clvs, scalers, gammas, eigns, rate_weights, gwgts,
+                    j_rows, v_rows, e2, interpret)
             # per-partition [M, N] — callers sum over partitions (the
             # fused apply path also needs per_partition_lh)
             import os
@@ -2662,13 +2803,12 @@ class LikelihoodEngine:
         jv[:N] = v_rows
         jj = np.full(L, spare, np.int32)
         jj[:N] = j_rows
-        z = np.full(L, C.DEFAULTZ, np.float32)
-        z[:N] = z0
+        B = self.num_branches
+        z = np.full((L, B), C.DEFAULTZ, np.float32)
+        z[:N] = np.reshape(np.asarray(z0, np.float32), (N, B))
         pad = np.zeros(L, bool)
         pad[N:] = True
-        model = (tuple(self.d_gamma), tuple(self.d_EIGN),
-                 tuple(self.d_EI), tuple(self.d_EV),
-                 tuple(self.d_rate_weights), tuple(self.g_wgt))
+        model = self._wave_model()
         clvs, scalers, scores, e1, e2, e3, *extra = fn(
             tuple(self.clv), tuple(self.scaler), model,
             jnp.asarray(s_row, dtype=jnp.int32),
@@ -2685,7 +2825,7 @@ class LikelihoodEngine:
         e2 = junction-v, e3 = junction-prunedSubtree) for N thorough SPR
         insertions in one dispatch. Rows index the CLV buffer (v_rows are
         proximal scratch CLVs written beforehand). Returns float64
-        (scores, e1, e2, e3)."""
+        (scores, e1 [N, B], e2, e3)."""
         handles = self.thorough_score_wave_lazy(s_row, u_rows, v_rows,
                                                 j_rows, z0)
         lhs, e1, e2, e3 = self.fetch(handles, kind='spr_thorough_wave')
@@ -2697,8 +2837,9 @@ class LikelihoodEngine:
         evaluate, searchAlgo.c:495-536 + :270) as ONE dispatch + ONE
         fetch. Called with the tree still pruned (q.back is the junction
         partner r; p dangling with p.back = s). Returns
-        (per_partition_lh [M], e1, e2, e3); the caller performs the
-        hookups with the fitted branch lengths and refreshes p's CLV."""
+        (per_partition_lh [M], e1, e2, e3) with e* per-branch-class
+        lists [B]; the caller performs the hookups with the fitted
+        branch lengths and refreshes p's CLV."""
         tr = self.tree
         r = q.back
         s = p.back
@@ -2715,9 +2856,10 @@ class LikelihoodEngine:
         # reads it back) — use the first scratch row instead
         handles = self.thorough_score_wave_lazy(
             s.number, [q.number], [r.number], [self.scratch_base],
-            [q.z[0]])
+            [list(q.z)])
         lhs, e1, e2, e3 = self.fetch(handles, kind='apply_thorough')
-        return lhs[:, 0], float(e1[0]), float(e2[0]), float(e3[0])
+        return (lhs[:, 0], [float(v) for v in e1[0]],
+                [float(v) for v in e2[0]], [float(v) for v in e3[0]])
 
     # ------------------------------------------------------------------
     # Newton-Raphson branch-length optimization

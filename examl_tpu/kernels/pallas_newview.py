@@ -1438,6 +1438,185 @@ def nr_derivatives_pallas_psr(clv, scaler, p_row, q_row, eign, wgt,
     return sums[0], sums[1]
 
 
+def _nr_batch_psr_kernel(p_rows, q_rows,
+                         clv_hbm, scaler_hbm, eign_ref, wgt_ref,
+                         rates_ref, lzs_ref,
+                         out_ref,
+                         x1_s, x2_s, sems,
+                         *, bw):
+    n = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+    p = p_rows[n]
+    q = q_rows[n]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    eign = eign_ref[0]                         # [S]
+    rates = rates_ref[0]                       # [BW]
+    lz = lzs_ref[n]
+    lam = eign[:, None] * rates[None, :]       # [S, BW]
+    tmp = x1_s[...] * x2_s[...] * jnp.exp(lam * lz)
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam, axis=0)
+    d2ln = jnp.sum(tmp * lam * lam, axis=0)
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    wgt = wgt_ref[0]
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    out_ref[n, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[n, wb, 1] = jnp.sum(
+        w * jnp.where(live, d2ln - dln * dln, 0.0))
+
+
+@shardable('sum', 'sum')
+def nr_derivatives_batch_pallas_psr(clv, scaler, p_rows, q_rows, eign,
+                                    wgt, site_rates, lzs, *,
+                                    block_w=8192, interpret=False):
+    """Batched PSR NR derivatives -> (d1 [N], d2 [N]) for N branches
+    with per-candidate log lengths lzs [N]; eign [S], clv [rows, S, W].
+    The per-(candidate, site-block) grid mirrors nr_derivatives_batch_
+    pallas; the PSR exponent is the elementwise per-site-rate form of
+    _nr_psr_kernel (makenewzGenericSpecial.c coreGTRCAT, with the joint
+    scale factor cancelling in the ratios)."""
+    rows, n_states, W = clv.shape
+    N = p_rows.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+    wgt = wgt.reshape(1, W)          # see evaluate_pallas on 1-D operands
+    site_rates = site_rates.reshape(1, W)
+    eign = eign.reshape(1, n_states)
+    kernel = functools.partial(_nr_batch_psr_kernel, bw=bw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, n_states), lambda n, w, p, q: (0, 0)),
+            pl.BlockSpec((1, bw), lambda n, w, p, q: (0, w)),
+            pl.BlockSpec((1, bw), lambda n, w, p, q: (0, w)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [N]
+        ],
+        out_specs=pl.BlockSpec((N, nb, 2), lambda n, w, p, q: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, nb, 2), jnp.float32),
+        interpret=interpret,
+    )(p_rows, q_rows, clv, scaler, eign, wgt, site_rates,
+      jnp.asarray(lzs, jnp.float32))
+    sums = jnp.sum(partials, axis=1)
+    return sums[:, 0], sums[:, 1]
+
+
+def _nr_batch_stacked_psr_kernel(p_rows, q_rows,
+                                 clv_hbm, scaler_hbm, eign_ref, wgt_ref,
+                                 rates_ref, lzs_ref,
+                                 out_ref,
+                                 x1_s, x2_s, sems,
+                                 *, bw):
+    pid = pl.program_id(0)
+    n = pl.program_id(1)
+    wb = pl.program_id(2)
+    col = wb * bw
+    p = p_rows[n]
+    q = q_rows[n]
+    copies = [
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, p, :, pl.ds(col, bw)], x1_s, sems.at[0]),
+        pltpu.make_async_copy(
+            clv_hbm.at[pid, q, :, pl.ds(col, bw)], x2_s, sems.at[1]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    eign = eign_ref[0, 0]                      # [S] of partition pid
+    rates = rates_ref[0, 0]                    # [BW]
+    lz = lzs_ref[pid, n]
+    lam = eign[:, None] * rates[None, :]
+    tmp = x1_s[...] * x2_s[...] * jnp.exp(lam * lz)
+    inv_li = jnp.sum(tmp, axis=0)
+    dln = jnp.sum(tmp * lam, axis=0)
+    d2ln = jnp.sum(tmp * lam * lam, axis=0)
+    inv_li = 1.0 / jnp.abs(inv_li)
+    dln = dln * inv_li
+    d2ln = d2ln * inv_li
+    wgt = wgt_ref[0, 0]
+    live = wgt > 0
+    w = jnp.where(live, wgt, 0.0)
+    out_ref[pid, n, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[pid, n, wb, 1] = jnp.sum(
+        w * jnp.where(live, d2ln - dln * dln, 0.0))
+
+
+@shardable('sum', 'sum', member_axes=dict(
+    clv=0, scaler=0, eign=0, wgt=0, site_rates=0, lzs=0))
+def nr_derivatives_batch_stacked_psr(clv, scaler, p_rows, q_rows, eign,
+                                     wgt, site_rates, lzs, *,
+                                     block_w=8192, interpret=False):
+    """Stacked batched PSR NR derivatives -> (d1 [P, N], d2 [P, N]);
+    eign [P, S], wgt/site_rates [P, W], lzs [P, N] per-(partition,
+    candidate) log branch lengths (per-partition columns support -M
+    waves, optimizeModel.c perGeneBranchLengths)."""
+    P, rows, n_states, W = clv.shape
+    N = p_rows.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    nb = W // bw
+    eign = eign.reshape(P, 1, n_states)
+    wgt = wgt.reshape(P, 1, W)
+    site_rates = site_rates.reshape(P, 1, W)
+    kernel = functools.partial(_nr_batch_stacked_psr_kernel, bw=bw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, N, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, n_states), lambda p, n, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
+            pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [P, N]
+        ],
+        out_specs=pl.BlockSpec((P, N, nb, 2),
+                               lambda p, n, w, *_: (0, 0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.VMEM((n_states, bw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    partials = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, N, nb, 2), jnp.float32),
+        interpret=interpret,
+    )(p_rows, q_rows, clv, scaler, eign, wgt, site_rates,
+      jnp.asarray(lzs, jnp.float32))
+    sums = jnp.sum(partials, axis=2)
+    return sums[..., 0], sums[..., 1]
+
+
 def _per_site_lnl_kernel(p_row, q_row,
                          clv_hbm, scaler_hbm, eign_ref, rates_ref, lz_ref,
                          out_ref,
@@ -2077,7 +2256,7 @@ def _nr_batch_stacked_kernel(p_rows, q_rows,
 
     lam = lam_ref[0, 0]
     rw = rw_ref[0, 0]
-    lz = lzs_ref[n]
+    lz = lzs_ref[pid, n]
     d = rw * jnp.exp(lam * lz)
     x12 = (x1_s[...].astype(jnp.float32)
            * x2_s[...].astype(jnp.float32))
@@ -2097,17 +2276,19 @@ def _nr_batch_stacked_kernel(p_rows, q_rows,
 
 
 @shardable('sum', 'sum', member_axes=dict(
-    clv=0, scaler=0, lam=0, rate_weights=0, wgt=0))
+    clv=0, scaler=0, lam=0, rate_weights=0, wgt=0, lzs=0))
 def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
                                  rate_weights, wgt, lzs, *, block_w=8192,
                                  log_min_scale=float(np.log(2.0 ** -30)),
                                  interpret=False):
     """Stacked batched NR derivatives -> (d1 [P, N], d2 [P, N]).
     lam/rate_weights [P, 1, K], wgt [P, W] (carried as [P, 1, W], see
-    traversal_fused_stacked), lzs [N] (shared: wave branch lengths are
-    per candidate, not per partition)."""
+    traversal_fused_stacked), lzs [P, N] per-(partition, candidate) log
+    branch lengths (identical rows for linked branches; per-partition
+    columns for -M waves)."""
     P, rows, k_dim, W = clv.shape
     N = p_rows.shape[0]
+    assert lzs.ndim == 2
     bw = min(block_w, W)
     assert W % bw == 0
     nb = W // bw

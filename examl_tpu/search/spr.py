@@ -89,7 +89,7 @@ class _WaveRecorder:
         self.th_u: List[int] = []
         self.th_v: List[int] = []
         self.th_j: List[int] = []
-        self.th_z0: List[float] = []
+        self.th_z0: List[list] = []    # per-candidate start z [B]
 
     # -- engine surface used by insert_big / the walk -------------------
 
@@ -141,7 +141,7 @@ class _WaveRecorder:
         self.th_u.append(self._read(u.number))
         self.th_v.append(self._read(r.number))
         self.th_j.append(self._alloc())
-        self.th_z0.append(z0[0])
+        self.th_z0.append(list(z0))
 
     # -- internals -------------------------------------------------------
 
@@ -254,7 +254,8 @@ class _WaveRecorder:
         numbers abstracted away."""
         return (tuple(self.entry_node), tuple(self.reads),
                 tuple(self.sub_flags),
-                tuple(tuple(z) for z in self.sc_z), tuple(self.th_z0))
+                tuple(tuple(z) for z in self.sc_z),
+                tuple(tuple(z) for z in self.th_z0))
 
 
 def node_rectifier(tr: Tree) -> None:
@@ -344,9 +345,9 @@ class SprSearch:
         self.batch_lazy = batch_lazy
         # thorough insertions batch the same way (whole insertBIG +
         # localSmooth pipeline per candidate in one device wave); the
-        # vectorized NR program is single-branch-class GAMMA only
-        self.batch_thorough = (engine.use_pallas and not engine.is_psr
-                               and engine.num_branches == 1)
+        # vectorized NR program carries per-branch-class lanes ([N, B])
+        # and PSR derivative/junction kernels, so every mode batches
+        self.batch_thorough = engine.use_pallas
         # Speculative prune-node batching (accelerator): dispatch the
         # device programs of several consecutive prune nodes WITHOUT
         # fetching (the junction NR result flows into the wave programs by
@@ -747,9 +748,10 @@ class SprSearch:
             scores[seg['idx']] = seg['scores'][:seg['n']]
             if self.thorough:
                 for jj, ci in enumerate(seg['idx']):
-                    cands[ci]['lz'] = (float(seg['e1'][jj]),
-                                       float(seg['e2'][jj]),
-                                       float(seg['e3'][jj]))
+                    cands[ci]['lz'] = (
+                        [float(v) for v in seg['e1'][jj]],
+                        [float(v) for v in seg['e2'][jj]],
+                        [float(v) for v in seg['e3'][jj]])
         has_child = [False] * len(cands)
         for c in cands:
             if c['parent'] >= 0:
@@ -769,9 +771,9 @@ class SprSearch:
                 self.current_zqr = list(self.zqr)
                 if self.thorough:
                     e1, e2, e3 = c['lz']
-                    self.current_lzq = [e1] * len(self.lzq)
-                    self.current_lzr = [e2] * len(self.lzr)
-                    self.current_lzs = [e3] * len(self.lzs)
+                    self.current_lzq = list(e1)
+                    self.current_lzr = list(e2)
+                    self.current_lzs = list(e3)
                 else:
                     self.current_lzr = list(self.lzr)
                     self.current_lzq = list(self.lzq)
@@ -1124,7 +1126,7 @@ class SprSearch:
             out.append((tuple(rec.entry_node), tuple(reads),
                         tuple(rec.sub_flags),
                         tuple(tuple(z) for z in rec.sc_z),
-                        tuple(rec.th_z0)))
+                        tuple(tuple(z) for z in rec.th_z0)))
         # candidate walk structure per side (u, parent linkage)
         for kind, it in spec['items']:
             if kind == 'side':
@@ -1290,14 +1292,13 @@ class SprSearch:
                 # evaluate in ONE dispatch/fetch (the host path costs 4
                 # separate syncs; searchAlgo.c:495-536 + :270)
                 eng = self.eng
-                B = eng.num_branches
                 r = q.back
                 s = p.back
                 self.lzi = list(q.z)
                 per, e1, e2, e3 = eng.apply_thorough(p, q)
-                tr.hookup(p.next, q, [e1] * B)
-                tr.hookup(p.next.next, r, [e2] * B)
-                tr.hookup(p, s, [e3] * B)
+                tr.hookup(p.next, q, list(e1))
+                tr.hookup(p.next.next, r, list(e2))
+                tr.hookup(p, s, list(e3))
                 eng.newview(p)
                 self.lzq = list(p.next.z)
                 self.lzr = list(p.next.next.z)

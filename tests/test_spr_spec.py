@@ -177,9 +177,8 @@ def test_batched_bestlist_scan_matches_sequential():
 @pytest.mark.slow
 def test_speculative_cycle_per_partition_branches():
     """-M (per-partition branch lengths): the speculative driver must
-    match the synchronous one on the multi-branch-class engine (thorough
-    batching is disabled there; the lazy waves and junction-NR
-    substitution carry [B] branch vectors)."""
+    match the synchronous one on the multi-branch-class engine (the
+    waves and junction-NR substitution carry [B] branch vectors)."""
     def cycle(spec):
         import jax
         aln = read_bytefile(str(DATA / '49.binary'))
@@ -191,7 +190,7 @@ def test_speculative_cycle_per_partition_branches():
         eng.evaluate(tree.start, full_traversal_=True)
         eng.tree_evaluate(1.0)
         s = SprSearch(eng)
-        assert not s.batch_thorough
+        assert s.batch_thorough      # -M thorough waves plan too now
         s.speculate = spec
         bt = BestList(20)
         return s.tree_optimize_rapid(1, 5, bt)
