@@ -179,7 +179,8 @@ def test_nr_batch_stacked(data):
                      for p in range(P)]).astype(jnp.float32)
     d1, d2 = nr_derivatives_batch_stacked(
         data['clv'], data['scaler'], jp, jq, lams[:, None, :],
-        rws[:, None, :], data['wgt'], lzs, block_w=128, interpret=True)
+        rws[:, None, :], data['wgt'], jnp.tile(lzs[None, :], (P, 1)),
+        block_w=128, interpret=True)
     for p in range(P):
         o1, o2 = nr_derivatives_batch_pallas(
             data['clv'][p], data['scaler'][p], jp, jq,
@@ -187,6 +188,19 @@ def test_nr_batch_stacked(data):
             block_w=128, interpret=True)
         np.testing.assert_array_equal(np.asarray(d1[p]), np.asarray(o1))
         np.testing.assert_array_equal(np.asarray(d2[p]), np.asarray(o2))
+
+    # -M case: each partition carries its own branch-length column.
+    lzs_m = jnp.asarray(np.log(rng.uniform(0.2, 0.95, (P, N))), jnp.float32)
+    d1m, d2m = nr_derivatives_batch_stacked(
+        data['clv'], data['scaler'], jp, jq, lams[:, None, :],
+        rws[:, None, :], data['wgt'], lzs_m, block_w=128, interpret=True)
+    for p in range(P):
+        o1, o2 = nr_derivatives_batch_pallas(
+            data['clv'][p], data['scaler'][p], jp, jq,
+            lams[p][None], rws[p][None], data['wgt'][p], lzs_m[p],
+            block_w=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(d1m[p]), np.asarray(o1))
+        np.testing.assert_array_equal(np.asarray(d2m[p]), np.asarray(o2))
 
 
 def test_tip_rows_stacked(data):
