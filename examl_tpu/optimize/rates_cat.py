@@ -74,17 +74,53 @@ def _vectorized_rate_climb(eng: LikelihoodEngine, lower_spacing,
 
 
 def _categorize_partition(rates_sorted, patrat, width):
-    """categorizePartition :1690: assign each site the closest category."""
-    cats = np.empty(width, dtype=np.int32)
-    for i in range(width):
-        t = patrat[i]
-        diffs = np.abs(t - rates_sorted)
-        close = np.flatnonzero(diffs < 0.001)
-        if close.size:
-            cats[i] = close[0]
-        else:
-            cats[i] = int(np.argmin(diffs))
-    return cats
+    """categorizePartition :1690: assign each site the closest category.
+    Vectorized over sites: [w, n_cats] distance table; first-within-0.001
+    (argmax over the bool mask = first True) else nearest (argmin = first
+    minimum), both matching the reference's scan order."""
+    diffs = np.abs(patrat[:, None] - rates_sorted[None, :])
+    close = diffs < 0.001
+    first_close = np.argmax(close, axis=1)
+    return np.where(close.any(axis=1), first_close,
+                    np.argmin(diffs, axis=1)).astype(np.int32)
+
+
+def _merge_rate_clusters(patrat, lnls):
+    """The categorizeTheRates :2188-2216 merge loop, vectorized.
+
+    Sequential semantics: scan sites in order; a site's rate joins the
+    FIRST existing cluster representative within 0.001, else becomes a new
+    representative. Equivalent vectorized form: dedupe to unique values in
+    first-appearance order (all occurrences of one value always land on
+    the same representative — the leader list only grows), then one
+    assignment round per leader: all still-unassigned values within 0.001
+    of the round's leader join it (a value unassigned after leader j
+    cannot match any earlier leader, so "first match" holds). Cluster
+    likelihoods accumulate in site order via np.add.at, preserving the
+    reference's float summation order."""
+    vals, first_idx, inverse = np.unique(patrat, return_index=True,
+                                         return_inverse=True)
+    order = np.argsort(first_idx, kind='stable')
+    rank = np.empty(order.size, dtype=np.int64)
+    rank[order] = np.arange(order.size)
+    uvals = vals[order]                      # first-appearance order
+    uidx = rank[inverse]                     # site -> unique-value index
+
+    leader_of = np.full(uvals.size, -1, dtype=np.int64)
+    leaders: List[float] = []
+    while True:
+        unassigned = np.flatnonzero(leader_of < 0)
+        if unassigned.size == 0:
+            break
+        u = uvals[unassigned[0]]
+        grab = unassigned[np.abs(uvals[unassigned] - u) < 0.001]
+        leader_of[grab] = len(leaders)
+        leaders.append(u)
+
+    rc_rates = np.asarray(leaders)
+    rc_acc = np.zeros(rc_rates.size)
+    np.add.at(rc_acc, leader_of[uidx], lnls)
+    return rc_rates, rc_acc
 
 
 def _categorize_the_rates(eng: LikelihoodEngine, max_categories):
@@ -95,21 +131,10 @@ def _categorize_the_rates(eng: LikelihoodEngine, max_categories):
         patrat = eng.patrat[m][:w]
         lnls = eng.lhs[m][:w]
 
-        # merge nearly-equal rates, accumulating their site likelihoods
-        rc_rates: List[float] = [patrat[0]]
-        rc_acc: List[float] = [lnls[0]]
-        for i in range(1, w):
-            t = patrat[i]
-            for k, r in enumerate(rc_rates):
-                if t == r or abs(t - r) < 0.001:
-                    rc_acc[k] += lnls[i]
-                    break
-            else:
-                rc_rates.append(t)
-                rc_acc.append(lnls[i])
+        rc_rates, rc_acc = _merge_rate_clusters(patrat, lnls)
 
-        order = np.argsort(np.array(rc_acc), kind='stable')
-        rates_sorted = np.array(rc_rates)[order]
+        order = np.argsort(rc_acc, kind='stable')
+        rates_sorted = rc_rates[order]
         n_cats = min(len(rc_rates), max_categories)
         rates_kept = rates_sorted[:n_cats]
 
