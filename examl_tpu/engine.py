@@ -350,22 +350,11 @@ class LikelihoodEngine:
                 key = (self.partitions[m].data_type,
                        self.partitions[m].states)
                 by_key.setdefault(key, []).append(m)
+            # big trees keep their stacks: beyond the resident kernel's
+            # VMEM row ceiling the group runs the stacked HBM-resident
+            # fused variant (traversal_fused_hbm_stacked) — still one
+            # launch per group per traversal
             groups = list(by_key.values())
-            # big trees: the stacked fused-traversal kernel is VMEM-row-
-            # resident only; when even its smallest block cannot fit the
-            # rows, de-stack so the singletons use the HBM-resident fused
-            # variant (traversal_fused_hbm) instead of the per-level
-            # fallback (whose [K, K] matmuls are ~1000x slower at scale)
-            budget = 12 * 2 ** 20
-            flat = []
-            for ms in groups:
-                K = self.n_cats * self._padded_states(ms[0])
-                need = self.rows * (K + 1) * 128 * 4 * 2 + 4 * K * 128 * 4
-                if len(ms) > 1 and need > budget:
-                    flat.extend([m] for m in ms)
-                else:
-                    flat.append(ms)
-            groups = flat
         else:
             groups = [[m] for m in range(self.n_models)]
         member_sharded = []
@@ -1430,8 +1419,7 @@ class LikelihoodEngine:
         (the device-resident prune-branch NR result of the speculative
         SPR driver)."""
         if self.use_pallas and not self.is_psr:
-            packed = pack_traversal(self.tree, entries,
-                                    slots=self._fused_slots(len(entries)))
+            packed = self._pack_fused(entries)
             fn = self._pallas_program('trav_evalbatch', packed)
             if fn is not None:
                 jp, jq, z = self._pad_batch(p_rows, q_rows, zs)
@@ -1738,15 +1726,17 @@ class LikelihoodEngine:
         """(n_rows, per-model block_w) for the fused whole-traversal
         kernel, or None when the VMEM working set does not fit. A
         NEGATIVE block_w entry selects the HBM-resident variant
-        (traversal_fused_hbm: per-op child DMA instead of keeping every
-        row's column block in VMEM) with |block_w| — big trees exceed
-        the resident kernel's row ceiling but keep the one-dispatch
-        structure; only singleton groups have the HBM variant (the
-        layout planner de-stacks geometries that would need it)."""
+        (traversal_fused_hbm / traversal_fused_hbm_stacked: per-op child
+        DMA instead of keeping every row's column block in VMEM) with
+        |block_w| — big trees exceed the resident kernel's row ceiling
+        but keep the one-dispatch-per-group structure."""
         max_row = int(max(packed.p_idx.max(), packed.q_idx.max(),
                           packed.r_idx.max()))
         n_rows = (2 * self.mxtips if max_row < 2 * self.mxtips
                   else self.rows)
+        return self._fused_plan_rows(n_rows)
+
+    def _fused_plan_rows(self, n_rows):
         budget = 12 * 2 ** 20            # ~16 MB VMEM/core, leave slack
         plan = []
         for g, ms in enumerate(self.groups):
@@ -1768,8 +1758,6 @@ class LikelihoodEngine:
                     bw = cand
                     break
             if bw is None:
-                if len(ms) > 1:
-                    return None          # stacked: resident-only
                 for cand in (4096, 2048, 1024, 512, 256, 128):
                     if cand <= self.g_width[g] \
                             and self.g_width[g] % cand == 0:
@@ -1854,12 +1842,15 @@ class LikelihoodEngine:
                     if plan[gi] < 0:
                         # HBM-resident variant: rows exceed the resident
                         # kernel's VMEM ceiling (big trees)
+                        K_dim = self.n_cats * self._padded_states(m)
                         c2, s2 = _PK.traversal_fused_hbm(
                             clvs[gi], scalers[gi], jp, jq, jr, jt,
                             lzq[:, col], lzr[:, col], lam[None, :],
                             _PK.blockdiag(eis[m]).astype(jnp.float32),
                             _PK.blockdiag(evs[m]).astype(jnp.float32),
                             n_exec=nex[0], block_w=-plan[gi],
+                            group=self._hbm_group(K_dim, -plan[gi]),
+                            dummy_row=2 * self.mxtips - 1,
                             min_scale=self.min_scale,
                             inv_min_scale=self.inv_min_scale,
                             interpret=interpret)
@@ -1893,14 +1884,30 @@ class LikelihoodEngine:
                         _PK.blockdiag(evs[m]).astype(jnp.float32)
                         for m in ms])
                     ex_g = exec_mask[jnp.asarray(ms)].astype(jnp.int32)
-                    c2, s2 = _PK.traversal_fused_stacked(
-                        clvs[gi], scalers[gi], jp, jq, jr, jt,
-                        lzq[:, cols], lzr[:, cols], lams, eib, evb, ex_g,
-                        n_exec=nex[0], n_rows=n_rows, block_w=plan[gi],
-                        min_scale=self.min_scale,
-                        inv_min_scale=self.inv_min_scale,
-                        shard_member=self.g_member_sharded[gi],
-                        interpret=interpret)
+                    if plan[gi] < 0:
+                        # stacked HBM-resident variant: big trees keep
+                        # one launch per group past the VMEM row ceiling
+                        K_dim = self.n_cats * self._padded_states(ms[0])
+                        c2, s2 = _PK.traversal_fused_hbm_stacked(
+                            clvs[gi], scalers[gi], jp, jq, jr, jt,
+                            lzq[:, cols], lzr[:, cols], lams, eib, evb,
+                            ex_g, n_exec=nex[0], block_w=-plan[gi],
+                            group=self._hbm_group(K_dim, -plan[gi]),
+                            dummy_row=2 * self.mxtips - 1,
+                            min_scale=self.min_scale,
+                            inv_min_scale=self.inv_min_scale,
+                            shard_member=self.g_member_sharded[gi],
+                            interpret=interpret)
+                    else:
+                        c2, s2 = _PK.traversal_fused_stacked(
+                            clvs[gi], scalers[gi], jp, jq, jr, jt,
+                            lzq[:, cols], lzr[:, cols], lams, eib, evb,
+                            ex_g, n_exec=nex[0], n_rows=n_rows,
+                            block_w=plan[gi],
+                            min_scale=self.min_scale,
+                            inv_min_scale=self.inv_min_scale,
+                            shard_member=self.g_member_sharded[gi],
+                            interpret=interpret)
                     out_c[gi] = c2
                     out_s[gi] = s2
             return tuple(out_c), tuple(out_s)
@@ -1917,6 +1924,43 @@ class LikelihoodEngine:
         while b < n:
             b *= 4
         return b
+
+    @property
+    def _fused_grouped(self) -> bool:
+        """Whether the fused-traversal descriptors are packed as aligned
+        independent-op blocks (pack_grouped) instead of flat: big trees
+        whose full row buffer exceeds the resident kernel's VMEM ceiling
+        run the HBM variant, whose G concurrent child DMAs per block
+        lift the op loop from DMA-latency-bound to ~bandwidth. The
+        grouped descriptor is also valid for the resident kernel
+        (group=1 execution; padding slots are dummy ops), so one packing
+        serves mixed plans."""
+        v = self.__dict__.get('_fused_grouped_c')
+        if v is None:
+            plan = self._fused_plan_rows(self.rows)
+            v = plan is not None and any(bw < 0 for bw in plan[1])
+            self.__dict__['_fused_grouped_c'] = v
+        return v
+
+    def _hbm_group(self, k_dim: int, bw: int) -> int:
+        """Concurrent-DMA block size for the HBM fused kernels: as large
+        as the gather scratch (3 [G, K, bw] f32 buffers) affords, never
+        exceeding the packing block size."""
+        if not self._fused_grouped:
+            return 1
+        g = PALLAS_GROUP
+        while g > 1 and 3 * g * k_dim * bw * 4 > 8 * 2 ** 20:
+            g //= 2
+        return g
+
+    def _pack_fused(self, entries) -> PackedTraversal:
+        """Descriptor packing for the fused-traversal programs (all
+        callers of _pallas_program must use this so one compiled program
+        serves every traversal)."""
+        if self._fused_grouped:
+            return pack_grouped(self.tree, entries, group=PALLAS_GROUP)
+        return pack_traversal(self.tree, entries,
+                              slots=self._fused_slots(len(entries)))
 
     def _pallas_program(self, kind, packed):
         plan = self._fused_plan(packed)
@@ -1948,7 +1992,13 @@ class LikelihoodEngine:
         L = packed.p_idx.shape[0]
         sub = np.zeros(L, dtype=np.int32)
         if sub_mask is not None:
-            sub[:len(sub_mask)] = np.asarray(sub_mask, dtype=np.int32)
+            sm = np.asarray(sub_mask, dtype=np.int32)
+            if packed.slot_of is not None:
+                # grouped packings permute entries into independent
+                # blocks; sub_mask is entry-ordered
+                sub[packed.slot_of[:len(sm)]] = sm
+            else:
+                sub[:len(sm)] = sm
         if zqr_sub is None:
             zqr_sub = jnp.full((self.num_branches,), C.DEFAULTZ,
                                jnp.float32)
@@ -1972,8 +2022,7 @@ class LikelihoodEngine:
         program (one device round trip). Returns False when the VMEM
         working set does not fit (caller falls back to level kernels).
         GAMMA only; PSR uses the level path."""
-        packed = pack_traversal(self.tree, entries,
-                                slots=self._fused_slots(len(entries)))
+        packed = self._pack_fused(entries)
         fn = self._pallas_program('trav', packed)
         if fn is None:
             return False
@@ -2274,8 +2323,7 @@ class LikelihoodEngine:
         if self.use_pallas and not self.is_psr:
             # single-dispatch path: traversal + all partitions' root lnL
             # in one jitted program
-            packed = pack_traversal(tr, entries,
-                                    slots=self._fused_slots(len(entries)))
+            packed = self._pack_fused(entries)
             fn = self._pallas_program('trav_eval', packed)
             if fn is not None:
                 ex = (np.ones(self.n_models, dtype=bool) if mask is None

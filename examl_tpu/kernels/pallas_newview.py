@@ -480,91 +480,147 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     return clv_out, scaler_out
 
 
+def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
+                   n_chunks, clv_at, scaler_at, lam, ei, ev,
+                   xq, xr, x3, sq, sr, s3, sems,
+                   *, group, dummy_row, min_scale, inv_min_scale):
+    """Shared descriptor loop of the HBM-resident fused traversal
+    kernels: CLV rows stay in HBM — each op DMAs its two child blocks in
+    and its result block out instead of keeping every row's column block
+    in VMEM. This removes the VMEM row ceiling (rows*(K+1)*bw*8 <=
+    ~12 MB caps the resident kernel at ~350 taxa) while keeping the
+    one-dispatch / on-the-fly-P structure: at 512+ taxa the per-level
+    fallback's [K, K] matmuls fill ~2% of the MXU and measured 1000x
+    slower than this loop (the reference streams any tree size,
+    newviewGenericSpecial.c:917-1515).
+
+    With group G > 1 the descriptor must be packed as aligned blocks of
+    G mutually independent ops (traversal.pack_grouped): each block
+    issues its 4G child DMAs concurrently — per-op [K, bw] blocks are
+    far smaller than the DMA latency-bandwidth product, so the G=1 loop
+    is latency-bound; G in-flight gathers amortize the setup latency to
+    ~bandwidth. Padding slots (p_idx == dummy_row) skip their DMAs.
+    clv_at(row)/scaler_at(row) map a CLV row to its HBM block ref;
+    get_lzq/get_lzr(n) give op n's log branch lengths. Sequential chunk
+    execution orders read-after-write between dependent ops (chunk
+    members are independent by construction)."""
+    hi = jax.lax.Precision.HIGHEST
+
+    def in_copies(i, n):
+        return [
+            pltpu.make_async_copy(clv_at(q_idx[n]), xq.at[i],
+                                  sems.at[0, i]),
+            pltpu.make_async_copy(clv_at(r_idx[n]), xr.at[i],
+                                  sems.at[1, i]),
+            pltpu.make_async_copy(scaler_at(q_idx[n]), sq.at[i],
+                                  sems.at[2, i]),
+            pltpu.make_async_copy(scaler_at(r_idx[n]), sr.at[i],
+                                  sems.at[3, i]),
+        ]
+
+    def out_copies(i, n):
+        return [
+            pltpu.make_async_copy(x3.at[i], clv_at(p_idx[n]),
+                                  sems.at[0, i]),
+            pltpu.make_async_copy(s3.at[i], scaler_at(p_idx[n]),
+                                  sems.at[1, i]),
+        ]
+
+    def gated(n, fn):
+        def run():
+            fn()
+        if dummy_row is None:
+            run()
+        else:
+            pl.when(p_idx[n] != dummy_row)(run)
+
+    def body(c, _):
+        n0 = c * group
+        for i in range(group):             # start all child gathers
+            gated(n0 + i, lambda i=i, n=n0 + i: [
+                cp.start() for cp in in_copies(i, n)])
+        for i in range(group):
+            gated(n0 + i, lambda i=i, n=n0 + i: [
+                cp.wait() for cp in in_copies(i, n)])
+        for i in range(group):             # on-the-fly P + contraction
+            n = n0 + i
+            pls = jnp.exp(lam * get_lzq(n))[None, :] * ei
+            prs = jnp.exp(lam * get_lzr(n))[None, :] * ei
+            a = jnp.dot(pls, xq[i].astype(jnp.float32),
+                        preferred_element_type=jnp.float32, precision=hi)
+            b = jnp.dot(prs, xr[i].astype(jnp.float32),
+                        preferred_element_type=jnp.float32, precision=hi)
+            y = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
+                        precision=hi)
+            m = jnp.max(jnp.abs(y), axis=0)
+            scale = jnp.logical_and(m < min_scale, tip_tip[n] == 0)
+            y = jnp.where(scale[None, :], y * inv_min_scale, y)
+            x3[i] = y.astype(x3.dtype)
+            s3[i] = sq[i] + sr[i] + scale.astype(jnp.int32)[None, :]
+        for i in range(group):             # scatter all results
+            gated(n0 + i, lambda i=i, n=n0 + i: [
+                cp.start() for cp in out_copies(i, n)])
+        for i in range(group):
+            gated(n0 + i, lambda i=i, n=n0 + i: [
+                cp.wait() for cp in out_copies(i, n)])
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
 def _traversal_fused_hbm_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
                                 nex, clv_hbm, scaler_hbm, lam_ref, ei_ref,
                                 ev_ref, out_clv, out_scaler,
                                 xq, xr, x3, sq, sr, s3, sems,
-                                *, bw, min_scale, inv_min_scale):
-    """HBM-resident whole-traversal wave: the descriptor loop of
-    _traversal_fused_kernel, but CLV rows stay in HBM — each op DMAs its
-    two child blocks in and its result block out (the level kernels'
-    traffic pattern) instead of keeping every row's column block in VMEM.
-    This removes the VMEM row ceiling (rows*(K+1)*bw*8 <= ~12 MB caps
-    the resident kernel at ~350 taxa) while keeping the one-dispatch /
-    on-the-fly-P structure: at 512+ taxa the per-level fallback's [K, K]
-    matmuls fill ~2% of the MXU and measured 1000x slower than this
-    DMA-roofline loop. Sequential DMA waits order read-after-write
-    between chained ops."""
+                                *, bw, group, dummy_row, min_scale,
+                                inv_min_scale):
     wb = pl.program_id(0)
     col = wb * bw
-    lam = lam_ref[0]
-    ei = ei_ref[...]
-    ev = ev_ref[...]
-    hi = jax.lax.Precision.HIGHEST
+    _hbm_wave_loop(
+        p_idx, q_idx, r_idx, tip_tip,
+        lambda n: lzq[n], lambda n: lzr[n], nex[0] // group,
+        lambda row: out_clv.at[row, :, pl.ds(col, bw)],
+        lambda row: out_scaler.at[row, :, pl.ds(col, bw)],
+        lam_ref[0], ei_ref[...], ev_ref[...],
+        xq, xr, x3, sq, sr, s3, sems,
+        group=group, dummy_row=dummy_row, min_scale=min_scale,
+        inv_min_scale=inv_min_scale)
 
-    def body(n, _):
-        q = q_idx[n]
-        r = r_idx[n]
-        p = p_idx[n]
-        cin = [
-            pltpu.make_async_copy(
-                out_clv.at[q, :, pl.ds(col, bw)], xq, sems.at[0]),
-            pltpu.make_async_copy(
-                out_clv.at[r, :, pl.ds(col, bw)], xr, sems.at[1]),
-            pltpu.make_async_copy(
-                out_scaler.at[q, :, pl.ds(col, bw)], sq, sems.at[2]),
-            pltpu.make_async_copy(
-                out_scaler.at[r, :, pl.ds(col, bw)], sr, sems.at[3]),
-        ]
-        for c in cin:
-            c.start()
-        for c in cin:
-            c.wait()
-        pls = jnp.exp(lam * lzq[n])[None, :] * ei
-        prs = jnp.exp(lam * lzr[n])[None, :] * ei
-        a = jnp.dot(pls, xq[...].astype(jnp.float32),
-                    preferred_element_type=jnp.float32, precision=hi)
-        b = jnp.dot(prs, xr[...].astype(jnp.float32),
-                    preferred_element_type=jnp.float32, precision=hi)
-        y = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
-                    precision=hi)
-        m = jnp.max(jnp.abs(y), axis=0)
-        scale = jnp.logical_and(m < min_scale, tip_tip[n] == 0)
-        y = jnp.where(scale[None, :], y * inv_min_scale, y)
-        x3[...] = y.astype(x3.dtype)
-        s3[...] = sq[...] + sr[...] + scale.astype(jnp.int32)[None, :]
-        cout = [
-            pltpu.make_async_copy(
-                x3, out_clv.at[p, :, pl.ds(col, bw)], sems.at[0]),
-            pltpu.make_async_copy(
-                s3, out_scaler.at[p, :, pl.ds(col, bw)], sems.at[1]),
-        ]
-        for c in cout:
-            c.start()
-        for c in cout:
-            c.wait()
-        return 0
 
-    jax.lax.fori_loop(0, nex[0], body, 0)
+def _hbm_scratch(group, k_dim, bw, dtype):
+    return [
+        pltpu.VMEM((group, k_dim, bw), dtype),
+        pltpu.VMEM((group, k_dim, bw), dtype),
+        pltpu.VMEM((group, k_dim, bw), dtype),
+        pltpu.VMEM((group, 1, bw), jnp.int32),
+        pltpu.VMEM((group, 1, bw), jnp.int32),
+        pltpu.VMEM((group, 1, bw), jnp.int32),
+        pltpu.SemaphoreType.DMA((4, group)),
+    ]
 
 
 @shardable('clv', 'scaler')
 def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                         lzq, lzr, lam, ei, ev, *, n_exec=None,
-                        block_w=2048, min_scale=2.0 ** -30,
+                        block_w=2048, group=1, dummy_row=None,
+                        min_scale=2.0 ** -30,
                         inv_min_scale=2.0 ** 30, interpret=False):
     """traversal_fused_pallas without the VMEM row-residency requirement
-    (see _traversal_fused_hbm_kernel). Flat (group=1) descriptors;
-    ei/ev [K, K]."""
+    (see _hbm_wave_loop). ei/ev [K, K]. group > 1 requires a
+    pack_grouped descriptor (and n_exec a multiple of group); dummy_row
+    names the scratch row padding slots write to, letting the kernel
+    skip their DMAs."""
     rows, k_dim, W = clv.shape
     L = p_idx.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
+    assert L % group == 0
     nex = jnp.asarray(L if n_exec is None else n_exec,
                       jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _traversal_fused_hbm_kernel, bw=bw, min_scale=min_scale,
+        _traversal_fused_hbm_kernel, bw=bw, group=group,
+        dummy_row=dummy_row, min_scale=min_scale,
         inv_min_scale=inv_min_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -581,15 +637,7 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((k_dim, bw), clv.dtype),
-            pltpu.VMEM((k_dim, bw), clv.dtype),
-            pltpu.VMEM((k_dim, bw), clv.dtype),
-            pltpu.VMEM((1, bw), jnp.int32),
-            pltpu.VMEM((1, bw), jnp.int32),
-            pltpu.VMEM((1, bw), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=_hbm_scratch(group, k_dim, bw, clv.dtype),
     )
     clv_out, scaler_out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -601,6 +649,92 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         interpret=interpret,
     )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex, clv, scaler, lam, ei,
       ev)
+    return clv_out, scaler_out
+
+
+def _traversal_fused_hbm_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
+                                        lzq, lzr, nex, ex,
+                                        clv_hbm, scaler_hbm, lam_ref,
+                                        ei_ref, ev_ref,
+                                        out_clv, out_scaler,
+                                        xq, xr, x3, sq, sr, s3, sems,
+                                        *, bw, group, dummy_row,
+                                        min_scale, inv_min_scale):
+    pid = pl.program_id(0)
+    wb = pl.program_id(1)
+    col = wb * bw
+
+    # masked partitions (execute-mask / evaluateChange semantics) skip
+    # the op loop entirely: rows in HBM simply keep their stale contents
+    @pl.when(ex[pid] != 0)
+    def _():
+        _hbm_wave_loop(
+            p_idx, q_idx, r_idx, tip_tip,
+            lambda n: lzq[n, pid], lambda n: lzr[n, pid],
+            nex[0] // group,
+            lambda row: out_clv.at[pid, row, :, pl.ds(col, bw)],
+            lambda row: out_scaler.at[pid, row, :, pl.ds(col, bw)],
+            lam_ref[0, 0], ei_ref[0], ev_ref[0],
+            xq, xr, x3, sq, sr, s3, sems,
+            group=group, dummy_row=dummy_row, min_scale=min_scale,
+            inv_min_scale=inv_min_scale)
+
+
+@shardable('clv', 'scaler', member_axes=dict(
+    clv=0, scaler=0, lzq=1, lzr=1, lam=0, ei=0, ev=0, exec_mask=0))
+def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
+                                lzq, lzr, lam, ei, ev, exec_mask, *,
+                                n_exec=None, block_w=2048, group=1,
+                                dummy_row=None, min_scale=2.0 ** -30,
+                                inv_min_scale=2.0 ** 30, interpret=False):
+    """Stacked HBM-resident fused traversal: one launch for a whole
+    partition group of ANY tree size (big trees previously de-stacked to
+    singleton HBM dispatches). clv [P, rows, K, W] (donated), lzq/lzr
+    [L, P] per-partition branch columns, lam [P, K], ei/ev [P, K, K]
+    block-diagonal, exec_mask [P] int32 (0 = keep stale CLVs). group /
+    dummy_row as in traversal_fused_hbm."""
+    P, rows, k_dim, W = clv.shape
+    lam = lam.reshape(P, 1, k_dim)
+    L = p_idx.shape[0]
+    bw = min(block_w, W)
+    assert W % bw == 0
+    assert L % group == 0
+    assert lzq.shape == (L, P) and lzr.shape == (L, P)
+    nex = jnp.asarray(L if n_exec is None else n_exec,
+                      jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _traversal_fused_hbm_stacked_kernel, bw=bw, group=group,
+        dummy_row=dummy_row, min_scale=min_scale,
+        inv_min_scale=inv_min_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(P, W // bw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # scaler
+            pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=_hbm_scratch(group, k_dim, bw, clv.dtype),
+    )
+    clv_out, scaler_out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(clv.shape, clv.dtype),
+            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+        ],
+        input_output_aliases={8: 0, 9: 1},
+        interpret=interpret,
+    )(p_idx, q_idx, r_idx, tip_tip,
+      jnp.asarray(lzq, jnp.float32), jnp.asarray(lzr, jnp.float32),
+      nex, exec_mask, clv, scaler, lam, ei, ev)
     return clv_out, scaler_out
 
 

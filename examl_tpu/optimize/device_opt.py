@@ -111,8 +111,7 @@ class DeviceParamOptimizer:
         # full-traversal shapes are fixed for the engine's tree: resolve
         # the fused plan once at build time
         entries = full_traversal(eng.tree, eng.tree.start.back)
-        packed = pack_traversal(eng.tree, entries,
-                                slots=eng._fused_slots(len(entries)))
+        packed = eng._pack_fused(entries)
         plan = eng._fused_plan(packed)
         assert plan is not None
         n_rows, bws = plan
@@ -504,8 +503,7 @@ class DeviceParamOptimizer:
         p = tr.start
         q = p.back
         entries = full_traversal(tr, q)
-        packed = pack_traversal(tr, entries,
-                                slots=eng._fused_slots(len(entries)))
+        packed = eng._pack_fused(entries)
         trav_desc = eng._trav_args(packed)[:9]
         base = tuple(
             (jnp.asarray(eng.partitions[m].subst_rates),
@@ -556,8 +554,7 @@ class DeviceParamOptimizer:
         p = tr.start
         q = p.back
         entries = full_traversal(tr, q)
-        packed = pack_traversal(tr, entries,
-                                slots=eng._fused_slots(len(entries)))
+        packed = eng._pack_fused(entries)
         trav_desc = eng._trav_args(packed)[:9]
         fdtype = (np.float64 if jax.config.jax_enable_x64
                   else np.float32)

@@ -86,6 +86,11 @@ class PackedTraversal:
     # interleaved in-chunk padding); the bucketed tail beyond n_exec is
     # pure padding a kernel may skip. 0 means "execute everything".
     n_exec: int = 0
+    # slot_of[i] = descriptor slot of original entry i (grouped packings
+    # permute entries into independent blocks); None = identity
+    slot_of: "np.ndarray | None" = None
+    # chunk packings only: original entry index per slot (-1 = padding)
+    src: "np.ndarray | None" = None
 
     def exec_count(self) -> int:
         return self.n_exec if self.n_exec else len(self.p_idx)
@@ -222,6 +227,7 @@ def pack_grouped(tr: Tree, entries: List[TraversalEntry],
     tip_tip = np.ones(L, dtype=bool)
     qz = np.full((L, B), DEFAULTZ)
     rz = np.full((L, B), DEFAULTZ)
+    slot_of = np.zeros(len(entries), dtype=np.int64)
     for c, ch in enumerate(chunks):
         s = c * group
         p_idx[s:s + group] = ch.p_idx
@@ -230,9 +236,11 @@ def pack_grouped(tr: Tree, entries: List[TraversalEntry],
         tip_tip[s:s + group] = ch.tip_tip
         qz[s:s + group] = ch.qz
         rz[s:s + group] = ch.rz
+        for i, src in enumerate(ch.src[:ch.count]):
+            slot_of[src] = s + i
     return PackedTraversal(count=len(entries), p_idx=p_idx, q_idx=q_idx,
                            r_idx=r_idx, tip_tip=tip_tip, qz=qz, rz=rz,
-                           n_exec=len(chunks) * group)
+                           n_exec=len(chunks) * group, slot_of=slot_of)
 
 
 def chunk_entries(tr: Tree, entries: List[TraversalEntry],
@@ -244,23 +252,23 @@ def chunk_entries(tr: Tree, entries: List[TraversalEntry],
     traversal. Chunks are padded with scratch-row dummy updates."""
     dummy = 2 * tr.mxtips - 1
     B = tr.num_branches
-    pending = list(entries)
+    pending = list(enumerate(entries))
     chunks: List[PackedTraversal] = []
     while pending:
-        batch: List[TraversalEntry] = []
+        batch: List[tuple] = []
         batch_dsts = set()
-        rest: List[TraversalEntry] = []
+        rest: List[tuple] = []
         blocked = set()
-        for e in pending:
+        for idx, e in pending:
             if (len(batch) < chunk
                     and e.q_number not in batch_dsts
                     and e.r_number not in batch_dsts
                     and e.q_number not in blocked
                     and e.r_number not in blocked):
-                batch.append(e)
+                batch.append((idx, e))
                 batch_dsts.add(e.p_number)
             else:
-                rest.append(e)
+                rest.append((idx, e))
                 # anything depending on a deferred node must also defer
                 blocked.add(e.p_number)
         pending = rest
@@ -272,14 +280,16 @@ def chunk_entries(tr: Tree, entries: List[TraversalEntry],
         tip_tip = np.ones(chunk, dtype=bool)
         qz = np.full((chunk, B), DEFAULTZ)
         rz = np.full((chunk, B), DEFAULTZ)
-        for i, e in enumerate(batch):
+        src = np.full(chunk, -1, dtype=np.int64)
+        for i, (idx, e) in enumerate(batch):
             p_idx[i] = e.p_number
             q_idx[i] = e.q_number
             r_idx[i] = e.r_number
             tip_tip[i] = e.tip_case == TIP_TIP
             qz[i] = e.qz
             rz[i] = e.rz
+            src[i] = idx
         chunks.append(PackedTraversal(count=n, p_idx=p_idx, q_idx=q_idx,
                                       r_idx=r_idx, tip_tip=tip_tip,
-                                      qz=qz, rz=rz))
+                                      qz=qz, rz=rz, src=src))
     return chunks
