@@ -30,6 +30,8 @@ weight exponents only rescale the CONSTANT four-matrix eigensystem
 LG4X probe costs two dot products and an EIGN scale on device."""
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -410,16 +412,22 @@ class DeviceParamOptimizer:
             return st[12], st[13], st[1], st[14], st[15]
 
         def run(clvs, scalers, trav_desc, p_row, q_row, qz, codes, base,
-                rn, av, bv, lim_inf, lim_sup, tol, model, rate_weights,
-                wgts):
+                rn, sv, av, bv, lim_inf, lim_sup, tol, model,
+                rate_weights, wgts):
             f = make_f(tuple(trav_desc) + (p_row, q_row, qz, codes,
                                            rate_weights, wgts, rn, base,
                                            model))
+            # start-point lnL on device (the host path's entry
+            # evaluateGeneric, optimizeModel.c:1385): the winner guard's
+            # reference value, computed with the SAME arithmetic as the
+            # probes so no separate host-side evaluate round trip is
+            # needed
+            res0, clvs, scalers = f(sv, clvs, scalers)
             ax, bx, cx, fa, fb, fc, clvs, scalers = brak(
                 f, av, bv, lim_inf, lim_sup, clvs, scalers)
             xmin, result, conv, clvs, scalers = brent(
                 f, ax, bx, cx, fb, tol, lim_inf, lim_sup, clvs, scalers)
-            return clvs, scalers, xmin, result, conv
+            return clvs, scalers, xmin, result, conv, -res0
 
         if not sweep:
             return jax.jit(run, donate_argnums=(0, 1))
@@ -431,30 +439,60 @@ class DeviceParamOptimizer:
             if lane_of[m] >= 0:
                 rep[lane_of[m]] = m
 
-        def run_sweep(clvs, scalers, trav_desc, p_row, q_row, qz, codes,
-                      base, num_rates, lim_inf, lim_sup, tol, model,
-                      rate_weights, wgts):
-            """optRatesGeneric's WHOLE rate sweep (optimizeModel.c:1634)
-            in one program: lax.fori over the rate index, each step
-            evaluating the start point, bracketing, Brent-optimizing and
-            applying the guarded winner to the device-resident rate
-            state before the next rate sees it."""
-            rates0 = tuple(base[m][0] for m in range(M))
-            rest = tuple(base[m][1:] for m in range(M))
-            Rmax = rates0[0].shape[0]
-            fdt = lim_inf.dtype
+        # which parameter-vector component of `base` the sweep evolves:
+        # RATE_F -> subst_rates (base[m][0]); FREQ_F -> the frequency
+        # exponents (base[m][2])
+        state_idx = {RATE_F: 0, FREQ_F: 2}[which]
+        # FREQ limits depend on the OTHER exponents' current values
+        # (optBaseFreqs via _min_freq/_max_freq, optimizeModel.c:1488)
+        # and must therefore be recomputed on device per index
+        rep_states = (eng.partitions[rep[0]].states
+                      if which == FREQ_F else 0)
 
-            def clampv(x):
-                return jnp.clip(x, lim_inf, lim_sup)
+        def run_sweep(clvs, scalers, trav_desc, p_row, q_row, qz, codes,
+                      base, num_rates, lim_inf0, lim_sup0, tol, model,
+                      rate_weights, wgts):
+            """A WHOLE parameter-family sweep (optRatesGeneric
+            :1634 / optBaseFreqs :1501) in one program: lax.fori over the
+            parameter index, each step evaluating the start point,
+            bracketing, Brent-optimizing and applying the guarded winner
+            to the device-resident parameter state before the next index
+            sees it."""
+            st0 = tuple(base[m][state_idx] for m in range(M))
+            Rmax = max(st0[rep[l]].shape[0] for l in range(n))
+            fdt = lim_inf0.dtype
 
             def body(rn, carry):
-                clvs, scalers, rates, winners, endl, conv = carry
-                basei = tuple((rates[m],) + rest[m] for m in range(M))
+                clvs, scalers, st, winners, endl, conv = carry
+                basei = tuple(base[m][:state_idx] + (st[m],)
+                              + base[m][state_idx + 1:] for m in range(M))
                 f = make_f(tuple(trav_desc) + (p_row, q_row, qz, codes,
                                                rate_weights, wgts, rn,
                                                basei, model))
-                v0 = jnp.stack([rates[rep[l]][rn].astype(fdt)
+                v0 = jnp.stack([st[rep[l]][rn].astype(fdt)
                                 for l in range(n)])
+                if which == FREQ_F:
+                    # per-index exponent bounds from the rep partition's
+                    # current exponents (host _min_freq/_max_freq)
+                    fm = C.FREQ_MIN
+                    S = rep_states
+                    c = jnp.stack([
+                        jnp.exp(st[rep[l]]).sum()
+                        - jnp.exp(st[rep[l]][rn])
+                        for l in range(n)]).astype(fdt)
+                    logc = jnp.log(c)
+                    lim_inf = jnp.maximum(
+                        math.log(fm) + logc - math.log(1.0 - fm),
+                        lim_inf0)
+                    lim_sup = jnp.minimum(
+                        math.log(1.0 - (S - 1) * fm) + logc
+                        - math.log((S - 1) * fm), lim_sup0)
+                else:
+                    lim_inf, lim_sup = lim_inf0, lim_sup0
+
+                def clampv(x):
+                    return jnp.clip(x, lim_inf, lim_sup)
+
                 res0, clvs, scalers = f(v0, clvs, scalers)
                 start_lh = -res0
                 ax, bx, cx, fa, fb, fc, clvs, scalers = brak(
@@ -464,19 +502,18 @@ class DeviceParamOptimizer:
                     f, ax, bx, cx, fb, tol, lim_inf, lim_sup, clvs,
                     scalers)
                 w = jnp.where(start_lh > result, v0, xmin)
-                rates = tuple(
-                    rates[m].at[rn].set(w[lane_of[m]].astype(
-                        rates[m].dtype))
-                    if lane_of[m] >= 0 else rates[m] for m in range(M))
+                st = tuple(
+                    st[m].at[rn].set(w[lane_of[m]].astype(st[m].dtype))
+                    if lane_of[m] >= 0 else st[m] for m in range(M))
                 winners = winners.at[rn].set(w)
                 endl = endl.at[rn].set(jnp.maximum(start_lh, result))
                 conv = conv & jnp.all(cfl)
-                return (clvs, scalers, rates, winners, endl, conv)
+                return (clvs, scalers, st, winners, endl, conv)
 
-            carry = (clvs, scalers, rates0,
+            carry = (clvs, scalers, st0,
                      jnp.zeros((Rmax, n), fdt), jnp.zeros((Rmax, n), fdt),
                      jnp.asarray(True))
-            clvs, scalers, rates, winners, endl, conv = jax.lax.fori_loop(
+            clvs, scalers, st, winners, endl, conv = jax.lax.fori_loop(
                 0, num_rates, body, carry)
             return clvs, scalers, winners, endl, conv
 
@@ -487,7 +524,9 @@ class DeviceParamOptimizer:
     def optimize(self, which, rate_number, lane_of, n, start_values,
                  lim_inf, lim_sup, tol):
         """Run brak+brent for one parameter on device. Returns
-        (xmin [n], end_lh [n]) with ONE host sync. The engine's CLV
+        (xmin [n], end_lh [n], start_lh [n]) with ONE host sync —
+        start_lh is the start-point lnL per lane, computed in-program so
+        callers need no separate entry evaluate. The engine's CLV
         buffers afterwards hold the state of the LAST probe — callers
         must re-apply the winning values and re-evaluate (the host
         path's _opt_param_generic epilogue does exactly that)."""
@@ -517,13 +556,14 @@ class DeviceParamOptimizer:
         fdtype = (np.float64 if jax.config.jax_enable_x64
                   else np.float32)
         sv = np.asarray(start_values, fdtype)
-        clvs, scalers, xmin, result, conv = fn(
+        clvs, scalers, xmin, result, conv, start0 = fn(
             tuple(eng.clv), tuple(eng.scaler), trav_desc,
             jnp.asarray([p.number], jnp.int32),
             jnp.asarray([q.number], jnp.int32),
             jnp.asarray(np.array(q.z), dtype=eng.dtype),
             tuple(eng.g_codes), base,
             jnp.asarray(rate_number, jnp.int32),
+            jnp.asarray(sv, fdtype),
             jnp.asarray(np.clip(sv + 0.1, lim_inf, lim_sup), fdtype),
             jnp.asarray(np.clip(sv - 0.1, lim_inf, lim_sup), fdtype),
             jnp.asarray(lim_inf, fdtype), jnp.asarray(lim_sup, fdtype),
@@ -531,22 +571,38 @@ class DeviceParamOptimizer:
             tuple(eng.g_wgt))
         eng.clv = list(clvs)
         eng.scaler = list(scalers)
-        xmin, result, conv = eng.fetch([xmin, result, conv],
-                                       kind='devopt_param')
+        xmin, result, conv, start0 = eng.fetch(
+            [xmin, result, conv, start0], kind='devopt_param')
         if not bool(np.all(conv)):
             raise RuntimeError('Too many iterations in BRENT')
-        return np.asarray(xmin, np.float64), np.asarray(result, np.float64)
+        return (np.asarray(xmin, np.float64),
+                np.asarray(result, np.float64),
+                np.asarray(start0, np.float64))
 
     def optimize_rates_sweep(self, lane_of, n, num_rates, lim_inf,
                              lim_sup, tol):
         """Run the whole optRatesGeneric sweep (all num_rates rate
         indices, winners applied on device between rates) with ONE host
         sync. Returns the guarded winners [num_rates, n]."""
+        return self._optimize_sweep(RATE_F, lane_of, n, num_rates,
+                                    lim_inf, lim_sup, tol)
+
+    def optimize_freqs_sweep(self, lane_of, n, states, lim_inf, lim_sup,
+                             tol):
+        """Run the whole optBaseFreqs exponent sweep (all `states`
+        frequency exponents, winners applied on device between indices,
+        per-index bounds from the evolving exponents) with ONE host
+        sync. Returns the guarded winners [states, n]."""
+        return self._optimize_sweep(FREQ_F, lane_of, n, states,
+                                    lim_inf, lim_sup, tol)
+
+    def _optimize_sweep(self, which, lane_of, n, num_rates, lim_inf,
+                        lim_sup, tol):
         eng = self.eng
-        key = ('devoptsweep', tuple(lane_of), n)
+        key = ('devoptsweep', which, tuple(lane_of), n)
         fn = eng._jit_cache.get(key)
         if fn is None:
-            fn = self._build(RATE_F, lane_of, n, sweep=True)
+            fn = self._build(which, lane_of, n, sweep=True)
             eng._jit_cache[key] = fn
             fn = eng._jit_cache[key]
 

@@ -414,7 +414,11 @@ class ModelOptimizer:
     def _opt_param_generic(self, model_epsilon, ll: LinkageList, n,
                            rate_number, lim_inf_s, lim_sup_s, which):
         eng = self.engine
-        eng.evaluate(eng.tree.start, full_traversal_=True)
+        dev = self._device_opt_for(which, ll)
+        if dev is None:
+            # host path only: the device program evaluates the start
+            # point itself (one fewer round trip per parameter)
+            eng.evaluate(eng.tree.start, full_traversal_=True)
 
         start_values = np.zeros(n)
         start_lh = np.zeros(n)
@@ -426,7 +430,8 @@ class ModelOptimizer:
                 continue
             for k in group.partitions:
                 pm = eng.partitions[k]
-                start_lh[pos] += eng.per_partition_lh[k]
+                if dev is None:
+                    start_lh[pos] += eng.per_partition_lh[k]
                 if which == ALPHA_F:
                     lim_inf[pos] = lim_inf_s
                     lim_sup[pos] = lim_sup_s
@@ -452,12 +457,11 @@ class ModelOptimizer:
             pos += 1
         assert pos == n
 
-        dev = self._device_opt_for(which, ll)
         if dev is not None:
             opt, lane_of = dev
-            x, end_lh = opt.optimize(which, rate_number, lane_of, n,
-                                     start_values, lim_inf, lim_sup,
-                                     model_epsilon)
+            x, end_lh, start_lh = opt.optimize(
+                which, rate_number, lane_of, n, start_values, lim_inf,
+                lim_sup, model_epsilon)
         else:
             a = np.clip(start_values + 0.1, lim_inf, lim_sup)
             b = np.clip(start_values - 0.1, lim_inf, lim_sup)
@@ -585,10 +589,30 @@ class ModelOptimizer:
                 for g in ll.groups:
                     if g.valid:
                         states = eng.partitions[g.partitions[0]].states
-                for rate_number in range(states):
-                    self._opt_param_generic(model_epsilon, ll, count,
-                                            rate_number, -1000000.0, 200.0,
-                                            FREQ_F)
+                dev = self._device_opt_for(FREQ_F, ll)
+                if dev is not None:
+                    # whole-sweep device program: all exponents
+                    # optimized and applied on device, ONE host sync
+                    opt, lane_of = dev
+                    winners = opt.optimize_freqs_sweep(
+                        lane_of, count, states, -1000000.0, 200.0,
+                        model_epsilon)
+                    pos = 0
+                    for group in ll.groups:
+                        if not group.valid:
+                            continue
+                        for k in group.partitions:
+                            pm = eng.partitions[k]
+                            pm.freq_exponents[:states] = winners[:, pos]
+                            w = np.exp(pm.freq_exponents)
+                            pm.frequencies = w / w.sum()
+                            eng.update_eigen([k])
+                        pos += 1
+                else:
+                    for rate_number in range(states):
+                        self._opt_param_generic(model_epsilon, ll, count,
+                                                rate_number, -1000000.0,
+                                                200.0, FREQ_F)
         ll.set_all_valid()
 
     def opt_alphas_generic(self, model_epsilon, ll: LinkageList):
