@@ -278,7 +278,12 @@ class LikelihoodEngine:
         # searchAlgo.c:682-777)
         self.scratch_base = 2 * self.mxtips
         self.n_scratch = min(256, max(64, 2 * self.mxtips))
-        self.rows = self.scratch_base + self.n_scratch
+        # grouped-descriptor padding sinks: the HBM fused kernels run a
+        # block's padding slots unconditionally with all writes in
+        # flight, so each in-block slot needs its own sink row (see
+        # pack_grouped pad_rows)
+        self.pad_sink_base = self.scratch_base + self.n_scratch
+        self.rows = self.pad_sink_base + PALLAS_GROUP
         self.is_psr = rate_het == 'PSR'
         self.n_cats = 1 if self.is_psr else 4
         # -c: number of PSR rate categories (reference axml.c case 'c' ->
@@ -1758,9 +1763,21 @@ class LikelihoodEngine:
                     bw = cand
                     break
             if bw is None:
-                for cand in (4096, 2048, 1024, 512, 256, 128):
-                    if cand <= self.g_width[g] \
-                            and self.g_width[g] % cand == 0:
+                # HBM variant: prefer the whole member width (fewest DMA
+                # issues — the scalar core's issue rate is the binding
+                # resource); VMEM holds the gather scratch + the blocked
+                # scale-counter columns of every row
+                for cand in ([self.g_width[g], 4096, 2048, 1024, 512,
+                              256, 128]):
+                    if (cand > self.g_width[g] or self.g_width[g] % cand
+                            or cand % 128):
+                        continue
+                    gd = self._hbm_group_raw(K, cand)
+                    # aliased in/out scaler blocks share one VMEM buffer
+                    # (validated on hardware at 1032 rows x 1664 cols)
+                    need = (self.rows * cand * 4
+                            + 3 * gd * K * cand * 4)
+                    if need <= budget:
                         bw = -cand       # HBM-resident marker
                         break
                 if bw is None:
@@ -1850,7 +1867,6 @@ class LikelihoodEngine:
                             _PK.blockdiag(evs[m]).astype(jnp.float32),
                             n_exec=nex[0], block_w=-plan[gi],
                             group=self._hbm_group(K_dim, -plan[gi]),
-                            dummy_row=2 * self.mxtips - 1,
                             min_scale=self.min_scale,
                             inv_min_scale=self.inv_min_scale,
                             interpret=interpret)
@@ -1893,7 +1909,6 @@ class LikelihoodEngine:
                             lzq[:, cols], lzr[:, cols], lams, eib, evb,
                             ex_g, n_exec=nex[0], block_w=-plan[gi],
                             group=self._hbm_group(K_dim, -plan[gi]),
-                            dummy_row=2 * self.mxtips - 1,
                             min_scale=self.min_scale,
                             inv_min_scale=self.inv_min_scale,
                             shard_member=self.g_member_sharded[gi],
@@ -1942,23 +1957,32 @@ class LikelihoodEngine:
             self.__dict__['_fused_grouped_c'] = v
         return v
 
-    def _hbm_group(self, k_dim: int, bw: int) -> int:
-        """Concurrent-DMA block size for the HBM fused kernels: as large
-        as the gather scratch (3 [G, K, bw] f32 buffers) affords, never
-        exceeding the packing block size."""
-        if not self._fused_grouped:
-            return 1
-        g = PALLAS_GROUP
-        while g > 1 and 3 * g * k_dim * bw * 4 > 8 * 2 ** 20:
+    def _hbm_group_raw(self, k_dim: int, bw: int) -> int:
+        """Concurrent-DMA block size for the HBM fused kernels: with the
+        VMEM-resident scale counters the v5e measures ~3.4-3.7 ms per
+        511-op x 1664-col wave for G in {1,4,8} (min over interleaved
+        reps; tunnel noise dominates medians) — G=4 minutely fastest
+        (252M site-updates/s); shrunk when the gather scratch (3
+        [G, K, bw] f32 buffers) would crowd VMEM."""
+        g = min(PALLAS_GROUP, 4)
+        while g > 1 and 3 * g * k_dim * bw * 4 > 6 * 2 ** 20:
             g //= 2
         return g
+
+    def _hbm_group(self, k_dim: int, bw: int) -> int:
+        if not self._fused_grouped:
+            return 1
+        return self._hbm_group_raw(k_dim, bw)
 
     def _pack_fused(self, entries) -> PackedTraversal:
         """Descriptor packing for the fused-traversal programs (all
         callers of _pallas_program must use this so one compiled program
         serves every traversal)."""
         if self._fused_grouped:
-            return pack_grouped(self.tree, entries, group=PALLAS_GROUP)
+            return pack_grouped(
+                self.tree, entries, group=PALLAS_GROUP,
+                pad_rows=[self.pad_sink_base + i
+                          for i in range(PALLAS_GROUP)])
         return pack_traversal(self.tree, entries,
                               slots=self._fused_slots(len(entries)))
 

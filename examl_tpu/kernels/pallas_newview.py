@@ -481,9 +481,9 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
 
 
 def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
-                   n_chunks, clv_at, scaler_at, lam, ei, ev,
-                   xq, xr, x3, sq, sr, s3, sems,
-                   *, group, dummy_row, min_scale, inv_min_scale):
+                   n_chunks, clv_at, sc_get, sc_set, lam, ei, ev,
+                   xq, xr, x3, sems,
+                   *, group, min_scale, inv_min_scale):
     """Shared descriptor loop of the HBM-resident fused traversal
     kernels: CLV rows stay in HBM — each op DMAs its two child blocks in
     and its result block out instead of keeping every row's column block
@@ -499,11 +499,16 @@ def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
     issues its 4G child DMAs concurrently — per-op [K, bw] blocks are
     far smaller than the DMA latency-bandwidth product, so the G=1 loop
     is latency-bound; G in-flight gathers amortize the setup latency to
-    ~bandwidth. Padding slots (p_idx == dummy_row) skip their DMAs.
-    clv_at(row)/scaler_at(row) map a CLV row to its HBM block ref;
-    get_lzq/get_lzr(n) give op n's log branch lengths. Sequential chunk
-    execution orders read-after-write between dependent ops (chunk
-    members are independent by construction)."""
+    ~bandwidth (measured optimum G=4; the per-DMA scalar-core issue cost
+    ~3.5us is the binding resource, so the scale counters stay VMEM-
+    resident — sc_get/sc_set on a blocked ref — rather than 4 more DMAs
+    per op). Padding slots run unconditionally (a pl.when around a DMA
+    measured 27x slower than the DMA itself): they read row 0 and write
+    DISTINCT per-slot sink rows (pack_grouped pad_rows), so no two
+    in-flight writes alias. clv_at(row) maps a CLV row to its HBM block
+    ref; get_lzq/get_lzr(n) give op n's log branch lengths. Sequential
+    chunk execution orders read-after-write between dependent ops
+    (chunk members are independent by construction)."""
     hi = jax.lax.Precision.HIGHEST
 
     def in_copies(i, n):
@@ -512,36 +517,22 @@ def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
                                   sems.at[0, i]),
             pltpu.make_async_copy(clv_at(r_idx[n]), xr.at[i],
                                   sems.at[1, i]),
-            pltpu.make_async_copy(scaler_at(q_idx[n]), sq.at[i],
-                                  sems.at[2, i]),
-            pltpu.make_async_copy(scaler_at(r_idx[n]), sr.at[i],
-                                  sems.at[3, i]),
         ]
 
     def out_copies(i, n):
         return [
             pltpu.make_async_copy(x3.at[i], clv_at(p_idx[n]),
-                                  sems.at[0, i]),
-            pltpu.make_async_copy(s3.at[i], scaler_at(p_idx[n]),
-                                  sems.at[1, i]),
+                                  sems.at[2, i]),
         ]
-
-    def gated(n, fn):
-        def run():
-            fn()
-        if dummy_row is None:
-            run()
-        else:
-            pl.when(p_idx[n] != dummy_row)(run)
 
     def body(c, _):
         n0 = c * group
         for i in range(group):             # start all child gathers
-            gated(n0 + i, lambda i=i, n=n0 + i: [
-                cp.start() for cp in in_copies(i, n)])
+            for cp in in_copies(i, n0 + i):
+                cp.start()
         for i in range(group):
-            gated(n0 + i, lambda i=i, n=n0 + i: [
-                cp.wait() for cp in in_copies(i, n)])
+            for cp in in_copies(i, n0 + i):
+                cp.wait()
         for i in range(group):             # on-the-fly P + contraction
             n = n0 + i
             pls = jnp.exp(lam * get_lzq(n))[None, :] * ei
@@ -556,34 +547,43 @@ def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
             scale = jnp.logical_and(m < min_scale, tip_tip[n] == 0)
             y = jnp.where(scale[None, :], y * inv_min_scale, y)
             x3[i] = y.astype(x3.dtype)
-            s3[i] = sq[i] + sr[i] + scale.astype(jnp.int32)[None, :]
+            n = n0 + i
+            sc_set(p_idx[n], sc_get(q_idx[n]) + sc_get(r_idx[n])
+                   + scale.astype(jnp.int32))
         for i in range(group):             # scatter all results
-            gated(n0 + i, lambda i=i, n=n0 + i: [
-                cp.start() for cp in out_copies(i, n)])
+            for cp in out_copies(i, n0 + i):
+                cp.start()
         for i in range(group):
-            gated(n0 + i, lambda i=i, n=n0 + i: [
-                cp.wait() for cp in out_copies(i, n)])
+            for cp in out_copies(i, n0 + i):
+                cp.wait()
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _traversal_fused_hbm_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
-                                nex, clv_hbm, scaler_hbm, lam_ref, ei_ref,
+                                nex, clv_hbm, sc_in, lam_ref, ei_ref,
                                 ev_ref, out_clv, out_scaler,
-                                xq, xr, x3, sq, sr, s3, sems,
-                                *, bw, group, dummy_row, min_scale,
+                                xq, xr, x3, sems,
+                                *, bw, group, min_scale,
                                 inv_min_scale):
     wb = pl.program_id(0)
     col = wb * bw
+    # aliased blocked scaler: materialize the input block, then the op
+    # loop reads/writes it in VMEM (no per-op scaler DMAs)
+    out_scaler[...] = sc_in[...]
+
+    def sc_set(row, v):
+        out_scaler[row] = v
+
     _hbm_wave_loop(
         p_idx, q_idx, r_idx, tip_tip,
         lambda n: lzq[n], lambda n: lzr[n], nex[0] // group,
         lambda row: out_clv.at[row, :, pl.ds(col, bw)],
-        lambda row: out_scaler.at[row, :, pl.ds(col, bw)],
+        lambda row: out_scaler[row], sc_set,
         lam_ref[0], ei_ref[...], ev_ref[...],
-        xq, xr, x3, sq, sr, s3, sems,
-        group=group, dummy_row=dummy_row, min_scale=min_scale,
+        xq, xr, x3, sems,
+        group=group, min_scale=min_scale,
         inv_min_scale=inv_min_scale)
 
 
@@ -592,24 +592,20 @@ def _hbm_scratch(group, k_dim, bw, dtype):
         pltpu.VMEM((group, k_dim, bw), dtype),
         pltpu.VMEM((group, k_dim, bw), dtype),
         pltpu.VMEM((group, k_dim, bw), dtype),
-        pltpu.VMEM((group, 1, bw), jnp.int32),
-        pltpu.VMEM((group, 1, bw), jnp.int32),
-        pltpu.VMEM((group, 1, bw), jnp.int32),
-        pltpu.SemaphoreType.DMA((4, group)),
+        pltpu.SemaphoreType.DMA((3, group)),
     ]
 
 
 @shardable('clv', 'scaler')
 def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                         lzq, lzr, lam, ei, ev, *, n_exec=None,
-                        block_w=2048, group=1, dummy_row=None,
+                        block_w=2048, group=1,
                         min_scale=2.0 ** -30,
                         inv_min_scale=2.0 ** 30, interpret=False):
     """traversal_fused_pallas without the VMEM row-residency requirement
     (see _hbm_wave_loop). ei/ev [K, K]. group > 1 requires a
-    pack_grouped descriptor (and n_exec a multiple of group); dummy_row
-    names the scratch row padding slots write to, letting the kernel
-    skip their DMAs."""
+    pack_grouped descriptor (n_exec a multiple of group, padding slots
+    carrying distinct pad_rows sinks)."""
     rows, k_dim, W = clv.shape
     L = p_idx.shape[0]
     bw = min(block_w, W)
@@ -620,22 +616,23 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
 
     kernel = functools.partial(
         _traversal_fused_hbm_kernel, bw=bw, group=group,
-        dummy_row=dummy_row, min_scale=min_scale,
-        inv_min_scale=inv_min_scale)
+        min_scale=min_scale, inv_min_scale=inv_min_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(W // bw,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
-            pl.BlockSpec(memory_space=pl.ANY),       # scaler
+            # scale counters ride blocked VMEM as a 2-D [rows, W] view
+            # (a size-1 middle dim violates Mosaic's block-tile rule)
+            pl.BlockSpec((rows, bw), lambda w, *_: (0, w)),
             pl.BlockSpec((1, k_dim), lambda w, *_: (0, 0)),
             pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
             pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, bw), lambda w, *_: (0, w)),
         ],
         scratch_shapes=_hbm_scratch(group, k_dim, bw, clv.dtype),
     )
@@ -643,28 +640,33 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         kernel, grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(clv.shape, clv.dtype),
-            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+            jax.ShapeDtypeStruct((rows, W), scaler.dtype),
         ],
         input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
-    )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex, clv, scaler, lam, ei,
-      ev)
-    return clv_out, scaler_out
+    )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex, clv,
+      scaler.reshape(rows, W), lam, ei, ev)
+    return clv_out, scaler_out.reshape(scaler.shape)
 
 
 def _traversal_fused_hbm_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
                                         lzq, lzr, nex, ex,
-                                        clv_hbm, scaler_hbm, lam_ref,
+                                        clv_hbm, sc_in, lam_ref,
                                         ei_ref, ev_ref,
                                         out_clv, out_scaler,
-                                        xq, xr, x3, sq, sr, s3, sems,
-                                        *, bw, group, dummy_row,
+                                        xq, xr, x3, sems,
+                                        *, bw, group,
                                         min_scale, inv_min_scale):
     pid = pl.program_id(0)
     wb = pl.program_id(1)
     col = wb * bw
+    out_scaler[...] = sc_in[...]
+
+    def sc_set(row, v):
+        out_scaler[0, row] = v
 
     # masked partitions (execute-mask / evaluateChange semantics) skip
+    # (scaler blocks are 2-D views [rows, bw]; see the flat wrapper)
     # the op loop entirely: rows in HBM simply keep their stale contents
     @pl.when(ex[pid] != 0)
     def _():
@@ -673,10 +675,10 @@ def _traversal_fused_hbm_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
             lambda n: lzq[n, pid], lambda n: lzr[n, pid],
             nex[0] // group,
             lambda row: out_clv.at[pid, row, :, pl.ds(col, bw)],
-            lambda row: out_scaler.at[pid, row, :, pl.ds(col, bw)],
+            lambda row: out_scaler[0, row], sc_set,
             lam_ref[0, 0], ei_ref[0], ev_ref[0],
-            xq, xr, x3, sq, sr, s3, sems,
-            group=group, dummy_row=dummy_row, min_scale=min_scale,
+            xq, xr, x3, sems,
+            group=group, min_scale=min_scale,
             inv_min_scale=inv_min_scale)
 
 
@@ -685,14 +687,14 @@ def _traversal_fused_hbm_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
 def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                                 lzq, lzr, lam, ei, ev, exec_mask, *,
                                 n_exec=None, block_w=2048, group=1,
-                                dummy_row=None, min_scale=2.0 ** -30,
+                                min_scale=2.0 ** -30,
                                 inv_min_scale=2.0 ** 30, interpret=False):
     """Stacked HBM-resident fused traversal: one launch for a whole
     partition group of ANY tree size (big trees previously de-stacked to
     singleton HBM dispatches). clv [P, rows, K, W] (donated), lzq/lzr
     [L, P] per-partition branch columns, lam [P, K], ei/ev [P, K, K]
-    block-diagonal, exec_mask [P] int32 (0 = keep stale CLVs). group /
-    dummy_row as in traversal_fused_hbm."""
+    block-diagonal, exec_mask [P] int32 (0 = keep stale CLVs). group as
+    in traversal_fused_hbm."""
     P, rows, k_dim, W = clv.shape
     lam = lam.reshape(P, 1, k_dim)
     L = p_idx.shape[0]
@@ -705,22 +707,21 @@ def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
 
     kernel = functools.partial(
         _traversal_fused_hbm_stacked_kernel, bw=bw, group=group,
-        dummy_row=dummy_row, min_scale=min_scale,
-        inv_min_scale=inv_min_scale)
+        min_scale=min_scale, inv_min_scale=inv_min_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(P, W // bw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
-            pl.BlockSpec(memory_space=pl.ANY),       # scaler
+            pl.BlockSpec((1, rows, bw), lambda p, w, *_: (p, 0, w)),
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, rows, bw), lambda p, w, *_: (p, 0, w)),
         ],
         scratch_shapes=_hbm_scratch(group, k_dim, bw, clv.dtype),
     )
@@ -728,14 +729,14 @@ def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         kernel, grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(clv.shape, clv.dtype),
-            jax.ShapeDtypeStruct(scaler.shape, scaler.dtype),
+            jax.ShapeDtypeStruct((P, rows, W), scaler.dtype),
         ],
         input_output_aliases={8: 0, 9: 1},
         interpret=interpret,
     )(p_idx, q_idx, r_idx, tip_tip,
       jnp.asarray(lzq, jnp.float32), jnp.asarray(lzr, jnp.float32),
-      nex, exec_mask, clv, scaler, lam, ei, ev)
-    return clv_out, scaler_out
+      nex, exec_mask, clv, scaler.reshape(P, rows, W), lam, ei, ev)
+    return clv_out, scaler_out.reshape(scaler.shape)
 
 
 def _tip_kernel(codes_ref, tipvec_ref, clv_in, out_clv,

@@ -204,12 +204,16 @@ def _pack_exact(tr: Tree, entries: List[TraversalEntry]) -> PackedTraversal:
 
 
 def pack_grouped(tr: Tree, entries: List[TraversalEntry],
-                 group: int = 8) -> PackedTraversal:
+                 group: int = 8, pad_rows=None) -> PackedTraversal:
     """Pack a traversal as aligned blocks of `group` mutually independent
     ops (dependency-safe chunking, scratch-row padding): the grouped
-    fused Pallas kernel applies each block with one block-diagonal MXU
-    matmul. The block count is bucketed so one compiled kernel shape
-    serves many traversal lengths."""
+    fused kernels run each block's child DMAs / matmuls concurrently.
+    The block count is bucketed so one compiled kernel shape serves many
+    traversal lengths. pad_rows: sink rows for padding slots — the HBM
+    kernels execute padding unconditionally with all of a block's writes
+    in flight at once, so each in-block padding slot needs a DISTINCT
+    sink row (pass >= group rows); defaults to the single traversal
+    scratch row (safe for sequential consumers)."""
     chunks = chunk_entries(tr, entries, group)
     # power-of-two buckets all the way up: the padded tail costs nothing
     # at run time (the kernel executes only `count` leading slots), only
@@ -218,10 +222,14 @@ def pack_grouped(tr: Tree, entries: List[TraversalEntry],
     while nb < len(chunks):
         nb *= 2
     dummy = 2 * tr.mxtips - 1
+    if pad_rows is None:
+        pad_rows = [dummy]
     B = tr.num_branches
     L = nb * group
 
-    p_idx = np.full(L, dummy, dtype=np.int32)
+    p_idx = np.empty(L, dtype=np.int32)
+    for i in range(L):
+        p_idx[i] = pad_rows[i % len(pad_rows)]
     q_idx = np.zeros(L, dtype=np.int32)
     r_idx = np.zeros(L, dtype=np.int32)
     tip_tip = np.ones(L, dtype=bool)
@@ -230,9 +238,10 @@ def pack_grouped(tr: Tree, entries: List[TraversalEntry],
     slot_of = np.zeros(len(entries), dtype=np.int64)
     for c, ch in enumerate(chunks):
         s = c * group
-        p_idx[s:s + group] = ch.p_idx
-        q_idx[s:s + group] = ch.q_idx
-        r_idx[s:s + group] = ch.r_idx
+        real = ch.src >= 0
+        p_idx[s:s + group][real] = ch.p_idx[real]
+        q_idx[s:s + group][real] = ch.q_idx[real]
+        r_idx[s:s + group][real] = ch.r_idx[real]
         tip_tip[s:s + group] = ch.tip_tip
         qz[s:s + group] = ch.qz
         rz[s:s + group] = ch.rz

@@ -60,7 +60,8 @@ def _grouped_case(rng, L=8):
                               [float(np.exp(lzq[i]))],
                               [float(np.exp(lzr[i]))])
                for i in range(L)]
-    pk = pack_grouped(_GeomTree(), entries, group=4)
+    pk = pack_grouped(_GeomTree(), entries, group=4,
+                      pad_rows=[20, 21, 22, 23])
     glzq = jnp.asarray(np.log(np.maximum(pk.qz[:, 0], 1e-15)), jnp.float32)
     glzr = jnp.asarray(np.log(np.maximum(pk.rz[:, 0], 1e-15)), jnp.float32)
     return ((clv, sc, jnp.asarray(pk.p_idx), jnp.asarray(pk.q_idx),
@@ -70,11 +71,10 @@ def _grouped_case(rng, L=8):
 
 def test_hbm_grouped_matches_sequential():
     """G concurrent child DMAs per independent block == the sequential
-    op loop (incl. padding-slot skipping via dummy_row)."""
+    op loop (padding slots write distinct pad_rows sinks)."""
     rng = np.random.default_rng(7)
     args, pk = _grouped_case(rng)
-    dummy = 2 * _GeomTree.mxtips - 1
-    kw = dict(n_exec=pk.n_exec, block_w=128, dummy_row=dummy,
+    kw = dict(n_exec=pk.n_exec, block_w=128,
               min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
               interpret=True)
     a_ref, s_ref = PK.traversal_fused_hbm(*args, group=1, **kw)
@@ -101,8 +101,7 @@ def test_hbm_stacked_matches_flat():
     lzqP = jnp.asarray(rng.uniform(-0.5, -0.01, (L, P)), jnp.float32)
     lzrP = jnp.asarray(rng.uniform(-0.5, -0.01, (L, P)), jnp.float32)
     ex = jnp.asarray([1, 0, 1], jnp.int32)
-    dummy = 2 * _GeomTree.mxtips - 1
-    kw = dict(n_exec=pk.n_exec, block_w=128, dummy_row=dummy,
+    kw = dict(n_exec=pk.n_exec, block_w=128,
               min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
               interpret=True)
     a4, s4 = PK.traversal_fused_hbm_stacked(
