@@ -1906,7 +1906,7 @@ class LikelihoodEngine:
                         K_dim = self.n_cats * self._padded_states(ms[0])
                         c2, s2 = _PK.traversal_fused_hbm_stacked(
                             clvs[gi], scalers[gi], jp, jq, jr, jt,
-                            lzq[:, cols], lzr[:, cols], lams, eib, evb,
+                            lzq, lzr, cols, lams, eib, evb,
                             ex_g, n_exec=nex[0], block_w=-plan[gi],
                             group=self._hbm_group(K_dim, -plan[gi]),
                             min_scale=self.min_scale,
@@ -2290,16 +2290,30 @@ class LikelihoodEngine:
         fn = self._jit_cache.get('copy_rows')
         if fn is None:
             def run(clvs, scalers, jsrc, jdst):
+                # one row at a time: a fancy-indexed gather+scatter
+                # materializes an [P, L, K, W] temp — 8.7 GB at the
+                # 512-taxon whole-genome config (measured HBM OOM);
+                # dynamic slices keep the temp at one row and update the
+                # donated buffers in place
                 out_c, out_s = list(clvs), list(scalers)
+                L = jsrc.shape[0]
                 for g, ms in enumerate(self.groups):
                     row_ax = 1 if len(ms) > 1 else 0
-                    if row_ax == 1:
-                        out_c[g] = clvs[g].at[:, jdst].set(clvs[g][:, jsrc])
-                        out_s[g] = scalers[g].at[:, jdst].set(
-                            scalers[g][:, jsrc])
-                    else:
-                        out_c[g] = clvs[g].at[jdst].set(clvs[g][jsrc])
-                        out_s[g] = scalers[g].at[jdst].set(scalers[g][jsrc])
+
+                    def body(i, arrs, ax=row_ax):
+                        c, s = arrs
+                        cb = jax.lax.dynamic_slice_in_dim(
+                            c, jsrc[i], 1, axis=ax)
+                        sb = jax.lax.dynamic_slice_in_dim(
+                            s, jsrc[i], 1, axis=ax)
+                        c = jax.lax.dynamic_update_slice_in_dim(
+                            c, cb, jdst[i], axis=ax)
+                        s = jax.lax.dynamic_update_slice_in_dim(
+                            s, sb, jdst[i], axis=ax)
+                        return (c, s)
+
+                    out_c[g], out_s[g] = jax.lax.fori_loop(
+                        0, L, body, (clvs[g], scalers[g]))
                 return tuple(out_c), tuple(out_s)
             fn = jax.jit(run, donate_argnums=(0, 1))
             self._jit_cache['copy_rows'] = fn

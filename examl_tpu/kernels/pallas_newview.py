@@ -562,36 +562,46 @@ def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
 
 
 def _traversal_fused_hbm_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
-                                nex, clv_hbm, sc_in, lam_ref, ei_ref,
+                                nex, clv_hbm, scaler_hbm, lam_ref, ei_ref,
                                 ev_ref, out_clv, out_scaler,
-                                xq, xr, x3, sems,
+                                xq, xr, x3, sc, sems,
                                 *, bw, group, min_scale,
                                 inv_min_scale):
     wb = pl.program_id(0)
     col = wb * bw
-    # aliased blocked scaler: materialize the input block, then the op
-    # loop reads/writes it in VMEM (no per-op scaler DMAs)
-    out_scaler[...] = sc_in[...]
+    # the whole scale-counter column block rides VMEM for the whole
+    # wave: ONE manual DMA in/out per grid instance (blocked specs would
+    # be double-buffered by Mosaic — 4x the block bytes — and per-op
+    # scaler DMAs cost 4 more scalar-core issues per op)
+    cin = pltpu.make_async_copy(
+        out_scaler.at[:, pl.ds(col, bw)], sc, sems.at[0, 0])
+    cin.start()
+    cin.wait()
 
     def sc_set(row, v):
-        out_scaler[row] = v
+        sc[row] = v
 
     _hbm_wave_loop(
         p_idx, q_idx, r_idx, tip_tip,
         lambda n: lzq[n], lambda n: lzr[n], nex[0] // group,
         lambda row: out_clv.at[row, :, pl.ds(col, bw)],
-        lambda row: out_scaler[row], sc_set,
+        lambda row: sc[row], sc_set,
         lam_ref[0], ei_ref[...], ev_ref[...],
         xq, xr, x3, sems,
         group=group, min_scale=min_scale,
         inv_min_scale=inv_min_scale)
+    cout = pltpu.make_async_copy(
+        sc, out_scaler.at[:, pl.ds(col, bw)], sems.at[0, 0])
+    cout.start()
+    cout.wait()
 
 
-def _hbm_scratch(group, k_dim, bw, dtype):
+def _hbm_scratch(group, k_dim, bw, rows, dtype):
     return [
         pltpu.VMEM((group, k_dim, bw), dtype),
         pltpu.VMEM((group, k_dim, bw), dtype),
         pltpu.VMEM((group, k_dim, bw), dtype),
+        pltpu.VMEM((rows, bw), jnp.int32),
         pltpu.SemaphoreType.DMA((3, group)),
     ]
 
@@ -623,18 +633,16 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         grid=(W // bw,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
-            # scale counters ride blocked VMEM as a 2-D [rows, W] view
-            # (a size-1 middle dim violates Mosaic's block-tile rule)
-            pl.BlockSpec((rows, bw), lambda w, *_: (0, w)),
+            pl.BlockSpec(memory_space=pl.ANY),       # scaler (2-D view)
             pl.BlockSpec((1, k_dim), lambda w, *_: (0, 0)),
             pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
             pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((rows, bw), lambda w, *_: (0, w)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        scratch_shapes=_hbm_scratch(group, k_dim, bw, clv.dtype),
+        scratch_shapes=_hbm_scratch(group, k_dim, bw, rows, clv.dtype),
     )
     clv_out, scaler_out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -650,80 +658,95 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
 
 
 def _traversal_fused_hbm_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
-                                        lzq, lzr, nex, ex,
-                                        clv_hbm, sc_in, lam_ref,
+                                        lzq, lzr, col_of, nex, ex,
+                                        clv_hbm, scaler_hbm, lam_ref,
                                         ei_ref, ev_ref,
                                         out_clv, out_scaler,
-                                        xq, xr, x3, sems,
-                                        *, bw, group,
+                                        xq, xr, x3, sc, sems,
+                                        *, bw, group, n_classes,
                                         min_scale, inv_min_scale):
     pid = pl.program_id(0)
     wb = pl.program_id(1)
     col = wb * bw
-    out_scaler[...] = sc_in[...]
+    bcol = col_of[pid]                     # this partition's branch class
+    # whole scale-counter slice VMEM-resident per instance (see the flat
+    # kernel); masked partitions copy it back unchanged
+    cin = pltpu.make_async_copy(
+        out_scaler.at[pid, :, pl.ds(col, bw)], sc, sems.at[0, 0])
+    cin.start()
+    cin.wait()
 
     def sc_set(row, v):
-        out_scaler[0, row] = v
+        sc[row] = v
 
     # masked partitions (execute-mask / evaluateChange semantics) skip
-    # (scaler blocks are 2-D views [rows, bw]; see the flat wrapper)
     # the op loop entirely: rows in HBM simply keep their stale contents
     @pl.when(ex[pid] != 0)
     def _():
         _hbm_wave_loop(
             p_idx, q_idx, r_idx, tip_tip,
-            lambda n: lzq[n, pid], lambda n: lzr[n, pid],
+            lambda n: lzq[n * n_classes + bcol],
+            lambda n: lzr[n * n_classes + bcol],
             nex[0] // group,
             lambda row: out_clv.at[pid, row, :, pl.ds(col, bw)],
-            lambda row: out_scaler[0, row], sc_set,
+            lambda row: sc[row], sc_set,
             lam_ref[0, 0], ei_ref[0], ev_ref[0],
             xq, xr, x3, sems,
             group=group, min_scale=min_scale,
             inv_min_scale=inv_min_scale)
+    cout = pltpu.make_async_copy(
+        sc, out_scaler.at[pid, :, pl.ds(col, bw)], sems.at[0, 0])
+    cout.start()
+    cout.wait()
 
 
 @shardable('clv', 'scaler', member_axes=dict(
-    clv=0, scaler=0, lzq=1, lzr=1, lam=0, ei=0, ev=0, exec_mask=0))
+    clv=0, scaler=0, col_of=0, lam=0, ei=0, ev=0, exec_mask=0))
 def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
-                                lzq, lzr, lam, ei, ev, exec_mask, *,
-                                n_exec=None, block_w=2048, group=1,
+                                lzq, lzr, col_of, lam, ei, ev, exec_mask,
+                                *, n_exec=None, block_w=2048, group=1,
                                 min_scale=2.0 ** -30,
                                 inv_min_scale=2.0 ** 30, interpret=False):
     """Stacked HBM-resident fused traversal: one launch for a whole
     partition group of ANY tree size (big trees previously de-stacked to
     singleton HBM dispatches). clv [P, rows, K, W] (donated), lzq/lzr
-    [L, P] per-partition branch columns, lam [P, K], ei/ev [P, K, K]
-    block-diagonal, exec_mask [P] int32 (0 = keep stale CLVs). group as
-    in traversal_fused_hbm."""
+    [L, B] log branch lengths by BRANCH CLASS with col_of [P] mapping
+    each partition to its class column (a full [L, P] per-partition
+    matrix would blow the 1 MB SMEM scalar space at genome-scale
+    partition counts), lam [P, K], ei/ev [P, K, K] block-diagonal,
+    exec_mask [P] int32 (0 = keep stale CLVs). group as in
+    traversal_fused_hbm."""
     P, rows, k_dim, W = clv.shape
     lam = lam.reshape(P, 1, k_dim)
     L = p_idx.shape[0]
     bw = min(block_w, W)
     assert W % bw == 0
     assert L % group == 0
-    assert lzq.shape == (L, P) and lzr.shape == (L, P)
+    assert lzq.shape[0] == L and lzr.shape == lzq.shape
+    assert col_of.shape == (P,)
+    B = lzq.shape[1]
     nex = jnp.asarray(L if n_exec is None else n_exec,
                       jnp.int32).reshape(1)
 
     kernel = functools.partial(
         _traversal_fused_hbm_stacked_kernel, bw=bw, group=group,
-        min_scale=min_scale, inv_min_scale=inv_min_scale)
+        n_classes=B, min_scale=min_scale, inv_min_scale=inv_min_scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(P, W // bw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # clv (manual DMA)
-            pl.BlockSpec((1, rows, bw), lambda p, w, *_: (p, 0, w)),
+            pl.BlockSpec(memory_space=pl.ANY),       # scaler (3-D view)
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, rows, bw), lambda p, w, *_: (p, 0, w)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        scratch_shapes=_hbm_scratch(group, k_dim, bw, clv.dtype),
+        scratch_shapes=_hbm_scratch(group, k_dim, bw, rows, clv.dtype),
     )
     clv_out, scaler_out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -731,11 +754,15 @@ def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             jax.ShapeDtypeStruct(clv.shape, clv.dtype),
             jax.ShapeDtypeStruct((P, rows, W), scaler.dtype),
         ],
-        input_output_aliases={8: 0, 9: 1},
+        input_output_aliases={9: 0, 10: 1},
         interpret=interpret,
     )(p_idx, q_idx, r_idx, tip_tip,
-      jnp.asarray(lzq, jnp.float32), jnp.asarray(lzr, jnp.float32),
-      nex, exec_mask, clv, scaler.reshape(P, rows, W), lam, ei, ev)
+      # 1-D SMEM views: Mosaic pads 2-D scalar operands to 128 lanes
+      # ([L, 1] f32 allocates 512K of the 1M SMEM)
+      jnp.asarray(lzq, jnp.float32).reshape(L * B),
+      jnp.asarray(lzr, jnp.float32).reshape(L * B),
+      jnp.asarray(col_of, jnp.int32), nex, exec_mask, clv,
+      scaler.reshape(P, rows, W), lam, ei, ev)
     return clv_out, scaler_out.reshape(scaler.shape)
 
 
@@ -1699,8 +1726,12 @@ def _nr_batch_stacked_psr_kernel(p_rows, q_rows,
     wgt = wgt_ref[0, 0]
     live = wgt > 0
     w = jnp.where(live, wgt, 0.0)
-    out_ref[pid, n, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
-    out_ref[pid, n, wb, 1] = jnp.sum(
+    # flat 1-D SMEM offsets (see _nr_batch_stacked_kernel)
+    N = pl.num_programs(1)
+    nb = pl.num_programs(2)
+    base = ((pid * N + n) * nb + wb) * 2
+    out_ref[base] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[base + 1] = jnp.sum(
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
@@ -1733,8 +1764,8 @@ def nr_derivatives_batch_stacked_psr(clv, scaler, p_rows, q_rows, eign,
             pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
             pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [P, N]
         ],
-        out_specs=pl.BlockSpec((P, N, nb, 2),
-                               lambda p, n, w, *_: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((P * N * nb * 2,),
+                               lambda p, n, w, *_: (0,),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((n_states, bw), jnp.float32),
@@ -1744,11 +1775,11 @@ def nr_derivatives_batch_stacked_psr(clv, scaler, p_rows, q_rows, eign,
     )
     partials = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, N, nb, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P * N * nb * 2,), jnp.float32),
         interpret=interpret,
     )(p_rows, q_rows, clv, scaler, eign, wgt, site_rates,
       jnp.asarray(lzs, jnp.float32))
-    sums = jnp.sum(partials, axis=2)
+    sums = jnp.sum(partials.reshape(P, N, nb, 2), axis=2)
     return sums[..., 0], sums[..., 1]
 
 
@@ -2405,8 +2436,13 @@ def _nr_batch_stacked_kernel(p_rows, q_rows,
     wgt = wgt_ref[0, 0]
     live = wgt > 0
     w = jnp.where(live, wgt, 0.0)
-    out_ref[pid, n, wb, 0] = jnp.sum(w * jnp.where(live, dln, 0.0))
-    out_ref[pid, n, wb, 1] = jnp.sum(
+    # flat 1-D SMEM offsets: a trailing dim of 2 would be lane-padded
+    # to 128 (4 MB at P=64 x N=128 — measured SMEM OOM)
+    N = pl.num_programs(1)
+    nb = pl.num_programs(2)
+    base = ((pid * N + n) * nb + wb) * 2
+    out_ref[base] = jnp.sum(w * jnp.where(live, dln, 0.0))
+    out_ref[base + 1] = jnp.sum(
         w * jnp.where(live, d2ln - dln * dln, 0.0))
 
 
@@ -2440,8 +2476,8 @@ def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
             pl.BlockSpec((1, 1, bw), lambda p, n, w, *_: (p, 0, w)),
             pl.BlockSpec(memory_space=pltpu.SMEM),       # lzs [N]
         ],
-        out_specs=pl.BlockSpec((P, N, nb, 2),
-                               lambda p, n, w, *_: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((P * N * nb * 2,),
+                               lambda p, n, w, *_: (0,),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((k_dim, bw), clv.dtype),
@@ -2451,10 +2487,10 @@ def nr_derivatives_batch_stacked(clv, scaler, p_rows, q_rows, lam,
     )
     partials = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, N, nb, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P * N * nb * 2,), jnp.float32),
         interpret=interpret,
     )(p_rows, q_rows, clv, scaler, lam, rate_weights, wgt, lzs)
-    sums = jnp.sum(partials, axis=2)
+    sums = jnp.sum(partials.reshape(P, N, nb, 2), axis=2)
     return sums[..., 0], sums[..., 1]
 
 

@@ -100,12 +100,13 @@ def test_hbm_stacked_matches_flat():
     evs = jnp.asarray(rng.uniform(-0.5, 0.5, (P, K, K)), jnp.float32)
     lzqP = jnp.asarray(rng.uniform(-0.5, -0.01, (L, P)), jnp.float32)
     lzrP = jnp.asarray(rng.uniform(-0.5, -0.01, (L, P)), jnp.float32)
+    cols = jnp.arange(P, dtype=jnp.int32)   # partition p -> class column p
     ex = jnp.asarray([1, 0, 1], jnp.int32)
     kw = dict(n_exec=pk.n_exec, block_w=128,
               min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
               interpret=True)
     a4, s4 = PK.traversal_fused_hbm_stacked(
-        clvs, scs, args[2], args[3], args[4], args[5], lzqP, lzrP,
+        clvs, scs, args[2], args[3], args[4], args[5], lzqP, lzrP, cols,
         lams, eis, evs, ex, group=4, **kw)
     for p in range(P):
         if int(ex[p]) == 0:
