@@ -25,6 +25,10 @@ import time
 import numpy as np
 
 REF_AVX_UPDATES_PER_SEC = 33.9e6
+# AA per-core reference (VERDICT r3 weak #3): instrumented AVX build,
+# testData/140 full-traversal evaluate, 1059 patterns x 138 inner nodes
+# x 20 iters in 1.31 s (lnL matches the golden -129959.350016)
+REF_AVX_AA_UPDATES_PER_SEC = 2.23e6
 
 N_TAXA = 64
 SITES = 1 << 16
@@ -149,82 +153,81 @@ def main():
     med_a, spread_a = _measure(aa_step, aa_sync, 20, REPS)
     rows_out['newview_aa_gamma'] = dict(
         value=WA * NA * 20 / med_a, unit='site-updates/s',
+        vs_baseline=round(WA * NA * 20 / med_a
+                          / REF_AVX_AA_UPDATES_PER_SEC, 1),
         spread=round(spread_a, 3))
 
-    # ---- root evaluate (site reduction -> lnL) --------------------------
+    # ---- reduction rows: device-resident loops --------------------------
+    # Each iteration of a tiny scalar-output kernel dispatched from the
+    # host is queue-throttled through the remote tunnel (spreads 0.6-1.2
+    # in rounds 2-3, and per-op cost grows with queue depth); the loop
+    # therefore runs ON DEVICE in one program, with the accumulator fed
+    # back into an input so XLA cannot hoist the repeated computation.
     wgt = jnp.ones(SITES, jnp.float32)
     dw = jnp.asarray(rng.uniform(0.1, 0.5, (1, K)), jnp.float32)
     p_row = jnp.asarray([2], jnp.int32)
     q_row = jnp.asarray([3], jnp.int32)
-    fn_e = jax.jit(PK.evaluate_pallas,
-                   static_argnames=('block_w', 'log_min_scale', 'interpret'))
-    acc = [None]
+    it_dev = 400 if not interpret else 2
 
-    def ev_step():
-        acc[0] = fn_e(state[0], state[1], p_row, q_row, dw, wgt,
-                      block_w=8192, log_min_scale=consts['log_min_scale'],
-                      interpret=interpret)
+    def device_loop(step1):
+        def run(*operands):
+            def body(_, acc):
+                return acc + step1(acc, *operands)
+            return jax.lax.fori_loop(0, it_dev, body,
+                                     jnp.asarray(0.0, jnp.float32))
+        return jax.jit(run)
 
-    def ev_sync():
-        float(acc[0])
+    def red_row(name, fn_loop, operands, terms):
+        out = [None]
 
-    ev_step()
-    ev_sync()
-    it_e = ITERS * 10
-    med_e, spread_e = _measure(ev_step, ev_sync, it_e, REPS)
-    rows_out['evaluate_dna'] = dict(
-        value=SITES * it_e / med_e, unit='site-reductions/s',
-        spread=round(spread_e, 3))
+        def step():
+            out[0] = fn_loop(*operands)
 
-    # ---- NR derivative core ---------------------------------------------
+        def sync():
+            float(out[0])
+
+        step()
+        sync()
+        med, spread = _measure(step, sync, 2, REPS)
+        rows_out[name] = dict(
+            value=terms * it_dev * 2 / med, unit='site-reductions/s',
+            spread=round(spread, 3))
+
+    def ev1(acc, clv, scaler):
+        return PK.evaluate_pallas(
+            clv, scaler, p_row, q_row, dw + 0.0 * acc, wgt,
+            block_w=8192, log_min_scale=consts['log_min_scale'],
+            interpret=interpret)
+
+    red_row('evaluate_dna', device_loop(ev1), (state[0], state[1]), SITES)
+
     lam_flat = lam.astype(jnp.float32)
     d_vec = jnp.asarray(rng.uniform(0.1, 0.5, (1, K)), jnp.float32)
-    fn_n = jax.jit(PK.nr_derivatives_pallas,
-                   static_argnames=('block_w', 'log_min_scale', 'interpret'))
-    accn = [None]
 
-    def nr_step():
-        accn[0] = fn_n(state[0], state[1], p_row, q_row, lam_flat, d_vec,
-                       wgt, block_w=8192,
-                       log_min_scale=consts['log_min_scale'],
-                       interpret=interpret)
+    def nr1(acc, clv, scaler):
+        d1, d2 = PK.nr_derivatives_pallas(
+            clv, scaler, p_row, q_row, lam_flat, d_vec + 0.0 * acc, wgt,
+            block_w=8192, log_min_scale=consts['log_min_scale'],
+            interpret=interpret)
+        return d1 + d2
 
-    def nr_sync():
-        float(accn[0][0])
+    red_row('nr_derivatives_dna', device_loop(nr1), (state[0], state[1]),
+            SITES)
 
-    nr_step()
-    nr_sync()
-    it_n = ITERS * 10
-    med_n, spread_n = _measure(nr_step, nr_sync, it_n, REPS)
-    rows_out['nr_derivatives_dna'] = dict(
-        value=SITES * it_n / med_n, unit='site-reductions/s',
-        spread=round(spread_n, 3))
-
-    # ---- partition-stacked evaluate (4 same-geometry partitions) --------
     P_, WS = 4, 1 << 14
     clv_s = jnp.asarray(rng.uniform(0.1, 1.0, (P_, 16, K, WS)), jnp.float32)
     sc_s = jnp.zeros((P_, 16, 1, WS), jnp.int32)
     wgt_s = jnp.ones((P_, WS), jnp.float32)
     dw_s = jnp.asarray(rng.uniform(0.1, 0.5, (P_, 1, K)), jnp.float32)
-    fn_s = jax.jit(PK.evaluate_stacked,
-                   static_argnames=('block_w', 'log_min_scale', 'interpret'))
-    accs = [None]
 
-    def st_step():
-        accs[0] = fn_s(clv_s, sc_s, p_row, q_row, dw_s, wgt_s,
-                       block_w=8192, log_min_scale=consts['log_min_scale'],
-                       interpret=interpret)
+    def st1(acc, clv, scaler):
+        return jnp.sum(PK.evaluate_stacked(
+            clv, scaler, p_row, q_row, dw_s + 0.0 * acc, wgt_s,
+            block_w=8192, log_min_scale=consts['log_min_scale'],
+            interpret=interpret))
 
-    def st_sync():
-        float(accs[0][0])
-
-    st_step()
-    st_sync()
-    it_s = ITERS * 10
-    med_s, spread_s = _measure(st_step, st_sync, it_s, REPS)
-    rows_out['evaluate_stacked_4x'] = dict(
-        value=P_ * WS * it_s / med_s, unit='site-reductions/s',
-        spread=round(spread_s, 3))
+    red_row('evaluate_stacked_4x', device_loop(st1), (clv_s, sc_s),
+            P_ * WS)
 
     primary = rows_out['newview_dna_gamma']
     print(json.dumps({
