@@ -42,7 +42,7 @@ import numpy as np
 
 from . import constants as C
 from .datatypes import DataType, ProtModel, info_for
-from .io.bytefile import Alignment
+from .io.bytefile import Alignment, LazyTipCodes
 from .kernels import reference_jnp as K
 from .models.eigen import make_eigen
 from .models.gamma import make_gamma_cats
@@ -55,6 +55,32 @@ from .tree import Node, Tree
 # descriptor block size for the grouped fused traversal kernel (aligned
 # blocks of this many mutually independent ops; see traversal.pack_grouped)
 PALLAS_GROUP = 8
+
+
+class _LazyTips:
+    """Lazy [T+1, C, S, W] tip-CLV tensor for the jnp path's host-side
+    tip materialization: the site axis is assembled on demand from a
+    LazyTipCodes provider, so a multi-process mesh's
+    make_array_from_callback touches only the local shards' columns."""
+
+    def __init__(self, lazy_codes, t1, W, tipvec, dtype):
+        # tipvec [C, n_codes, S]
+        self._codes = lazy_codes
+        self._tipvec = tipvec
+        C_, _, S_ = tipvec.shape
+        self.shape = (t1, C_, S_, W)
+        self.dtype = dtype
+        self.ndim = 4
+
+    def __getitem__(self, idx):
+        t_sl, c_sl, s_sl, w_sl = idx
+        # normalize the taxon slice against THIS shape (the codes
+        # provider is row-padded to a sublane multiple)
+        t_sl = slice(*t_sl.indices(self.shape[0])[:2])
+        codes = self._codes[t_sl, w_sl]             # [T', W'] int32
+        tips = self._tipvec[c_sl][:, codes, :]      # [C', T', W', S]
+        tips = np.ascontiguousarray(tips.transpose(1, 0, 3, 2))
+        return tips[:, :, s_sl, :].astype(self.dtype)
 
 
 def _device_memory_limit():
@@ -396,6 +422,8 @@ class LikelihoodEngine:
         self.wgts = []          # [W] dtype
         self.wgts_i = []        # [W] int32
         self.host_wgts = []     # host copies (multi-process safe)
+        import jax as _jax
+        lazy_ok = (self.mesh is not None and _jax.process_count() > 1)
         for m, meta in enumerate(self.aln.partitions):
             w = meta.width
             pad = pad_of[m]
@@ -404,21 +432,31 @@ class LikelihoodEngine:
             # tip-code rows padded to a sublane multiple for the on-device
             # tip-materialization kernel (row 0 + tail are ignored)
             t1p = ((self.mxtips + 1 + 7) // 8) * 8
-            codes = np.full((t1p, W), inf.undetermined, dtype=np.int32)
-            codes[1:self.mxtips + 1, :w] = \
-                self.aln.codes[:, meta.lower:meta.upper]
+            lazy = LazyTipCodes(self.aln.partition_codes(m), t1p, W,
+                                inf.undetermined, self.mxtips)
+            ax = None if pad_of[m] != self.pad else -1
             wgt = np.zeros(W, dtype=np.int64)
             wgt[:w] = self.aln.weights[meta.lower:meta.upper]
             self.widths.append(W)
             self.real_widths.append(w)
             self.host_wgts.append(wgt)
-            self.host_tip_codes.append(codes)
-            # per-partition site arrays of member-sharded partitions are
-            # replicated (their width is a bare lane unit; the sharded
-            # tensors are the group stacks)
-            ax = None if pad_of[m] != self.pad else -1
-            self.tip_codes.append(self._put(jnp.asarray(codes), 'codes',
-                                            axis=ax))
+            if lazy_ok and ax == -1:
+                # multi-process: each process materializes only the
+                # tip-code columns of its addressable shards (the
+                # reference's per-rank readMyData slice ingestion,
+                # byteFile.c:278-382); pair with read_bytefile(mmap=True)
+                # so untouched columns never leave the disk. The jnp path
+                # consumes tips host-side (_refresh_tips) and never reads
+                # the device codes array — skip staging it there.
+                self.host_tip_codes.append(lazy)
+                self.tip_codes.append(
+                    self._put(lazy, 'codes', axis=ax)
+                    if self.use_pallas else None)
+            else:
+                codes = lazy[:, :]
+                self.host_tip_codes.append(codes)
+                self.tip_codes.append(self._put(jnp.asarray(codes),
+                                                'codes', axis=ax))
             self.wgts.append(self._put(jnp.asarray(wgt, dtype=self.dtype),
                                        'sites', axis=ax))
             self.wgts_i.append(self._put(jnp.asarray(wgt, dtype=jnp.int32),
@@ -816,8 +854,20 @@ class LikelihoodEngine:
             self.clv = list(fn(tuple(self.clv), tuple(self.g_codes),
                                tuple(self.d_tipvec)))
             return
+        lazy_ok = self.mesh is not None and jax.process_count() > 1
         for m in models:
             tipvec = np.asarray(self.d_tipvec[m])       # [C, codes, S]
+            if lazy_ok and isinstance(self.host_tip_codes[m],
+                                      LazyTipCodes):
+                # assemble only the local shards' tip columns
+                # (readMyData slice ingestion; the Pallas path instead
+                # materializes tips on device from the sharded codes)
+                tips = _LazyTips(self.host_tip_codes[m],
+                                 self.mxtips + 1, self.widths[m],
+                                 tipvec, np.dtype(self.dtype))
+                fn = self._get_jit('tip_set', m)
+                self.clv[m] = fn(self.clv[m], self._put(tips, 'clv'))
+                continue
             codes = self.host_tip_codes[m][:self.mxtips + 1]
             tips = tipvec[:, codes, :]                  # [C, T+1, W, S]
             tips = np.ascontiguousarray(tips.transpose(1, 0, 3, 2))

@@ -49,13 +49,82 @@ class Alignment:
     weights: np.ndarray          # [n_patterns] int
     taxon_names: List[str]
     partitions: List[PartitionMeta]
-    # codes[t, p]: tip code of taxon t at global pattern column p
-    codes: np.ndarray            # [n_taxa, n_patterns] uint8
+    # codes[t, p]: tip code of taxon t at global pattern column p.
+    # None in mmap mode: the per-partition views below are the storage
+    codes: np.ndarray            # [n_taxa, n_patterns] uint8 (or None)
+    # mmap mode: per-partition [n_taxa, width] views backed by the byte
+    # file on disk — a host touches only the pages its slices read (the
+    # reference's per-rank slice ingestion, examl/byteFile.c readMyData
+    # :278-382, where a rank seeks to and reads only its assigned
+    # chunks)
+    codes_mm: "List[np.ndarray] | None" = None
+
+    def partition_codes(self, m: int) -> np.ndarray:
+        """[n_taxa, width] tip codes of partition m, without
+        materializing other partitions in mmap mode."""
+        if self.codes_mm is not None:
+            return self.codes_mm[m]
+        p = self.partitions[m]
+        return self.codes[:, p.lower:p.upper]
 
 
-def read_bytefile(path: str) -> Alignment:
-    with open(path, 'rb') as fh:
-        data = fh.read()
+class LazyTipCodes:
+    """Lazy [T1p, W] int32 tip-code matrix for one partition: row 0 and
+    all padding default to `undetermined`; rows 1..n_taxa map to the
+    partition's (possibly memmap-backed) byte-file codes. Only the
+    requested slice is materialized, so a multi-process engine that
+    builds its site shard via jax.make_array_from_callback touches only
+    its own columns (readMyData semantics, examl/byteFile.c:278-382).
+    `materialized` counts produced bytes (the multihost slice-ingestion
+    test's O(1/P) assertion)."""
+
+    def __init__(self, pcodes, t1p: int, W: int, undetermined: int,
+                 n_taxa: int):
+        self._pcodes = pcodes
+        self._undet = undetermined
+        self._n_taxa = n_taxa
+        self.shape = (t1p, W)
+        self.dtype = np.int32
+        self.ndim = 2
+        self.materialized = 0
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx, slice(None))
+        rs, cs = idx
+        if not isinstance(rs, slice):
+            rs = slice(rs, rs + 1)
+        if not isinstance(cs, slice):
+            cs = slice(cs, cs + 1)
+        r0, r1, rstep = rs.indices(self.shape[0])
+        c0, c1, cstep = cs.indices(self.shape[1])
+        assert rstep == 1 and cstep == 1
+        out = np.full((r1 - r0, c1 - c0), self._undet, dtype=np.int32)
+        w = self._pcodes.shape[1]
+        rr0 = max(r0, 1)
+        rr1 = min(r1, self._n_taxa + 1)
+        cc1 = min(c1, w)
+        if rr1 > rr0 and cc1 > c0:
+            out[rr0 - r0:rr1 - r0, :cc1 - c0] = \
+                self._pcodes[rr0 - 1:rr1 - 1, c0:cc1]
+        self.materialized += out.nbytes
+        return out
+
+    def __array__(self, dtype=None, copy=None):
+        full = self[:, :]
+        return full if dtype is None else full.astype(dtype)
+
+
+def read_bytefile(path: str, mmap: bool = False) -> Alignment:
+    """Read a byte file. mmap=True keeps the alignment characters on
+    disk (np.memmap views per partition): a multi-host process that
+    builds only its site shard faults in only those pages — host RSS
+    stays O(local slice), matching readMyData's per-rank reads."""
+    if mmap:
+        data = np.memmap(path, dtype=np.uint8, mode='r')
+    else:
+        with open(path, 'rb') as fh:
+            data = fh.read()
     off = 0
 
     def take(fmt):
@@ -82,7 +151,7 @@ def read_bytefile(path: str) -> Alignment:
     taxon_names = []
     for _ in range(n_taxa):
         ln = take('i')
-        taxon_names.append(data[off:off + ln - 1].decode())
+        taxon_names.append(bytes(data[off:off + ln - 1]).decode())
         off += ln
 
     partitions = []
@@ -98,7 +167,7 @@ def read_bytefile(path: str) -> Alignment:
         non_gtr = take('i')
         optimize_bf = take('i')
         ln = take('i')
-        name = data[off:off + ln - 1].decode()
+        name = bytes(data[off:off + ln - 1]).decode()
         off += ln
         freqs = np.frombuffer(data, dtype=np.float64, count=states, offset=off).copy()
         off += 8 * states
@@ -108,6 +177,17 @@ def read_bytefile(path: str) -> Alignment:
             prot_model=ProtModel(prot_model), prot_freqs=bool(prot_freqs),
             non_gtr=bool(non_gtr),
             optimize_base_frequencies=bool(optimize_bf), frequencies=freqs))
+
+    if mmap:
+        codes_mm = []
+        for part in partitions:
+            w = part.width
+            codes_mm.append(data[off:off + n_taxa * w].reshape(n_taxa, w))
+            off += n_taxa * w
+        return Alignment(n_taxa=n_taxa, n_patterns=n_patterns,
+                         gappyness=gappyness, weights=weights,
+                         taxon_names=taxon_names, partitions=partitions,
+                         codes=None, codes_mm=codes_mm)
 
     codes = np.empty((n_taxa, n_patterns), dtype=np.uint8)
     for part in partitions:

@@ -65,15 +65,15 @@ def host_gather(arr) -> np.ndarray:
     return np.asarray(arr)
 
 
-def put_global(np_arr: np.ndarray, sharding):
+def put_global(np_arr, sharding):
     """Build a globally-sharded array when the mesh spans processes (each
-    process materializes only its addressable shards); plain device_put
-    otherwise."""
+    process materializes only its addressable shards — np_arr may be a
+    lazy provider like io.bytefile.LazyTipCodes, in which case only the
+    local shards' bytes are ever produced); plain device_put otherwise."""
     import jax
     if jax.process_count() > 1:
-        arr = np.asarray(np_arr)
         return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx])
+            np_arr.shape, sharding, lambda idx: np.asarray(np_arr[idx]))
     return jax.device_put(np_arr, sharding)
 
 

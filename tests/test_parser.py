@@ -73,3 +73,20 @@ def test_writer_bytes_match_parse_examl(name, model, tmp_path):
             buf[off:off + 8 * states] = b'\0' * (8 * states)
         off += 8 * states
     assert bytes(a) == bytes(b)
+
+
+def test_read_bytefile_mmap_equivalence():
+    """mmap mode returns identical per-partition codes without
+    materializing the full alignment (readMyData slice semantics)."""
+    import pathlib
+    from examl_tpu.io.bytefile import read_bytefile
+    path = str(pathlib.Path(__file__).resolve().parent / 'data' / '49.binary')
+    full = read_bytefile(path)
+    mm = read_bytefile(path, mmap=True)
+    assert mm.codes is None and mm.codes_mm is not None
+    assert mm.taxon_names == full.taxon_names
+    assert (mm.weights == full.weights).all()
+    for m in range(len(full.partitions)):
+        import numpy as np
+        np.testing.assert_array_equal(
+            np.asarray(mm.partition_codes(m)), full.partition_codes(m))
