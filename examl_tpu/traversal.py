@@ -40,36 +40,48 @@ TIP_TIP, TIP_INNER, INNER_INNER = 0, 1, 2
 
 def compute_traversal(tr: Tree, p: Node, entries: List[TraversalEntry],
                       partial: bool) -> None:
+    """Iterative post-order (the recursive form overflows Python's stack
+    on 10^4-taxon caterpillar trees); entry order is identical to the
+    recursive reference shape (computeTraversalInfo,
+    newviewGenericSpecial.c:691-813)."""
     if tr.is_tip(p.number):
         return
-    q = p.next.back
-    r = p.next.next.back
-    q_tip = tr.is_tip(q.number)
-    r_tip = tr.is_tip(r.number)
+    stack = [(p, 0)]
+    while stack:
+        node, phase = stack.pop()
+        q = node.next.back
+        r = node.next.next.back
+        q_tip = tr.is_tip(q.number)
+        r_tip = tr.is_tip(r.number)
 
-    if q_tip and r_tip:
-        if not p.x:
-            tr.orient(p)
-        tip_case = TIP_TIP
-    elif q_tip or r_tip:
-        if r_tip:
-            q, r = r, q
-        if (not r.x) or (not partial):
-            compute_traversal(tr, r, entries, partial)
-        if not p.x:
-            tr.orient(p)
-        tip_case = TIP_INNER
-    else:
-        if (not q.x) or (not partial):
-            compute_traversal(tr, q, entries, partial)
-        if (not r.x) or (not partial):
-            compute_traversal(tr, r, entries, partial)
-        if not p.x:
-            tr.orient(p)
-        tip_case = INNER_INNER
+        if q_tip and r_tip:
+            tip_case = TIP_TIP
+        elif q_tip or r_tip:
+            if r_tip:
+                q, r = r, q
+            tip_case = TIP_INNER
+            if phase == 0 and ((not r.x) or (not partial)):
+                stack.append((node, 1))
+                stack.append((r, 0))
+                continue
+        else:
+            tip_case = INNER_INNER
+            if phase == 0:
+                kids = []
+                if (not q.x) or (not partial):
+                    kids.append(q)
+                if (not r.x) or (not partial):
+                    kids.append(r)
+                if kids:
+                    stack.append((node, 1))
+                    for k in reversed(kids):
+                        stack.append((k, 0))
+                    continue
 
-    entries.append(TraversalEntry(tip_case, p.number, q.number, r.number,
-                                  list(q.z), list(r.z)))
+        if not node.x:
+            tr.orient(node)
+        entries.append(TraversalEntry(tip_case, node.number, q.number,
+                                      r.number, list(q.z), list(r.z)))
 
 
 @dataclasses.dataclass
@@ -258,30 +270,31 @@ def chunk_entries(tr: Tree, entries: List[TraversalEntry],
     chunk never contains a node together with one of its (transitive)
     same-chunk dependencies, so each chunk is one batched update. Fixed
     chunk size means a single compiled kernel shape serves every
-    traversal. Chunks are padded with scratch-row dummy updates."""
+    traversal. Chunks are padded with scratch-row dummy updates.
+
+    Chunking is LEVELIZED (dependency depth, one linear pass): nodes of
+    one level are mutually independent, so splitting each level into
+    chunk-size blocks is safe. The earlier greedy packer rescanned the
+    pending list per chunk — O(L^2/chunk), ~10 s of host time per
+    10^4-taxon traversal; this is O(L)."""
     dummy = 2 * tr.mxtips - 1
     B = tr.num_branches
-    pending = list(enumerate(entries))
-    chunks: List[PackedTraversal] = []
-    while pending:
-        batch: List[tuple] = []
-        batch_dsts = set()
-        rest: List[tuple] = []
-        blocked = set()
-        for idx, e in pending:
-            if (len(batch) < chunk
-                    and e.q_number not in batch_dsts
-                    and e.r_number not in batch_dsts
-                    and e.q_number not in blocked
-                    and e.r_number not in blocked):
-                batch.append((idx, e))
-                batch_dsts.add(e.p_number)
-            else:
-                rest.append((idx, e))
-                # anything depending on a deferred node must also defer
-                blocked.add(e.p_number)
-        pending = rest
+    depth = {}
+    levels: List[List[tuple]] = []
+    for idx, e in enumerate(entries):
+        d = 1 + max(depth.get(e.q_number, 0), depth.get(e.r_number, 0))
+        depth[e.p_number] = d
+        while len(levels) < d:
+            levels.append([])
+        levels[d - 1].append((idx, e))
 
+    batches: List[List[tuple]] = []
+    for lv in levels:
+        for s in range(0, len(lv), chunk):
+            batches.append(lv[s:s + chunk])
+
+    chunks: List[PackedTraversal] = []
+    for batch in batches:
         n = len(batch)
         p_idx = np.full(chunk, dummy, dtype=np.int32)
         q_idx = np.zeros(chunk, dtype=np.int32)
