@@ -39,6 +39,8 @@ def measure(tag, binary, treefile, **kw):
 if __name__ == '__main__':
     which = sys.argv[1:] or ['psr', 'pergene']
     ref49 = '/root/reference/testData/49.tree'
+    if 'gamma' in which:
+        measure('G49', DATA / '49.binary', ref49)
     if 'psr' in which:
         measure('PSR49', DATA / '49.binary', ref49, rate_het='PSR',
                 max_categories=25)
@@ -49,3 +51,6 @@ if __name__ == '__main__':
     if 'aa' in which:
         measure('AA140', DATA / '140.binary',
                 '/root/reference/testData/140.tree')
+
+# note: 'gamma' measures the baseline GAMMA -f d sync count (the 380 of
+# BASELINE.md round 2; the modOpt sweep work targets < 300)
