@@ -364,6 +364,18 @@ class SprSearch:
         self.speculate = self.sub_capable
         self._wave_content = None       # batch content map (speculation)
         self.spec_depth = 16
+        # Verdict prediction (round-trip reduction): a side whose cutoff
+        # fires costs one fetch + re-dispatch round per unanticipated
+        # effective cut. Instead of assuming no-cut beyond the verified
+        # prefix, re-dispatch rounds are steered by a score-based
+        # prediction (the cutoff state machine simulated over the
+        # previous round's fetched scores) and first rounds by the side's
+        # verdicts from the previous SPR cycle. Every prediction is
+        # verified by the replay against the true sequential bookkeeping,
+        # so a wrong guess costs a round — never trajectory exactness.
+        self.predict_verdicts = True
+        self._verdict_store: dict = {}   # side key -> {u.number: descend}
+        self._pred_frozen = None         # batch-scoped snapshot (spec.)
         # constraint vector (tip group ids); inner entries are resolved by
         # recursion to the first tip (searchAlgo.c checker :69)
         self.constraint = constraint
@@ -601,7 +613,7 @@ class SprSearch:
     def _dispatch_side(self, p: Node, p1: Node, p2: Node,
                        mintrav: int, maxtrav: int, zqr_dev=None,
                        ctx=None, record_only: bool = False,
-                       sub_edge=None, verdicts=None):
+                       sub_edge=None, verdicts=None, pred=None):
         """Phase A + dispatch for one pruned side, WITHOUT fetching.
         Returns a side spec for _fetch_sides/_replay_side/_commit_side,
         None when there are no candidates, or 'overflow' when the side
@@ -621,6 +633,16 @@ class SprSearch:
             sub_edge = frozenset((p1.number, p2.number))
         if verdicts is None:
             verdicts = []
+        key = (p.number, p1.number, p2.number, mintrav, maxtrav,
+               self.thorough)
+        if (pred is None and self.predict_verdicts and self.do_cutoff
+                and math.isfinite(self.lh_cutoff)):
+            # first round: seed from this side's previous-cycle verdicts
+            # (frozen per speculative batch so record_only revalidation
+            # re-derives the dispatch's exact walk)
+            pred = self._verdict_store.get(key)
+            if self._pred_frozen is not None:
+                pred = self._pred_frozen.setdefault(key, pred)
         rec = _WaveRecorder(self, junction=p.number, sub_edge=sub_edge,
                             ctx=ctx)
         p_group = (self._subtree_group(s)
@@ -659,8 +681,15 @@ class SprSearch:
                 ci = sim_test(q, parent)
                 if ci is not None:
                     new_parent = ci
-                    descend = (verdicts[ci] if ci < len(verdicts)
-                               else True)
+                    if ci < len(verdicts):
+                        descend = verdicts[ci]
+                    elif pred is not None:
+                        descend = pred.get(q.number, True)
+                    else:
+                        descend = True
+                    cands[ci]['pred'] = descend
+                    cands[ci]['may_child'] = (
+                        (not tr.is_tip(q.number)) and maxtrav - 1 > 0)
                     if not descend:
                         return           # the cut stopped this descent
             maxtrav -= 1
@@ -678,7 +707,7 @@ class SprSearch:
             return 'overflow'
         if not cands:
             return None
-        side = dict(p=p, cands=cands, rec=rec, verdicts=verdicts)
+        side = dict(p=p, cands=cands, rec=rec, verdicts=verdicts, key=key)
         if self.thorough:
             # thorough's shared s-row read belongs to the fingerprint too
             side['s_row'] = rec._read(s.number)
@@ -793,9 +822,56 @@ class SprSearch:
                 # the dispatch walked below this candidate; everything
                 # after is contaminated by the skipped mutations
                 side['accepted'] = i + 1
+                side['pred_next'] = self._predict_rest(cands, scores, i,
+                                                       skip_i=True)
+                return False
+            if (not cut) and (not c.get('pred', True)) \
+                    and c.get('may_child', False):
+                # the dispatch's predicted cut skipped a subtree the
+                # sequential walk descends into: its candidates were
+                # never recorded — re-dispatch from here
+                side['accepted'] = i + 1
+                side['pred_next'] = self._predict_rest(cands, scores, i,
+                                                       skip_i=False)
                 return False
         side['accepted'] = len(cands)
+        skey = side.get('key')
+        if skey is not None and len(verdicts) == len(cands):
+            # the completing round's walk IS the sequential walk: its
+            # verdicts seed next cycle's first dispatch of this side
+            self._verdict_store[skey] = {
+                c['u'].number: v for c, v in zip(cands, verdicts)}
         return True
+
+    def _predict_rest(self, cands, scores, i, skip_i):
+        """Score-based verdict prediction for a side's re-dispatch round:
+        continue the cutoff state machine over the stopped round's
+        remaining fetched scores (approximate — stale-row semantics make
+        post-divergence scores estimates only), skipping the subtree
+        below the stop candidate. Keyed by insertion node number so the
+        re-dispatch's differently-shaped walk can consume it; the next
+        replay verifies every prediction, so a wrong guess costs one
+        round, never exactness."""
+        if not self.predict_verdicts:
+            return None
+        pred = {}
+        skip = {i} if skip_i else set()
+        est_end = self.end_lh
+        for j in range(i + 1, len(cands)):
+            c = cands[j]
+            if c['parent'] in skip:
+                skip.add(j)
+                continue
+            lh = float(scores[j])
+            cut = False
+            if lh < est_end:
+                cut = not ((est_end - lh) < self.lh_cutoff)
+            pred[c['u'].number] = not cut
+            if cut:
+                skip.add(j)
+            elif lh > est_end:
+                est_end = lh
+        return pred
 
     def _commit_side(self, side):
         """Apply the accepted candidates' walk mutations of THIS round:
@@ -825,10 +901,11 @@ class SprSearch:
                 for node, (_row, gid) in commit.items():
                     self._wave_content[node] = gid
 
-    def _side_rounds(self, p, p1, p2, mintrav, maxtrav, verdicts=None):
+    def _side_rounds(self, p, p1, p2, mintrav, maxtrav, verdicts=None,
+                     pred=None):
         """The verdict-driven round loop for one pruned side: dispatch
-        (no-cut beyond the known prefix), fetch, replay to the first
-        unanticipated effective cut, commit the accepted range,
+        (prediction-steered beyond the known prefix), fetch, replay to
+        the first unanticipated effective cut, commit the accepted range,
         re-dispatch the remainder — until the side completes. verdicts
         continues a side whose first round was replayed elsewhere (the
         speculative driver)."""
@@ -838,18 +915,24 @@ class SprSearch:
             zdev = (jnp.asarray(self.zqr, jnp.float32)
                     if self.sub_capable else None)
             side = self._dispatch_side(p, p1, p2, mintrav, maxtrav,
-                                       zqr_dev=zdev, verdicts=verdicts)
+                                       zqr_dev=zdev, verdicts=verdicts,
+                                       pred=pred)
             if side == 'overflow':
-                # verdict-steered walks only shrink, so overflow can only
-                # happen on the first (no-prefix) round
-                assert not verdicts, 'overflow after a partial replay'
+                # Sequential fallback. With a verdict prefix (possible
+                # when a predicted cut shrank an earlier round's walk
+                # below the pool limit and a missed subtree re-grew it),
+                # the prefix candidates' mutations are already committed
+                # to the main rows and their bookkeeping replayed, so the
+                # steered walk SKIPS them and only tests the remainder.
+                count = [0]
                 for a in (p1, p2):
                     if self.tr.is_tip(a.number):
                         continue
-                    self.add_traverse_big(p, a.next.back, mintrav,
-                                          maxtrav)
-                    self.add_traverse_big(p, a.next.next.back,
-                                          mintrav, maxtrav)
+                    self._add_traverse_steered(p, a.next.back, mintrav,
+                                               maxtrav, verdicts, count)
+                    self._add_traverse_steered(p, a.next.next.back,
+                                               mintrav, maxtrav,
+                                               verdicts, count)
                 return
             if side is None:
                 return
@@ -858,6 +941,7 @@ class SprSearch:
             done = self._replay_side(side)
             self._commit_side(side)
             verdicts = side['verdicts']
+            pred = side.get('pred_next')
             if done:
                 return
 
@@ -868,6 +952,40 @@ class SprSearch:
         (re-uploading the fetched zqr bit-exactly), so the speculative
         and synchronous drivers run the identical device computation."""
         self._side_rounds(p, p1, p2, mintrav, maxtrav)
+
+    def _add_traverse_steered(self, p: Node, q: Node, mintrav: int,
+                              maxtrav: int, verdicts, count):
+        """add_traverse_big with a verdict prefix: the first len(verdicts)
+        tested candidates (constraint-skipped ones consume no verdict,
+        matching the recorder's walk) are NOT re-tested — their CLV
+        mutations and bookkeeping were already committed by the batched
+        rounds — and their verdicts steer the descent; beyond the prefix
+        this is the plain sequential walk."""
+        tr = self.tr
+        mintrav -= 1
+        descend = True
+        if mintrav <= 0:
+            skipped = False
+            if self.constraint is not None:
+                p_group = self._subtree_group(p.back)
+                q_group = self._subtree_group(q)
+                r_group = self._subtree_group(q.back)
+                skipped = (p_group != q_group and p_group != r_group)
+            if skipped:
+                descend = True
+            else:
+                i = count[0]
+                count[0] += 1
+                if i < len(verdicts):
+                    descend = verdicts[i]
+                else:
+                    descend = self.test_insert_big(p, q)
+        maxtrav -= 1
+        if descend and (not tr.is_tip(q.number)) and maxtrav > 0:
+            self._add_traverse_steered(p, q.next.back, mintrav, maxtrav,
+                                       verdicts, count)
+            self._add_traverse_steered(p, q.next.next.back, mintrav,
+                                       maxtrav, verdicts, count)
 
     def add_traverse_big(self, p: Node, q: Node, mintrav: int, maxtrav: int):
         mintrav -= 1
@@ -1180,7 +1298,8 @@ class SprSearch:
         tr.hookup(c1, c2, self.zqr)
         prune.next.back = prune.next.next.back = None
         self._side_rounds(prune, c1, c2, side['mt'], side['maxtrav'],
-                          verdicts=side['verdicts'])
+                          verdicts=side['verdicts'],
+                          pred=side.get('pred_next'))
         tr.hookup(prune.next, c1, side['a1z'])
         tr.hookup(prune.next.next, c2, side['a2z'])
         self.eng.newview(prune)
@@ -1244,6 +1363,7 @@ class SprSearch:
             batch = nodes[i:i + depth]
             ctx = _WaveCtx(self.eng)
             self._wave_content = {}
+            self._pred_frozen = {}
             specs = []
             for n in batch:
                 spec = self.rearrange_dispatch(n, mintrav, maxtrav, ctx)
@@ -1281,6 +1401,7 @@ class SprSearch:
                     mispredicted = True
                     break
             self._wave_content = None
+            self._pred_frozen = None
             depth = (max(1, depth // 2) if mispredicted
                      else min(2 * depth, self.spec_depth))
 
