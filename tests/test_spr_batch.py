@@ -40,6 +40,67 @@ def _one_cycle(batch_lazy):
     )
 
 
+class _FalseMap:
+    """Prediction map claiming every candidate cuts (always wrong when
+    the walk would descend): worst case for verdict prediction."""
+
+    def get(self, _k, _d=True):
+        return False
+
+
+class _AllFalseStore:
+    def get(self, _key):
+        return _FalseMap()
+
+    def __setitem__(self, _k, _v):
+        pass
+
+
+@pytest.mark.slow
+def test_worst_case_prediction_and_overflow_fallback():
+    """Adversarial verdict prediction: every first-round guess is a cut
+    (so re-dispatch rounds must re-grow the walk candidate by candidate)
+    and the scratch pool is shrunk so some round overflows AFTER a
+    partial replay — exercising the prefix-aware sequential fallback
+    (_add_traverse_steered). The cycle must still land exactly where the
+    sequential walk lands."""
+    aln = read_bytefile(str(DATA / '49.binary'))
+    tree = Tree(aln.taxon_names)
+    parse_newick((REF / '49.tree').read_text(), tree)
+    eng = LikelihoodEngine(aln, tree)
+    eng.evaluate(tree.start, full_traversal_=True)
+    eng.tree_evaluate(1.0)
+    eng.n_scratch = 24        # shrink AFTER build: rounds overflow
+    search = SprSearch(eng, batch_lazy=True)
+    search._verdict_store = _AllFalseStore()
+    steered = {'prefix_calls': 0}
+    orig = SprSearch._add_traverse_steered
+
+    def counting(self, p, q, mintrav, maxtrav, verdicts, count):
+        if verdicts:
+            steered['prefix_calls'] += 1
+        return orig(self, p, q, mintrav, maxtrav, verdicts, count)
+
+    search._add_traverse_steered = counting.__get__(search)
+    bt = BestList(20)
+    lh = search.tree_optimize_rapid(1, 5, bt)
+    a = dict(lh=lh, end_lh=search.end_lh, lh_avg=search.lh_avg,
+             lh_dec=search.lh_dec,
+             ilist=sorted(search.ilist.likelihoods),
+             bt=[e.likelihood for e in bt.entries],
+             tree=write_newick(tree))
+    b = _one_cycle(False)
+    assert steered['prefix_calls'] > 0, \
+        'the prefix-aware overflow fallback was never exercised'
+    assert a['lh_dec'] == b['lh_dec']
+    assert a['lh'] == pytest.approx(b['lh'], abs=1e-8)
+    assert a['end_lh'] == pytest.approx(b['end_lh'], abs=1e-8)
+    assert a['lh_avg'] == pytest.approx(b['lh_avg'], abs=1e-6)
+    np.testing.assert_allclose(a['ilist'], b['ilist'], atol=1e-7)
+    np.testing.assert_allclose(a['bt'], b['bt'], atol=1e-7)
+    assert a['tree'] == b['tree']
+
+
 @pytest.mark.slow
 def test_batched_cycle_matches_sequential():
     a = _one_cycle(True)

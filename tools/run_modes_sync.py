@@ -15,6 +15,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 
+jax.config.update('jax_platforms', 'cpu')   # sync counts are platform-
+#                                             independent; never contend
+#                                             for the chip
+
 DATA = pathlib.Path(__file__).resolve().parents[1] / 'tests' / 'data'
 
 

@@ -12,6 +12,9 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
+
+jax.config.update('jax_platforms', 'cpu')   # never contend for the chip
+
 import numpy as np
 
 from examl_tpu.engine import LikelihoodEngine
