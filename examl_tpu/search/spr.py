@@ -647,15 +647,52 @@ class SprSearch:
                             ctx=ctx)
         p_group = (self._subtree_group(s)
                    if self.constraint is not None else None)
-        cands: List[dict] = []
+        cands: List[dict] = []           # THIS round's tested candidates
+        # Walk-global candidate numbering: the verdict prefix counts
+        # candidates from earlier rounds of this side. Their CLV
+        # mutations are already committed to the main rows and their
+        # orientations to the live x-flags, so the walk SKIPS them (no
+        # re-recording — rounds cost O(remainder), and a side larger
+        # than the scratch pool can complete via segmented rounds).
+        gci = [0]
+        u_seq: List[int] = []            # insertion node per global cand
+        ckpt = [(0, 0, 0, 0, 0, 0, 0, 0)]
+        truncated = [False]
+        fresh_ctx = ctx is None
+
+        def mark():
+            ckpt[0] = (len(rec.entries), len(rec.orient_log),
+                       len(rec.reads), len(rec.sc_p), len(rec.th_u),
+                       len(cands), gci[0], len(u_seq))
+
+        def truncate():
+            """Drop the partially recorded candidate and dispatch the
+            completed prefix as a normal (segmented) round. Only safe on
+            a fresh ctx: a shared (speculative-batch) ctx would leave
+            dangling version-map entries for later nodes' reads."""
+            ne, no, nr, ns, nt, nc, g, nu = ckpt[0]
+            del rec.entries[ne:]
+            del rec.entry_node[ne:]
+            del rec.entry_writer[ne:]
+            del rec.entry_gid[ne:]
+            del rec.sub_flags[ne:]
+            del rec.orient_log[no:]
+            del rec.reads[nr:]
+            del rec.sc_p[ns:]
+            del rec.sc_q[ns:]
+            del rec.sc_z[ns:]
+            del rec.th_u[nt:]
+            del rec.th_v[nt:]
+            del rec.th_j[nt:]
+            del rec.th_z0[nt:]
+            del cands[nc:]
+            gci[0] = g
+            del u_seq[nu:]
+            rec.overflow = False
+            truncated[0] = True
 
         def sim_test(u, parent):
             r = u.back
-            if self.constraint is not None:
-                u_group = self._subtree_group(u)
-                r_group = self._subtree_group(r)
-                if p_group != u_group and p_group != r_group:
-                    return None          # skipped, walk continues
             qz = list(u.z)
             pz = list(p.z)
             rec.cand = len(cands)
@@ -673,23 +710,39 @@ class SprSearch:
             return len(cands) - 1
 
         def walk(q, mintrav, maxtrav, parent):
-            if rec.overflow:
+            if rec.overflow or truncated[0]:
                 return
             mintrav -= 1
             new_parent = parent
             if mintrav <= 0:
-                ci = sim_test(q, parent)
-                if ci is not None:
-                    new_parent = ci
-                    if ci < len(verdicts):
-                        descend = verdicts[ci]
-                    elif pred is not None:
-                        descend = pred.get(q.number, True)
+                skipped = False
+                if self.constraint is not None:
+                    # constraint-skipped insertions consume no verdict
+                    # (testInsertBIG :690-715 returns without testing)
+                    u_group = self._subtree_group(q)
+                    r_group = self._subtree_group(q.back)
+                    skipped = (p_group != u_group and p_group != r_group)
+                if not skipped:
+                    g = gci[0]
+                    gci[0] += 1
+                    u_seq.append(q.number)
+                    if g < len(verdicts):
+                        descend = verdicts[g]      # committed candidate
                     else:
-                        descend = True
-                    cands[ci]['pred'] = descend
-                    cands[ci]['may_child'] = (
-                        (not tr.is_tip(q.number)) and maxtrav - 1 > 0)
+                        ci = sim_test(q, parent)
+                        if rec.overflow:
+                            if fresh_ctx and len(cands) > ckpt[0][5]:
+                                truncate()
+                            return
+                        new_parent = ci
+                        if pred is not None:
+                            descend = pred.get(q.number, True)
+                        else:
+                            descend = True
+                        cands[ci]['pred'] = descend
+                        cands[ci]['may_child'] = (
+                            (not tr.is_tip(q.number)) and maxtrav - 1 > 0)
+                        mark()
                     if not descend:
                         return           # the cut stopped this descent
             maxtrav -= 1
@@ -705,9 +758,12 @@ class SprSearch:
 
         if rec.overflow:
             return 'overflow'
-        if not cands:
+        if not cands and not truncated[0]:
             return None
-        side = dict(p=p, cands=cands, rec=rec, verdicts=verdicts, key=key)
+        if not cands:
+            return 'overflow'            # pool too small for 1 candidate
+        side = dict(p=p, cands=cands, rec=rec, verdicts=verdicts, key=key,
+                    truncated=truncated[0], u_seq=u_seq)
         if self.thorough:
             # thorough's shared s-row read belongs to the fingerprint too
             side['s_row'] = rec._read(s.number)
@@ -761,14 +817,17 @@ class SprSearch:
 
     def _replay_side(self, side):
         """Replay testInsertBIG bookkeeping in traversal order over the
-        fetched scores, starting after the verdict prefix already
-        replayed by earlier rounds. Stops at the first candidate whose
-        cut verdict invalidates the no-cut walk below it (its recorded
-        descendants must not have been tested — their scores AND their
-        persistent CLV mutations are wrong for every later candidate).
+        fetched scores. `cands` holds only THIS round's tested candidates
+        (the verdict prefix was replayed by earlier rounds and skipped by
+        the walk). Stops at the first candidate whose cut verdict
+        invalidates the predicted walk below it (its recorded descendants
+        must not have been tested — their scores AND their persistent CLV
+        mutations are wrong for every later candidate) or whose predicted
+        cut skipped a subtree the sequential walk descends into.
         Extends side['verdicts'] in place; marks side['accepted'] = one
-        past the last candidate whose bookkeeping was applied. Returns
-        True when the whole side replayed (no re-dispatch needed)."""
+        past the last candidate whose bookkeeping was applied (within the
+        round). Returns True when the round fully replayed — the side
+        itself is complete only if the round was not truncated."""
         p = side['p']
         cands = side['cands']
         verdicts = side['verdicts']
@@ -785,8 +844,7 @@ class SprSearch:
         for c in cands:
             if c['parent'] >= 0:
                 has_child[c['parent']] = True
-        start = len(verdicts)
-        for i in range(start, len(cands)):
+        for i in range(len(cands)):
             c = cands[i]
             lh = float(scores[i])
             if self.trace is not None:
@@ -836,11 +894,11 @@ class SprSearch:
                 return False
         side['accepted'] = len(cands)
         skey = side.get('key')
-        if skey is not None and len(verdicts) == len(cands):
-            # the completing round's walk IS the sequential walk: its
-            # verdicts seed next cycle's first dispatch of this side
-            self._verdict_store[skey] = {
-                c['u'].number: v for c, v in zip(cands, verdicts)}
+        if (skey is not None and not side.get('truncated')
+                and len(verdicts) == len(side.get('u_seq', ()))):
+            # a fully replayed final round: the accumulated verdicts ARE
+            # the sequential walk's; seed next cycle's first dispatch
+            self._verdict_store[skey] = dict(zip(side['u_seq'], verdicts))
         return True
 
     def _predict_rest(self, cands, scores, i, skip_i):
@@ -937,13 +995,15 @@ class SprSearch:
             if side is None:
                 return
             self._fetch_sides([side])
-            side['replayed_from'] = len(verdicts)
             done = self._replay_side(side)
             self._commit_side(side)
             verdicts = side['verdicts']
             pred = side.get('pred_next')
-            if done:
+            if done and not side.get('truncated'):
                 return
+            # else: an unanticipated verdict stopped the round, or the
+            # round was segmented at the scratch-pool boundary — the next
+            # round continues after the committed prefix
 
     def _batched_rearrange_side(self, p: Node, p1: Node, p2: Node,
                                 mintrav: int, maxtrav: int):
@@ -1285,7 +1345,10 @@ class SprSearch:
             it['replayed_from'] = 0
             done = self._replay_side(it)
             self._commit_side(it)
-            if not done:
+            if not done or it.get('truncated'):
+                # an unanticipated cut — or a segmented (truncated)
+                # round, which cannot happen on the shared-ctx
+                # speculative dispatch but is handled for safety
                 diverged_at = idx
                 break
         if diverged_at is None:
