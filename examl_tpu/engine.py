@@ -2932,7 +2932,13 @@ class LikelihoodEngine:
         L = 16
         while L < N:
             L *= 2
-        spare = self.scratch_base + self.n_scratch - 1
+        # pad lanes execute the junction writes unconditionally, so their
+        # sink row must live OUTSIDE the wave-recorder scratch pool: a
+        # truncated (pool-filling) recording legitimately allocates the
+        # pool's last row as a real lane's junction, and a pad lane
+        # writing the same row corrupts that lane's score (round-5 fix;
+        # the dedicated sink rows beyond the pool exist for exactly this)
+        spare = self.pad_sink_base
         ju = np.full(L, int(s_row), np.int32)
         ju[:N] = u_rows
         jv = np.full(L, int(s_row), np.int32)

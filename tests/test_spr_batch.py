@@ -60,10 +60,12 @@ class _AllFalseStore:
 def test_worst_case_prediction_and_overflow_fallback():
     """Adversarial verdict prediction: every first-round guess is a cut
     (so re-dispatch rounds must re-grow the walk candidate by candidate)
-    and the scratch pool is shrunk so some round overflows AFTER a
-    partial replay — exercising the prefix-aware sequential fallback
-    (_add_traverse_steered). The cycle must still land exactly where the
-    sequential walk lands."""
+    and the scratch pool is shrunk so rounds overflow mid-walk —
+    exercising the segmented (truncated) rounds. On top of that, every
+    third prefix-bearing re-dispatch is forced to report 'overflow' so
+    the prefix-aware sequential fallback (_add_traverse_steered) runs
+    with committed-prefix verdicts too. The cycle must still land
+    exactly where the sequential walk lands."""
     aln = read_bytefile(str(DATA / '49.binary'))
     tree = Tree(aln.taxon_names)
     parse_newick((REF / '49.tree').read_text(), tree)
@@ -74,6 +76,7 @@ def test_worst_case_prediction_and_overflow_fallback():
     search = SprSearch(eng, batch_lazy=True)
     search._verdict_store = _AllFalseStore()
     steered = {'prefix_calls': 0}
+    truncs = {'n': 0, 'prefixed': 0}
     orig = SprSearch._add_traverse_steered
 
     def counting(self, p, q, mintrav, maxtrav, verdicts, count):
@@ -82,6 +85,23 @@ def test_worst_case_prediction_and_overflow_fallback():
         return orig(self, p, q, mintrav, maxtrav, verdicts, count)
 
     search._add_traverse_steered = counting.__get__(search)
+    orig_disp = SprSearch._dispatch_side
+
+    def forcing(self, p, p1, p2, mintrav, maxtrav, **kw):
+        verdicts = kw.get('verdicts')
+        if verdicts and kw.get('ctx') is None:
+            truncs['prefixed'] += 1
+            if truncs['prefixed'] % 3 == 0:
+                # simulate a pool too small for this round's first
+                # candidate: _side_rounds must finish the side through
+                # the prefix-aware sequential walk
+                return 'overflow'
+        side = orig_disp(self, p, p1, p2, mintrav, maxtrav, **kw)
+        if isinstance(side, dict) and side.get('truncated'):
+            truncs['n'] += 1
+        return side
+
+    search._dispatch_side = forcing.__get__(search)
     bt = BestList(20)
     lh = search.tree_optimize_rapid(1, 5, bt)
     a = dict(lh=lh, end_lh=search.end_lh, lh_avg=search.lh_avg,
@@ -90,6 +110,8 @@ def test_worst_case_prediction_and_overflow_fallback():
              bt=[e.likelihood for e in bt.entries],
              tree=write_newick(tree))
     b = _one_cycle(False)
+    assert truncs['n'] > 0, \
+        'the segmented (truncated) rounds were never exercised'
     assert steered['prefix_calls'] > 0, \
         'the prefix-aware overflow fallback was never exercised'
     assert a['lh_dec'] == b['lh_dec']

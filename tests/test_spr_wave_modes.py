@@ -73,6 +73,43 @@ def test_thorough_wave_psr():
     np.testing.assert_allclose(bt_a, bt_b, atol=0.02)
 
 
+@pytest.mark.slow
+def test_thorough_cycle_shrunk_pool_exact():
+    """The production slow-phase overflow regime: a THOROUGH cycle whose
+    candidate recordings fill the scratch pool (BASELINE.md round-4 sync
+    measurement: every slow-phase side at radius→21 overflows), forcing
+    segmented (truncated) rounds. A truncated round legitimately
+    allocates the pool's LAST row as a real lane's junction — the exact
+    collision with the thorough wave's pad-lane spare row that round 4
+    shipped (fixed: pad lanes sink to pad_sink_base, outside the pool).
+    The segmented thorough cycle must land exactly on the sequential
+    walk."""
+    eng, tree = _engine()
+    eng.n_scratch = 24
+    s = SprSearch(eng)
+    s.batch_thorough = True
+    s.thorough = True
+    truncs = {'n': 0}
+    orig = SprSearch._dispatch_side
+
+    def counting(self, p, p1, p2, mintrav, maxtrav, **kw):
+        side = orig(self, p, p1, p2, mintrav, maxtrav, **kw)
+        if isinstance(side, dict) and side.get('truncated'):
+            truncs['n'] += 1
+        return side
+
+    s._dispatch_side = counting.__get__(s)
+    bt = BestList(20)
+    lh_a = s.tree_optimize_rapid(1, 5, bt)
+    za = sorted(round(float(z), 6) for b in tree.branches() for z in b.z)
+    bt_a = [e.likelihood for e in bt.entries]
+    assert truncs['n'] > 0, 'the shrunk pool never forced segmentation'
+    lh_b, zb, bt_b = _thorough_cycle(False)
+    assert lh_a == pytest.approx(lh_b, abs=0.02)
+    assert np.allclose(za, zb, atol=1e-3)
+    np.testing.assert_allclose(bt_a, bt_b, atol=0.02)
+
+
 def test_thorough_wave_scores_psr_smoke():
     """One thorough wave on the PSR engine scores finite lnLs and fitted
     branch lengths in-range (fast tier smoke for the PSR wave kernels)."""
