@@ -209,6 +209,16 @@ def cmd_run(args):
                   use_median=args.a,
                   rate_het=('PSR' if args.m == 'PSR' else 'GAMMA'),
                   max_categories=args.c)
+    if args.S:
+        if args.f not in ('e', 'E'):
+            raise SystemExit(
+                '-S (induced-subtree CLV compaction) currently supports '
+                'the tree-evaluation modes -f e/E only; run the search '
+                'without -S (site/member sharding covers capacity there, '
+                'docs/SEV.md)')
+        kwargs['compact'] = True
+        _info(info_path, 'Induced-subtree CLV compaction (-S): model '
+                         'optimization at FIXED branch lengths\n')
     if args.stack != 'auto':
         kwargs['stack'] = args.stack == 'on'
     if args.devices != 1:
@@ -369,6 +379,12 @@ def main(argv=None):
                    help='RF convergence criterion')
     r.add_argument('-M', action='store_true',
                    help='per-partition branch lengths')
+    r.add_argument('-S', action='store_true',
+                   help='induced-subtree CLV compaction for block-missing '
+                        'multi-gene data (the reference -S/SEV memory '
+                        'saving, docs/SEV.md): ~2*present(p) CLV rows '
+                        'per partition; -f e/E with fixed branch lengths '
+                        'only')
     r.add_argument('-a', action='store_true', help='median gamma')
     r.add_argument('-B', type=int, default=0, help='save N best ML trees')
     r.add_argument('-R', action='store_true',

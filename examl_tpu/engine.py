@@ -219,8 +219,26 @@ class LikelihoodEngine:
                  num_branches: int = 1, use_median: bool = False,
                  use_pallas: Optional[bool] = None, sharding=None,
                  max_categories: int = 25, clv_dtype=None,
-                 stack: Optional[bool] = None):
+                 stack: Optional[bool] = None, compact: bool = False):
         assert rate_het in ('GAMMA', 'PSR')
+        # Induced-subtree CLV compaction (the -S/SEV successor,
+        # docs/SEV.md, examl_tpu/compact.py): per-partition row spaces of
+        # ~2*present(p) rows. Restricted to full-tree evaluation on the
+        # Pallas GAMMA path (singleton groups, no mesh): partial
+        # traversals / NR / SPR keep the dense layout.
+        self.compact = bool(compact)
+        self.compact_plan = None
+        if self.compact:
+            if use_pallas is False or rate_het != 'GAMMA':
+                raise ValueError('induced-subtree compaction (-S) requires '
+                                 'the Pallas GAMMA path')
+            if sharding is not None:
+                raise ValueError('induced-subtree compaction (-S) does not '
+                                 'compose with a device mesh yet; drop one')
+            use_pallas = True
+            stack = False                # per-partition row spaces
+            from .compact import CompactPlan
+            self.compact_plan = CompactPlan(alignment, num_branches)
         self.aln = alignment
         self.tree = tree
         self.rate_het = rate_het
@@ -254,6 +272,11 @@ class LikelihoodEngine:
         self.op_context = ''                 # e.g. 'modopt:' during mod_opt
         if self.use_pallas and jax.default_backend() != 'cpu':
             # Mosaic DMA slices must be lane-tile aligned
+            self.pad = max(self.pad, 128)
+        if self.compact:
+            # the compacted evaluate runs the fused kernels exclusively
+            # (no level fallback), whose block plans need lane-aligned
+            # member widths on every backend
             self.pad = max(self.pad, 128)
         self.pad_unit = self.pad
         if self.mesh is not None:
@@ -432,8 +455,18 @@ class LikelihoodEngine:
             # tip-code rows padded to a sublane multiple for the on-device
             # tip-materialization kernel (row 0 + tail are ignored)
             t1p = ((self.mxtips + 1 + 7) // 8) * 8
-            lazy = LazyTipCodes(self.aln.partition_codes(m), t1p, W,
-                                inf.undetermined, self.mxtips)
+            if self.compact:
+                # rows 1..n_p = codes of the PRESENT taxa in ascending
+                # global tip order (the compact local row layout,
+                # compact.CompactPlan)
+                t1p = self.compact_plan.t1p[m]
+                full = self.aln.partition_codes(m)
+                lazy = np.full((t1p, W), inf.undetermined, dtype=np.int32)
+                lazy[1:len(self.compact_plan.tips[m]) + 1,
+                     :full.shape[1]] = full[self.compact_plan.tips[m] - 1]
+            else:
+                lazy = LazyTipCodes(self.aln.partition_codes(m), t1p, W,
+                                    inf.undetermined, self.mxtips)
             ax = None if pad_of[m] != self.pad else -1
             wgt = np.zeros(W, dtype=np.int64)
             wgt[:w] = self.aln.weights[meta.lower:meta.upper]
@@ -513,6 +546,13 @@ class LikelihoodEngine:
             self.g_n_real.append(len(seen))
         self.g_width = [max(self.widths[m] for m in ms)
                         for ms in self.groups]
+        # per-group CLV row count / materialized tip count: the dense
+        # layout shares the global row space; compacted groups (singleton
+        # by construction) carry their partition's induced row space
+        self.g_rows = [self.compact_plan.n_rows[ms[0]] if self.compact
+                       else self.rows for ms in self.groups]
+        self.g_ntips = [len(self.compact_plan.tips[ms[0]]) if self.compact
+                        else self.mxtips for ms in self.groups]
 
         # per-group weight / tip-code / PSR-site-rate device tensors for
         # the stacked kernels (singletons reuse the per-partition arrays
@@ -571,10 +611,10 @@ class LikelihoodEngine:
                 # full, and (1, bw) over [rows, 1, W] satisfies that where
                 # (1, bw) over [rows, W] does not
                 self.clv.append(self._put(jnp.zeros(
-                    (self.rows, self.n_cats * S, self.widths[m0]),
+                    (self.g_rows[g], self.n_cats * S, self.widths[m0]),
                     dtype=self.clv_dtype), 'clv'))
                 self.scaler.append(self._put(jnp.zeros(
-                    (self.rows, 1, self.widths[m0]), dtype=jnp.int32),
+                    (self.g_rows[g], 1, self.widths[m0]), dtype=jnp.int32),
                     'scaler'))
             else:
                 self.clv.append(self._put(jnp.zeros(
@@ -605,11 +645,14 @@ class LikelihoodEngine:
                 pad = pad_of[m]
                 Wg = max(Wg, max(pad, ((w + pad - 1) // pad) * pad))
             S = self._padded_states(ms[0])
-            clv += len(ms) * self.rows * self.n_cats * S * Wg * clv_b
+            rows_g = (self.compact_plan.n_rows[ms[0]] if self.compact
+                      else self.rows)
+            t1p_g = (self.compact_plan.t1p[ms[0]] if self.compact
+                     else ((self.mxtips + 1 + 7) // 8) * 8)
+            clv += len(ms) * rows_g * self.n_cats * S * Wg * clv_b
             cnt = 1 if self.folded else self.n_cats
-            scaler += len(ms) * self.rows * cnt * Wg * 4
-            tips += len(set(ms)) * (((self.mxtips + 1 + 7) // 8) * 8) \
-                * Wg * 4
+            scaler += len(ms) * rows_g * cnt * Wg * 4
+            tips += len(set(ms)) * t1p_g * Wg * 4
         total = clv + scaler + tips
         return dict(clv=clv, scaler=scaler, tips=tips, total=total,
                     per_device=total // self.mesh_ndev)
@@ -1220,7 +1263,7 @@ class LikelihoodEngine:
                 out[g] = _PK.tip_rows_pallas(
                     clvs[g], codes[g],
                     _PK.fold_tipvec(tipvecs[m].astype(jnp.float32)),
-                    self.mxtips, block_w=bw, interpret=interpret)
+                    self.g_ntips[g], block_w=bw, interpret=interpret)
             else:
                 tv = jnp.stack([
                     _PK.fold_tipvec(tipvecs[m].astype(jnp.float32))
@@ -2372,8 +2415,18 @@ class LikelihoodEngine:
         self.clv = list(clvs)
         self.scaler = list(scalers)
 
+    def _dense_only(self, what: str):
+        if self.compact:
+            raise RuntimeError(
+                f'{what} is not supported under induced-subtree '
+                f'compaction (-S): the compacted row spaces carry no '
+                f'global-node rows. Supported: full-tree evaluation '
+                f'(evaluate(full_traversal_=True) / -f e without branch '
+                f'smoothing). Run without -S for search/NR paths.')
+
     def newview(self, p: Node, masked: bool = False):
         """Recompute the CLV at p (reference newviewGeneric :1523)."""
+        self._dense_only('partial CLV recomputation (newview)')
         if self.tree.is_tip(p.number):
             return
         entries = partial_traversal(self.tree, p)
@@ -2390,6 +2443,13 @@ class LikelihoodEngine:
     def evaluate(self, p: Node, full_traversal_: bool = False) -> float:
         """Log likelihood at branch (p, p.back)
         (reference evaluateGeneric :897)."""
+        if self.compact:
+            if not full_traversal_:
+                raise RuntimeError(
+                    'induced-subtree compaction (-S) supports full-tree '
+                    'evaluation only; partial traversals need the dense '
+                    'layout')
+            return self._evaluate_compact()
         tr = self.tree
         q = p.back
         qz = np.array(q.z, dtype=np.float64)
@@ -2545,6 +2605,137 @@ class LikelihoodEngine:
                                 interpret=interpret))
         return np.array([float(np.asarray(o)) for o in
                          self._unstack([np.asarray(o) for o in outs])])
+
+    # ------------------------------------------------------------------
+    # Induced-subtree compaction (-S successor, docs/SEV.md,
+    # examl_tpu/compact.py): full evaluate over per-partition induced
+    # traversals in per-partition local row spaces.
+
+    def _compact_bw(self, g: int) -> int:
+        """Per-group fused block width under the compact row count:
+        positive = VMEM-resident variant, negative = HBM variant (same
+        planning rule as _fused_plan_rows with the group's own rows)."""
+        budget = 12 * 2 ** 20
+        m = self.groups[g][0]
+        K = self.n_cats * self._padded_states(m)
+        rows_g = self.g_rows[g]
+        for cand in (1024, 512, 256, 128):
+            if cand > self.g_width[g] or self.g_width[g] % cand:
+                continue
+            if rows_g * (K + 1) * cand * 4 * 2 + 4 * K * cand * 4 <= budget:
+                return cand
+        for cand in (self.g_width[g], 4096, 2048, 1024, 512, 256, 128):
+            if (cand > self.g_width[g] or self.g_width[g] % cand
+                    or cand % 128):
+                continue
+            if rows_g * cand * 4 + 3 * K * cand * 4 <= budget:
+                return -cand
+        raise MemoryError(f'no VMEM plan for compacted partition {m}')
+
+    def _build_compact_program(self, slots, nex):
+        """One jitted program: every compacted partition's induced
+        traversal (fused resident/HBM kernel in its own row space) + its
+        root lnL. slots/nex: per-group descriptor length / live op count
+        (static: a full induced traversal always has present(p)-2 ops)."""
+        _PK = self.PK  # traversal_fused_pallas, traversal_fused_hbm, evaluate_pallas, fold_lam, fold_rw, blockdiag
+        interpret = jax.default_backend() == 'cpu'
+        plan = [self._compact_bw(g) for g in range(self.n_groups)]
+
+        def run(clvs, scalers, jps, jqs, jrs, jts, lzqs, lzrs,
+                gammas, eigns, eis, evs, rate_weights, gwgts,
+                p_rows, q_rows, lzroots):
+            out_c = list(clvs)
+            out_s = list(scalers)
+            lhs = []
+            for g, ms in enumerate(self.groups):
+                m = ms[0]
+                lam = _PK.fold_lam(eigns[m],
+                                   gammas[m]).astype(jnp.float32)
+                ei_bd = _PK.blockdiag(eis[m]).astype(jnp.float32)
+                ev_bd = _PK.blockdiag(evs[m]).astype(jnp.float32)
+                bw = plan[g]
+                if bw < 0:
+                    c2, s2 = _PK.traversal_fused_hbm(
+                        out_c[g], out_s[g], jps[g], jqs[g], jrs[g],
+                        jts[g], lzqs[g], lzrs[g], lam[None, :], ei_bd,
+                        ev_bd, n_exec=nex[g], block_w=-bw, group=1,
+                        min_scale=self.min_scale,
+                        inv_min_scale=self.inv_min_scale,
+                        interpret=interpret)
+                else:
+                    c2, s2 = _PK.traversal_fused_pallas(
+                        out_c[g], out_s[g], jps[g], jqs[g], jrs[g],
+                        jts[g], lzqs[g], lzrs[g], lam[None, :], ei_bd,
+                        ev_bd, n_exec=nex[g], n_rows=self.g_rows[g],
+                        block_w=bw, min_scale=self.min_scale,
+                        inv_min_scale=self.inv_min_scale,
+                        interpret=interpret)
+                out_c[g] = c2
+                out_s[g] = s2
+                dw = (_PK.fold_rw(rate_weights[m], eigns[m].shape[1])
+                      * jnp.exp(lam * lzroots[m]))[None, :].astype(
+                          jnp.float32)
+                lhs.append(_PK.evaluate_pallas(
+                    c2, s2, p_rows[g], q_rows[g], dw,
+                    gwgts[g].astype(jnp.float32),
+                    block_w=self._block_w(self.g_width[g]),
+                    log_min_scale=self.log_min_scale,
+                    interpret=interpret))
+            return tuple(out_c), tuple(out_s), jnp.stack(lhs)
+
+        return jax.jit(run, donate_argnums=(0, 1))
+
+    def _evaluate_compact(self) -> float:
+        from .compact import pack_local, slot_bucket
+        tr = self.tree
+        jps, jqs, jrs, jts, lzqs, lzrs = [], [], [], [], [], []
+        p_rows, q_rows = [], []
+        lzroot = np.zeros(self.n_models)
+        slots_l, nex_l = [], []
+        for g, ms in enumerate(self.groups):
+            m = ms[0]
+            it = self.compact_plan.build_full(tr, m)
+            slots = slot_bucket(max(1, len(it.entries)))
+            p_i, q_i, r_i, tt, qz, rz, n = pack_local(
+                it.entries, slots, self.compact_plan.dummy_row(m),
+                self.num_branches)
+            col = self._branch_col(m)
+            jps.append(jnp.asarray(p_i))
+            jqs.append(jnp.asarray(q_i))
+            jrs.append(jnp.asarray(r_i))
+            jts.append(jnp.asarray(tt.astype(np.int32)))
+            lzqs.append(jnp.asarray(
+                np.log(np.maximum(qz[:, col], C.ZMIN)), jnp.float32))
+            lzrs.append(jnp.asarray(
+                np.log(np.maximum(rz[:, col], C.ZMIN)), jnp.float32))
+            p_rows.append(jnp.asarray([it.root.p_row], jnp.int32))
+            q_rows.append(jnp.asarray([it.root.q_row], jnp.int32))
+            lzroot[m] = math.log(max(it.root.z[col], C.ZMIN))
+            slots_l.append(slots)
+            nex_l.append(n)
+        key = ('compactprog', tuple(slots_l), tuple(nex_l))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._build_compact_program(tuple(slots_l), tuple(nex_l))
+            self._jit_cache[key] = fn
+        clvs, scalers, lhs = fn(
+            tuple(self.clv), tuple(self.scaler), tuple(jps), tuple(jqs),
+            tuple(jrs), tuple(jts), tuple(lzqs), tuple(lzrs),
+            tuple(self.d_gamma), tuple(self.d_EIGN), tuple(self.d_EI),
+            tuple(self.d_EV), tuple(self.d_rate_weights),
+            tuple(self.g_wgt),
+            tuple(p_rows), tuple(q_rows),
+            jnp.asarray(lzroot, jnp.float32))
+        self.clv = list(clvs)
+        self.scaler = list(scalers)
+        self._count('evaluate')
+        t0 = time.perf_counter()
+        lhs = np.asarray(lhs, dtype=np.float64)
+        self._time('evaluate', time.perf_counter() - t0)
+        lhs = np.where(self.execute_model, lhs, self.per_partition_lh)
+        self.per_partition_lh = lhs
+        self.likelihood = float(lhs.sum())
+        return self.likelihood
 
     def _nr_pallas(self, p_row, q_row, core_lz):
         _PK = self.PK  # nr_derivatives_pallas, nr_derivatives_pallas_psr
@@ -3189,6 +3380,7 @@ class LikelihoodEngine:
                  mask: bool = False):
         """Optimize the branch (p, q) starting from z0
         (reference makenewzGeneric :1355 + topLevelMakenewz :1133)."""
+        self._dense_only('branch-length optimization (makenewz)')
         tr = self.tree
         B = self.num_branches
         z0 = np.array(z0, dtype=np.float64)
@@ -3366,6 +3558,7 @@ class LikelihoodEngine:
         """treeEvaluate (searchAlgo.c:2635): smooth all branches, then a
         full-traversal evaluation rooted at tr.start. On the accelerator
         both steps run as ONE device program (one sync instead of two)."""
+        self._dense_only('branch smoothing (treeEvaluate)')
         maxtimes = int(C.SMOOTHINGS * smooth_factor)
         lnl = self._tree_evaluate_device(maxtimes)
         if lnl is not None:

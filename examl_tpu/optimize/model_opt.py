@@ -96,7 +96,10 @@ class ModelOptimizer:
         group lane in _evaluate_change's ordering."""
         import os
         eng = self.engine
-        if not eng.use_pallas:
+        if not eng.use_pallas or eng.compact:
+            # the device probe programs drive the dense fused traversal;
+            # compacted engines probe through the host Brent path with
+            # full induced evaluates
             return None
         if os.environ.get('EXAML_DEVICE_OPT', '1') == '0':
             return None
@@ -663,6 +666,17 @@ class ModelOptimizer:
     # ------------------------------------------------------------------
     # the outer modOpt loop (modOpt :2963)
 
+
+    def _smooth(self, factor):
+        """treeEvaluate between optimizer stages (modOpt :3032-3127);
+        under -S compaction branch lengths are held fixed and the
+        smoothing step is a full re-evaluation instead."""
+        eng = self.engine
+        if eng.compact:
+            eng.evaluate(eng.tree.start, full_traversal_=True)
+            return
+        eng.tree_evaluate(factor)
+
     def mod_opt(self, likelihood_epsilon, checkpointer=None):
         eng = self.engine
         prev_ctx = eng.op_context
@@ -694,12 +708,12 @@ class ModelOptimizer:
 
             self.auto_protein(self.auto_prot_selection)
 
-            eng.tree_evaluate(0.0625)
+            self._smooth(0.0625)
             eng.evaluate(eng.tree.start, full_traversal_=True)
 
             self.opt_base_freqs(model_epsilon, freq_list)
             eng.evaluate(eng.tree.start, full_traversal_=True)
-            eng.tree_evaluate(0.0625)
+            self._smooth(0.0625)
 
             if eng.is_psr:
                 if self._cat_opt < 3:
@@ -710,7 +724,7 @@ class ModelOptimizer:
             else:
                 self.opt_alphas_generic(model_epsilon, alpha_list)
                 eng.evaluate(eng.tree.start, full_traversal_=True)
-                eng.tree_evaluate(0.1)
+                self._smooth(0.1)
 
             self._check_tolerance(eng.likelihood, current)
             if abs(current - eng.likelihood) <= likelihood_epsilon:
@@ -734,7 +748,7 @@ class ModelOptimizer:
                     eng.update_eigen([m])
             eng.reset_branches()
             eng.evaluate(eng.tree.start, full_traversal_=True)
-            eng.tree_evaluate(0.5)
+            self._smooth(0.5)
             for m, pm in enumerate(eng.partitions):
                 if (pm.prot_model == ProtModel.AUTO
                         and eng.per_partition_lh[m] > best_score[m]):
@@ -797,7 +811,7 @@ class ModelOptimizer:
 
         eng.reset_branches()
         eng.evaluate(eng.tree.start, full_traversal_=True)
-        eng.tree_evaluate(2.0)
+        self._smooth(2.0)
 
         if eng.likelihood < start_lh:
             for m, oi, of in zip(autos, old_index, old_freqs):

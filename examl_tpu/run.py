@@ -136,9 +136,14 @@ def run_tree_evaluation(alignment: Alignment, tree_newick: str,
                 ckper.write(engine, st, extra=extra)
 
         if fast and i > 0:
-            engine.tree_evaluate(2.0)
+            if not engine.compact:
+                engine.tree_evaluate(2.0)
         else:
-            engine.tree_evaluate(1.0)
+            # -S compaction evaluates at fixed branch lengths: model
+            # optimization runs, branch smoothing is skipped (the
+            # compacted row spaces carry no partial-traversal state)
+            if not engine.compact:
+                engine.tree_evaluate(1.0)
             optimizer.mod_opt(likelihood_epsilon, checkpointer=ckp_cb)
         results.append((engine.likelihood, result_newick(engine)))
         if resume_iter is not None and i == resume_iter:
