@@ -945,13 +945,44 @@ class LikelihoodEngine:
         return res
 
     def _g_evaluate_all(self, clvs, scalers, gammas, eigns, rate_weights,
-                        gwgts, p_row, q_row, qz, interpret, only=None):
+                        gwgts, p_row, q_row, qz, interpret, only=None,
+                        srates=None):
         """Root lnL of every partition -> [M] at branch (p_row, q_row)
         with branch lengths qz [B]. only: optional per-m bool — groups
         with no selected member are skipped (their output entries are
         zeros the caller must ignore; the device modOpt probe loop only
-        reads its lanes' entries)."""
-        _PK = self.PK  # evaluate_pallas, evaluate_stacked, fold_lam, fold_rw
+        reads its lanes' entries). srates: per-group site-rate tensors
+        (PSR programs)."""
+        _PK = self.PK  # evaluate_pallas, evaluate_stacked, evaluate_pallas_psr, evaluate_stacked_psr, fold_lam, fold_rw
+        if self.is_psr:
+            outs = []
+            for g, ms in enumerate(self.groups):
+                bw = self._block_w(self.g_width[g])
+                if len(ms) == 1:
+                    m = ms[0]
+                    col = self._branch_col(m)
+                    lz = jnp.log(jnp.maximum(qz[col], C.ZMIN))
+                    lam = (eigns[m][0] * lz)[None, :].astype(jnp.float32)
+                    outs.append(_PK.evaluate_pallas_psr(
+                        clvs[g], scalers[g], p_row, q_row, lam,
+                        gwgts[g].astype(jnp.float32),
+                        srates[g].astype(jnp.float32), block_w=bw,
+                        log_min_scale=self.log_min_scale,
+                        interpret=interpret))
+                else:
+                    lams = jnp.stack([
+                        (eigns[m][0]
+                         * jnp.log(jnp.maximum(qz[self._branch_col(m)],
+                                               C.ZMIN))).astype(jnp.float32)
+                        for m in ms])
+                    outs.append(_PK.evaluate_stacked_psr(
+                        clvs[g], scalers[g], p_row, q_row, lams,
+                        gwgts[g].astype(jnp.float32),
+                        srates[g].astype(jnp.float32), block_w=bw,
+                        log_min_scale=self.log_min_scale,
+                        shard_member=self.g_member_sharded[g],
+                        interpret=interpret))
+            return jnp.stack(self._unstack(outs))
         outs = []
         for g, ms in enumerate(self.groups):
             if only is not None and not any(only[m] for m in ms):
@@ -1516,7 +1547,7 @@ class LikelihoodEngine:
         traversal slots whose rz branch is replaced on device by zqr_sub
         (the device-resident prune-branch NR result of the speculative
         SPR driver)."""
-        if self.use_pallas and not self.is_psr:
+        if self.use_pallas:
             packed = self._pack_fused(entries)
             fn = self._pallas_program('trav_evalbatch', packed)
             if fn is not None:
@@ -1889,6 +1920,47 @@ class LikelihoodEngine:
         interpret = jax.default_backend() == 'cpu'
         traverse = self._make_traverse(n_rows, plan, interpret)
 
+        if self.is_psr:
+            # PSR programs carry the per-site rates as a trailing operand
+            # (_trav_args appends it): the fused kernels' per-op column
+            # scales and the PSR evaluate kernels both consume it
+            if kind == 'trav':
+                def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq,
+                        lzr, sub, zqrs, nex, gammas, eigns, eis, evs,
+                        srates):
+                    return traverse(clvs, scalers, exec_mask, jp, jq, jr,
+                                    jt, lzq, lzr, sub, zqrs, nex, gammas,
+                                    eigns, eis, evs, srates)
+            elif kind == 'trav_eval':
+                def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq,
+                        lzr, sub, zqrs, nex, gammas, eigns, eis, evs,
+                        srates, rate_weights, gwgts, p_row, q_row, qz):
+                    clvs, scalers = traverse(clvs, scalers, exec_mask,
+                                             jp, jq, jr, jt, lzq, lzr,
+                                             sub, zqrs, nex, gammas,
+                                             eigns, eis, evs, srates)
+                    lhs = self._g_evaluate_all(clvs, scalers, gammas,
+                                               eigns, rate_weights,
+                                               gwgts, p_row, q_row, qz,
+                                               interpret, srates=srates)
+                    return clvs, scalers, lhs
+            elif kind == 'trav_evalbatch':
+                def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq,
+                        lzr, sub, zqrs, nex, gammas, eigns, eis, evs,
+                        srates, rate_weights, gwgts, bp_rows, bq_rows,
+                        bzs):
+                    clvs, scalers = traverse(clvs, scalers, exec_mask,
+                                             jp, jq, jr, jt, lzq, lzr,
+                                             sub, zqrs, nex, gammas,
+                                             eigns, eis, evs, srates)
+                    lhs = self._g_evaluate_batch_all_psr(
+                        clvs, scalers, eigns, gwgts, srates,
+                        bp_rows, bq_rows, bzs, interpret)
+                    return clvs, scalers, lhs
+            else:
+                raise KeyError(kind)
+            return jax.jit(run, donate_argnums=(0, 1))
+
         if kind == 'trav':
             def run(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
                     sub, zqrs, nex, gammas, eigns, eis, evs):
@@ -1929,7 +2001,8 @@ class LikelihoodEngine:
         _PK = self.PK  # blockdiag, blockdiag_tile, fold_lam, traversal_fused_pallas, traversal_fused_stacked
 
         def traverse(clvs, scalers, exec_mask, jp, jq, jr, jt, lzq, lzr,
-                     sub, zqrs, nex, gammas, eigns, eis, evs):
+                     sub, zqrs, nex, gammas, eigns, eis, evs,
+                     srates=None):
             # exec_mask is a dynamic [M] bool vector (one compiled program
             # serves every evaluateChange mask pattern); masked partitions
             # keep their stale CLVs (singletons via a select, stacked
@@ -1949,6 +2022,7 @@ class LikelihoodEngine:
                     col = self._branch_col(m)
                     lam = _PK.fold_lam(eigns[m],
                                    gammas[m]).astype(jnp.float32)
+                    sr = srates[gi] if self.is_psr else None
                     if plan[gi] < 0:
                         # HBM-resident variant: rows exceed the resident
                         # kernel's VMEM ceiling (big trees)
@@ -1958,6 +2032,7 @@ class LikelihoodEngine:
                             lzq[:, col], lzr[:, col], lam[None, :],
                             _PK.blockdiag(eis[m]).astype(jnp.float32),
                             _PK.blockdiag(evs[m]).astype(jnp.float32),
+                            sr,
                             n_exec=nex[0], block_w=-plan[gi],
                             group=self._hbm_group(K_dim, -plan[gi]),
                             min_scale=self.min_scale,
@@ -1974,6 +2049,7 @@ class LikelihoodEngine:
                             _PK.blockdiag_tile(
                                 _PK.blockdiag(evs[m]).astype(jnp.float32),
                                 g),
+                            sr,
                             n_exec=nex[0], n_rows=n_rows,
                             block_w=plan[gi],
                             group=g, min_scale=self.min_scale,
@@ -1993,6 +2069,7 @@ class LikelihoodEngine:
                         _PK.blockdiag(evs[m]).astype(jnp.float32)
                         for m in ms])
                     ex_g = exec_mask[jnp.asarray(ms)].astype(jnp.int32)
+                    sr = srates[gi] if self.is_psr else None
                     if plan[gi] < 0:
                         # stacked HBM-resident variant: big trees keep
                         # one launch per group past the VMEM row ceiling
@@ -2000,7 +2077,7 @@ class LikelihoodEngine:
                         c2, s2 = _PK.traversal_fused_hbm_stacked(
                             clvs[gi], scalers[gi], jp, jq, jr, jt,
                             lzq, lzr, cols, lams, eib, evb,
-                            ex_g, n_exec=nex[0], block_w=-plan[gi],
+                            ex_g, sr, n_exec=nex[0], block_w=-plan[gi],
                             group=self._hbm_group(K_dim, -plan[gi]),
                             min_scale=self.min_scale,
                             inv_min_scale=self.inv_min_scale,
@@ -2010,7 +2087,7 @@ class LikelihoodEngine:
                         c2, s2 = _PK.traversal_fused_stacked(
                             clvs[gi], scalers[gi], jp, jq, jr, jt,
                             lzq[:, cols], lzr[:, cols], lams, eib, evb,
-                            ex_g, n_exec=nex[0], n_rows=n_rows,
+                            ex_g, sr, n_exec=nex[0], n_rows=n_rows,
                             block_w=plan[gi],
                             min_scale=self.min_scale,
                             inv_min_scale=self.inv_min_scale,
@@ -2121,9 +2198,14 @@ class LikelihoodEngine:
                                jnp.float32)
         else:
             zqr_sub = jnp.asarray(zqr_sub).astype(jnp.float32)
-        return (jp, jq, jr, jt, lzq, lzr, jnp.asarray(sub), zqr_sub, nex,
+        args = (jp, jq, jr, jt, lzq, lzr, jnp.asarray(sub), zqr_sub, nex,
                 tuple(self.d_gamma),
                 tuple(self.d_EIGN), tuple(self.d_EI), tuple(self.d_EV))
+        if self.is_psr:
+            # per-site rates feed the PSR fused kernels' per-op column
+            # scales (live engine state: must be a traced operand)
+            args += (tuple(self._gsr(g) for g in range(self.n_groups)),)
+        return args
 
     def _count(self, kind: str, n: int = 1):
         kind = self.op_context + kind
@@ -2138,7 +2220,8 @@ class LikelihoodEngine:
         """Fused whole-traversal dispatch for ALL partitions in one jitted
         program (one device round trip). Returns False when the VMEM
         working set does not fit (caller falls back to level kernels).
-        GAMMA only; PSR uses the level path."""
+        PSR runs the same program with per-site-rate column scales
+        (round 5; previously level-path only)."""
         packed = self._pack_fused(entries)
         fn = self._pallas_program('trav', packed)
         if fn is None:
@@ -2164,8 +2247,7 @@ class LikelihoodEngine:
         from .traversal import chunk_entries
         tr = self.tree
         interpret = jax.default_backend() == 'cpu'
-        if not self.is_psr and self._run_traversal_fused(entries, exec_mask,
-                                                         interpret):
+        if self._run_traversal_fused(entries, exec_mask, interpret):
             return
         # fixed chunk size => one compiled kernel shape for every traversal
         chunk = 16 if len(entries) > 4 else 4
@@ -2468,7 +2550,7 @@ class LikelihoodEngine:
         mask = (None if self.execute_model.all()
                 else self.execute_model.copy())
 
-        if self.use_pallas and not self.is_psr:
+        if self.use_pallas:
             # single-dispatch path: traversal + all partitions' root lnL
             # in one jitted program
             packed = self._pack_fused(entries)
@@ -3358,7 +3440,7 @@ class LikelihoodEngine:
         """Whether the lazy/speculative SPR path can run: needs the fused
         Pallas traversal program (branch substitution lives there) at the
         full buffer row count."""
-        if not self.use_pallas or self.is_psr:
+        if not self.use_pallas:
             return False
         key = 'spec_ok'
         ok = self._jit_cache.get(key)

@@ -301,10 +301,11 @@ def fold_tipvec(tipvec):
 
 def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex,
                             clv_hbm, scaler_hbm, lam_ref, ei_ref, ev_ref,
+                            rates_ref,
                             out_clv, out_scaler,
                             sems, xq, xr,
                             *, n_rows, bw, group,
-                            min_scale, inv_min_scale):
+                            min_scale, inv_min_scale, psr=False):
     """Whole-traversal CLV wave, one kernel instance per site block: the
     CLV column block of every (used) row lives in VMEM while every
     traversal op runs, so HBM sees one read + one write per row instead of
@@ -352,15 +353,30 @@ def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex,
             p = p_idx[n]
             x1 = out_clv[q].astype(jnp.float32)    # [K, BW]
             x2 = out_clv[r].astype(jnp.float32)
-            # makeP on the fly: P[k, l] = exp(lam[l] lz) * ei[k, l] (zero
-            # off the diagonal blocks, so the fold is exact)
-            pls = jnp.exp(lam * lzq[n])[None, :] * ei
-            prs = jnp.exp(lam * lzr[n])[None, :] * ei
             is_tt = tip_tip[n] != 0
-            a = jnp.dot(pls, x1, preferred_element_type=jnp.float32,
-                        precision=hi)
-            b = jnp.dot(prs, x2, preferred_element_type=jnp.float32,
-                        precision=hi)
+            if psr:
+                # per-site rates: the P-matrix column scale varies per
+                # site — exp((EIGN lz)_k r_s) applied to the child block
+                # (exact rewrite P@x = ei @ (colscale ∘ x); same
+                # expression order as the level PSR kernel's lamq∘rates)
+                rates = rates_ref[0]               # [BW]
+                dq = jnp.exp((lam * lzq[n])[:, None] * rates[None, :])
+                dr = jnp.exp((lam * lzr[n])[:, None] * rates[None, :])
+                a = jnp.dot(ei, x1 * dq,
+                            preferred_element_type=jnp.float32,
+                            precision=hi)
+                b = jnp.dot(ei, x2 * dr,
+                            preferred_element_type=jnp.float32,
+                            precision=hi)
+            else:
+                # makeP on the fly: P[k, l] = exp(lam[l] lz) * ei[k, l]
+                # (zero off the diagonal blocks, so the fold is exact)
+                pls = jnp.exp(lam * lzq[n])[None, :] * ei
+                prs = jnp.exp(lam * lzr[n])[None, :] * ei
+                a = jnp.dot(pls, x1, preferred_element_type=jnp.float32,
+                            precision=hi)
+                b = jnp.dot(prs, x2, preferred_element_type=jnp.float32,
+                            precision=hi)
             x3 = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
                          precision=hi)
             m = jnp.max(jnp.abs(x3), axis=0)
@@ -377,6 +393,15 @@ def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex,
             n0 = g * group
             for i in range(group):             # static unroll
                 n = n0 + i
+                if psr:
+                    rates = rates_ref[0]       # [BW]
+                    dq = jnp.exp((lam * lzq[n])[:, None] * rates[None, :])
+                    dr = jnp.exp((lam * lzr[n])[:, None] * rates[None, :])
+                    xq[i * K:(i + 1) * K] = (
+                        out_clv[q_idx[n]].astype(jnp.float32) * dq)
+                    xr[i * K:(i + 1) * K] = (
+                        out_clv[r_idx[n]].astype(jnp.float32) * dr)
+                    continue
                 cq = jnp.exp(lam * lzq[n])     # [K] P column scale
                 cr = jnp.exp(lam * lzr[n])
                 xq[i * K:(i + 1) * K] = (
@@ -407,7 +432,8 @@ def _traversal_fused_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex,
 
 @shardable('clv', 'scaler')
 def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
-                           lzq, lzr, lam, ei, ev, *, n_exec=None,
+                           lzq, lzr, lam, ei, ev, site_rates=None, *,
+                           n_exec=None,
                            n_rows=None, block_w=512, group=1,
                            min_scale=2.0 ** -30,
                            inv_min_scale=2.0 ** 30, interpret=False):
@@ -432,11 +458,14 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     # every traversal length at zero padding cost
     nex = jnp.asarray(L if n_exec is None else n_exec,
                       jnp.int32).reshape(1)
+    psr = site_rates is not None
+    rates = (jnp.asarray(site_rates, jnp.float32).reshape(1, W) if psr
+             else jnp.zeros((1, bw), jnp.float32))
 
     kernel = functools.partial(
         _traversal_fused_kernel, n_rows=n_rows,
         bw=bw, group=group, min_scale=min_scale,
-        inv_min_scale=inv_min_scale)
+        inv_min_scale=inv_min_scale, psr=psr)
 
     scratch = [pltpu.SemaphoreType.DMA((2,))]
     if group > 1:
@@ -455,6 +484,9 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             pl.BlockSpec((1, k_dim), lambda w, *_: (0, 0)),
             pl.BlockSpec((gk, gk), lambda w, *_: (0, 0)),
             pl.BlockSpec((gk, gk), lambda w, *_: (0, 0)),
+            pl.BlockSpec((1, bw),
+                         (lambda w, *_: (0, w)) if psr
+                         else (lambda w, *_: (0, 0))),
         ],
         out_specs=[
             pl.BlockSpec((n_rows, k_dim, bw),
@@ -476,14 +508,14 @@ def traversal_fused_pallas(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
     )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex, clv, scaler, lam, ei,
-      ev)
+      ev, rates)
     return clv_out, scaler_out
 
 
 def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
                    n_chunks, clv_at, sc_get, sc_set, lam, ei, ev,
                    xq, xr, x3, sems,
-                   *, group, min_scale, inv_min_scale):
+                   *, group, min_scale, inv_min_scale, rates=None):
     """Shared descriptor loop of the HBM-resident fused traversal
     kernels: CLV rows stay in HBM — each op DMAs its two child blocks in
     and its result block out instead of keeping every row's column block
@@ -535,12 +567,24 @@ def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
                 cp.wait()
         for i in range(group):             # on-the-fly P + contraction
             n = n0 + i
-            pls = jnp.exp(lam * get_lzq(n))[None, :] * ei
-            prs = jnp.exp(lam * get_lzr(n))[None, :] * ei
-            a = jnp.dot(pls, xq[i].astype(jnp.float32),
-                        preferred_element_type=jnp.float32, precision=hi)
-            b = jnp.dot(prs, xr[i].astype(jnp.float32),
-                        preferred_element_type=jnp.float32, precision=hi)
+            if rates is not None:          # PSR per-site column scales
+                dq = jnp.exp((lam * get_lzq(n))[:, None] * rates[None, :])
+                dr = jnp.exp((lam * get_lzr(n))[:, None] * rates[None, :])
+                a = jnp.dot(ei, xq[i].astype(jnp.float32) * dq,
+                            preferred_element_type=jnp.float32,
+                            precision=hi)
+                b = jnp.dot(ei, xr[i].astype(jnp.float32) * dr,
+                            preferred_element_type=jnp.float32,
+                            precision=hi)
+            else:
+                pls = jnp.exp(lam * get_lzq(n))[None, :] * ei
+                prs = jnp.exp(lam * get_lzr(n))[None, :] * ei
+                a = jnp.dot(pls, xq[i].astype(jnp.float32),
+                            preferred_element_type=jnp.float32,
+                            precision=hi)
+                b = jnp.dot(prs, xr[i].astype(jnp.float32),
+                            preferred_element_type=jnp.float32,
+                            precision=hi)
             y = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
                         precision=hi)
             m = jnp.max(jnp.abs(y), axis=0)
@@ -563,10 +607,10 @@ def _hbm_wave_loop(p_idx, q_idx, r_idx, tip_tip, get_lzq, get_lzr,
 
 def _traversal_fused_hbm_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
                                 nex, clv_hbm, scaler_hbm, lam_ref, ei_ref,
-                                ev_ref, out_clv, out_scaler,
+                                ev_ref, rates_ref, out_clv, out_scaler,
                                 xq, xr, x3, sc, sems,
                                 *, bw, group, min_scale,
-                                inv_min_scale):
+                                inv_min_scale, psr=False):
     wb = pl.program_id(0)
     col = wb * bw
     # the whole scale-counter column block rides VMEM for the whole
@@ -589,7 +633,8 @@ def _traversal_fused_hbm_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
         lam_ref[0], ei_ref[...], ev_ref[...],
         xq, xr, x3, sems,
         group=group, min_scale=min_scale,
-        inv_min_scale=inv_min_scale)
+        inv_min_scale=inv_min_scale,
+        rates=rates_ref[0] if psr else None)
     cout = pltpu.make_async_copy(
         sc, out_scaler.at[:, pl.ds(col, bw)], sems.at[0, 0])
     cout.start()
@@ -608,14 +653,16 @@ def _hbm_scratch(group, k_dim, bw, rows, dtype):
 
 @shardable('clv', 'scaler')
 def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
-                        lzq, lzr, lam, ei, ev, *, n_exec=None,
+                        lzq, lzr, lam, ei, ev, site_rates=None, *,
+                        n_exec=None,
                         block_w=2048, group=1,
                         min_scale=2.0 ** -30,
                         inv_min_scale=2.0 ** 30, interpret=False):
     """traversal_fused_pallas without the VMEM row-residency requirement
     (see _hbm_wave_loop). ei/ev [K, K]. group > 1 requires a
     pack_grouped descriptor (n_exec a multiple of group, padding slots
-    carrying distinct pad_rows sinks)."""
+    carrying distinct pad_rows sinks). site_rates [W] switches to the
+    PSR per-site P application."""
     rows, k_dim, W = clv.shape
     L = p_idx.shape[0]
     bw = min(block_w, W)
@@ -623,10 +670,13 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     assert L % group == 0
     nex = jnp.asarray(L if n_exec is None else n_exec,
                       jnp.int32).reshape(1)
+    psr = site_rates is not None
+    rates = (jnp.asarray(site_rates, jnp.float32).reshape(1, W) if psr
+             else jnp.zeros((1, bw), jnp.float32))
 
     kernel = functools.partial(
         _traversal_fused_hbm_kernel, bw=bw, group=group,
-        min_scale=min_scale, inv_min_scale=inv_min_scale)
+        min_scale=min_scale, inv_min_scale=inv_min_scale, psr=psr)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -637,6 +687,9 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             pl.BlockSpec((1, k_dim), lambda w, *_: (0, 0)),
             pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
             pl.BlockSpec((k_dim, k_dim), lambda w, *_: (0, 0)),
+            pl.BlockSpec((1, bw),
+                         (lambda w, *_: (0, w)) if psr
+                         else (lambda w, *_: (0, 0))),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -653,18 +706,19 @@ def traversal_fused_hbm(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
     )(p_idx, q_idx, r_idx, tip_tip, lzq, lzr, nex, clv,
-      scaler.reshape(rows, W), lam, ei, ev)
+      scaler.reshape(rows, W), lam, ei, ev, rates)
     return clv_out, scaler_out.reshape(scaler.shape)
 
 
 def _traversal_fused_hbm_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
                                         lzq, lzr, col_of, nex, ex,
                                         clv_hbm, scaler_hbm, lam_ref,
-                                        ei_ref, ev_ref,
+                                        ei_ref, ev_ref, rates_ref,
                                         out_clv, out_scaler,
                                         xq, xr, x3, sc, sems,
                                         *, bw, group, n_classes,
-                                        min_scale, inv_min_scale):
+                                        min_scale, inv_min_scale,
+                                        psr=False):
     pid = pl.program_id(0)
     wb = pl.program_id(1)
     col = wb * bw
@@ -693,7 +747,8 @@ def _traversal_fused_hbm_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
             lam_ref[0, 0], ei_ref[0], ev_ref[0],
             xq, xr, x3, sems,
             group=group, min_scale=min_scale,
-            inv_min_scale=inv_min_scale)
+            inv_min_scale=inv_min_scale,
+            rates=rates_ref[0, 0] if psr else None)
     cout = pltpu.make_async_copy(
         sc, out_scaler.at[pid, :, pl.ds(col, bw)], sems.at[0, 0])
     cout.start()
@@ -701,9 +756,11 @@ def _traversal_fused_hbm_stacked_kernel(p_idx, q_idx, r_idx, tip_tip,
 
 
 @shardable('clv', 'scaler', member_axes=dict(
-    clv=0, scaler=0, col_of=0, lam=0, ei=0, ev=0, exec_mask=0))
+    clv=0, scaler=0, col_of=0, lam=0, ei=0, ev=0, exec_mask=0,
+    site_rates=0))
 def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
                                 lzq, lzr, col_of, lam, ei, ev, exec_mask,
+                                site_rates=None,
                                 *, n_exec=None, block_w=2048, group=1,
                                 min_scale=2.0 ** -30,
                                 inv_min_scale=2.0 ** 30, interpret=False):
@@ -727,10 +784,14 @@ def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     B = lzq.shape[1]
     nex = jnp.asarray(L if n_exec is None else n_exec,
                       jnp.int32).reshape(1)
+    psr = site_rates is not None
+    rates = (jnp.asarray(site_rates, jnp.float32).reshape(P, 1, W) if psr
+             else jnp.zeros((P, 1, bw), jnp.float32))
 
     kernel = functools.partial(
         _traversal_fused_hbm_stacked_kernel, bw=bw, group=group,
-        n_classes=B, min_scale=min_scale, inv_min_scale=inv_min_scale)
+        n_classes=B, min_scale=min_scale, inv_min_scale=inv_min_scale,
+        psr=psr)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
@@ -741,6 +802,9 @@ def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, bw),
+                         (lambda p, w, *_: (p, 0, w)) if psr
+                         else (lambda p, w, *_: (0, 0, 0))),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -762,7 +826,7 @@ def traversal_fused_hbm_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
       jnp.asarray(lzq, jnp.float32).reshape(L * B),
       jnp.asarray(lzr, jnp.float32).reshape(L * B),
       jnp.asarray(col_of, jnp.int32), nex, exec_mask, clv,
-      scaler.reshape(P, rows, W), lam, ei, ev)
+      scaler.reshape(P, rows, W), lam, ei, ev, rates)
     return clv_out, scaler_out.reshape(scaler.shape)
 
 
@@ -1876,11 +1940,11 @@ def per_site_lnl_pallas(clv, scaler, p_row, q_row, eign, site_rates, lz,
 def _traversal_fused_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
                                     nex, ex,            # scalar prefetch
                                     clv_hbm, scaler_hbm, lam_ref, ei_ref,
-                                    ev_ref,
+                                    ev_ref, rates_ref,
                                     out_clv, out_scaler,
                                     sems,
                                     *, n_rows, bw, min_scale,
-                                    inv_min_scale):
+                                    inv_min_scale, psr=False):
     pid = pl.program_id(0)
     wb = pl.program_id(1)
     col = wb * bw
@@ -1907,13 +1971,22 @@ def _traversal_fused_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
         p = p_idx[n]
         x1 = out_clv[0, q].astype(jnp.float32)     # [K, BW]
         x2 = out_clv[0, r].astype(jnp.float32)
-        pls = jnp.exp(lam * lzq[n, pid])[None, :] * ei
-        prs = jnp.exp(lam * lzr[n, pid])[None, :] * ei
         is_tt = tip_tip[n] != 0
-        a = jnp.dot(pls, x1, preferred_element_type=jnp.float32,
-                    precision=hi)
-        b = jnp.dot(prs, x2, preferred_element_type=jnp.float32,
-                    precision=hi)
+        if psr:
+            rates = rates_ref[0, 0]                # [BW]
+            dq = jnp.exp((lam * lzq[n, pid])[:, None] * rates[None, :])
+            dr = jnp.exp((lam * lzr[n, pid])[:, None] * rates[None, :])
+            a = jnp.dot(ei, x1 * dq, preferred_element_type=jnp.float32,
+                        precision=hi)
+            b = jnp.dot(ei, x2 * dr, preferred_element_type=jnp.float32,
+                        precision=hi)
+        else:
+            pls = jnp.exp(lam * lzq[n, pid])[None, :] * ei
+            prs = jnp.exp(lam * lzr[n, pid])[None, :] * ei
+            a = jnp.dot(pls, x1, preferred_element_type=jnp.float32,
+                        precision=hi)
+            b = jnp.dot(prs, x2, preferred_element_type=jnp.float32,
+                        precision=hi)
         x3 = jnp.dot(ev.T, a * b, preferred_element_type=jnp.float32,
                      precision=hi)
         m = jnp.max(jnp.abs(x3), axis=0)
@@ -1932,16 +2005,19 @@ def _traversal_fused_stacked_kernel(p_idx, q_idx, r_idx, tip_tip, lzq, lzr,
 
 
 @shardable('clv', 'scaler', member_axes=dict(
-    clv=0, scaler=0, lzq=1, lzr=1, lam=0, ei=0, ev=0, exec_mask=0))
+    clv=0, scaler=0, lzq=1, lzr=1, lam=0, ei=0, ev=0, exec_mask=0,
+    site_rates=0))
 def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
-                            lzq, lzr, lam, ei, ev, exec_mask, *,
+                            lzq, lzr, lam, ei, ev, exec_mask,
+                            site_rates=None, *,
                             n_exec=None, n_rows=None, block_w=512,
                             min_scale=2.0 ** -30, inv_min_scale=2.0 ** 30,
                             interpret=False):
     """Stacked fused traversal: clv [P, rows, K, W] (donated), lzq/lzr
     [L, P] f32 (per-partition branch columns pre-gathered), lam [P, K],
     ei/ev [P, K, K] block-diagonal, exec_mask [P] int32 (0 = keep stale
-    CLVs)."""
+    CLVs). site_rates [P, W] switches the per-op P application to the
+    PSR per-site column scales (K = S, one category)."""
     P, rows, k_dim, W = clv.shape
     # Mosaic's block rules bind the LAST TWO dims: a (1, K) block over
     # [P, K] puts a 1-row tile on the second-minor axis (rejected on
@@ -1956,10 +2032,13 @@ def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
     assert lzq.shape == (L, P) and lzr.shape == (L, P)
     nex = jnp.asarray(L if n_exec is None else n_exec,
                       jnp.int32).reshape(1)
+    psr = site_rates is not None
+    rates = (jnp.asarray(site_rates, jnp.float32).reshape(P, 1, W) if psr
+             else jnp.zeros((P, 1, bw), jnp.float32))
 
     kernel = functools.partial(
         _traversal_fused_stacked_kernel, n_rows=n_rows, bw=bw,
-        min_scale=min_scale, inv_min_scale=inv_min_scale)
+        min_scale=min_scale, inv_min_scale=inv_min_scale, psr=psr)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -1970,6 +2049,9 @@ def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
             pl.BlockSpec((1, 1, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
             pl.BlockSpec((1, k_dim, k_dim), lambda p, w, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, bw),
+                         (lambda p, w, *_: (p, 0, w)) if psr
+                         else (lambda p, w, *_: (0, 0, 0))),
         ],
         out_specs=[
             pl.BlockSpec((1, n_rows, k_dim, bw),
@@ -1989,7 +2071,7 @@ def traversal_fused_stacked(clv, scaler, p_idx, q_idx, r_idx, tip_tip,
         interpret=interpret,
     )(p_idx, q_idx, r_idx, tip_tip,
       jnp.asarray(lzq, jnp.float32), jnp.asarray(lzr, jnp.float32),
-      nex, exec_mask, clv, scaler, lam, ei, ev)
+      nex, exec_mask, clv, scaler, lam, ei, ev, rates)
     return clv_out, scaler_out
 
 
