@@ -957,7 +957,7 @@ class LikelihoodEngine:
         if self.is_psr:
             outs = []
             for g, ms in enumerate(self.groups):
-                bw = self._block_w(self.g_width[g])
+                bw = self._block_wg(g)
                 if len(ms) == 1:
                     m = ms[0]
                     col = self._branch_col(m)
@@ -989,7 +989,7 @@ class LikelihoodEngine:
                 outs.append(jnp.zeros(() if len(ms) == 1 else (len(ms),),
                                       jnp.float32))
                 continue
-            bw = self._block_w(self.g_width[g])
+            bw = self._block_wg(g)
             dws = []
             for m in ms:
                 lz = jnp.log(jnp.maximum(qz[self._branch_col(m)], C.ZMIN))
@@ -1019,7 +1019,7 @@ class LikelihoodEngine:
         _PK = self.PK  # evaluate_batch_gamma, evaluate_batch_stacked, fold_lam, fold_rw
         outs = []
         for g, ms in enumerate(self.groups):
-            bw = self._block_w(self.g_width[g])
+            bw = self._block_wg(g)
             if len(ms) == 1:
                 m = ms[0]
                 lzs = jnp.log(jnp.maximum(
@@ -1065,7 +1065,7 @@ class LikelihoodEngine:
         _PK = self.PK  # evaluate_batch_psr, evaluate_batch_stacked_psr
         outs = []
         for g, ms in enumerate(self.groups):
-            bw = self._block_w(self.g_width[g])
+            bw = self._block_wg(g)
             if len(ms) == 1:
                 m = ms[0]
                 lzs = K.log_z(bzs[:, self._branch_col(m)]).astype(
@@ -1098,7 +1098,7 @@ class LikelihoodEngine:
         _PK = self.PK  # fold_lam, fold_rw, nr_derivatives_pallas, nr_derivatives_stacked
         d1o, d2o = [], []
         for g, ms in enumerate(self.groups):
-            bw = self._block_w(self.g_width[g])
+            bw = self._block_wg(g)
             lams, ds = [], []
             for m in ms:
                 lam = _PK.fold_lam(eigns[m], gammas[m])
@@ -1142,7 +1142,7 @@ class LikelihoodEngine:
 
         d1o, d2o = [], []
         for g, ms in enumerate(self.groups):
-            bw = self._block_w(self.g_width[g])
+            bw = self._block_wg(g)
             if self.is_psr:
                 if len(ms) == 1:
                     m = ms[0]
@@ -1211,7 +1211,7 @@ class LikelihoodEngine:
         out_s = list(scalers)
         if self.is_psr:
             for g, ms in enumerate(self.groups):
-                bw = self._block_w(self.g_width[g])
+                bw = self._block_wg(g)
                 lamqs, lamrs = [], []
                 for m in ms:
                     col = _col(m)
@@ -1249,7 +1249,7 @@ class LikelihoodEngine:
                 out_s[g] = s2
             return tuple(out_c), tuple(out_s)
         for g, ms in enumerate(self.groups):
-            bw = self._block_w(self.g_width[g])
+            bw = self._block_wg(g)
             pls, prs, evb = [], [], []
             for m in ms:
                 col = _col(m)
@@ -1286,7 +1286,15 @@ class LikelihoodEngine:
         _PK = self.PK  # fold_tipvec, tip_rows_pallas, tip_rows_stacked
         out = list(clvs)
         for g, ms in enumerate(self.groups):
-            bw = self._block_w(self.g_width[g])
+            bw = self._block_wg(g)
+            # the tip kernel's block covers 8 rows x K x bw twice
+            # (aliased in/out are double-buffered): K = 96 (AA) at
+            # bw = 8192 allocates 96.5M of the ~16M scoped VMEM
+            # (measured OOM on a wide AA partition) — shrink the block
+            # to fit
+            K_g = self.n_cats * self._padded_states(ms[0])
+            while bw > 128 and 8 * K_g * bw * 4 * 2 > 8 * 2 ** 20:
+                bw //= 2
             if refresh is not None and not any(refresh[m] for m in ms):
                 continue
             if len(ms) == 1:
@@ -1355,6 +1363,24 @@ class LikelihoodEngine:
     def _branch_col(self, m):
         """Which column of the packed qz/rz arrays partition m uses."""
         return m if self.num_branches > 1 else 0
+
+    def _block_wk(self, W: int, m: int) -> int:
+        """_block_w capped by the partition's folded K: the level /
+        junction / evaluate / tip kernels move a handful of [K, bw] f32
+        blocks through VMEM (double-buffered), so K*bw must stay under
+        ~2 MB — at K = 96 (AA) the DNA-tuned 8192 block allocates 18-96 MB
+        and Mosaic rejects the kernel (measured on a 16k-wide AA
+        partition; DNA's K = 16 never binds, so its plans are
+        unchanged)."""
+        bw = self._block_w(W)
+        K = self.n_cats * self._padded_states(m)
+        while bw > 128 and K * bw * 4 > 2 * 2 ** 20:
+            bw //= 2
+        return bw
+
+    def _block_wg(self, g: int) -> int:
+        """K-aware site-block width for group g (see _block_wk)."""
+        return self._block_wk(self.g_width[g], self.groups[g][0])
 
     def _block_w(self, W: int) -> int:
         """Largest site-block width <= 8192 that divides W (every kernel
@@ -1603,7 +1629,7 @@ class LikelihoodEngine:
                         self.d_EIGN[m][0].astype(jnp.float32),
                         self.g_wgt[g].astype(jnp.float32),
                         self._gsr(g).astype(jnp.float32),
-                        block_w=self._block_w(self.g_width[g]),
+                        block_w=self._block_wg(g),
                         log_min_scale=self.log_min_scale,
                         interpret=interpret))
                     continue
@@ -1625,7 +1651,7 @@ class LikelihoodEngine:
                     self.clv[g], self.scaler[g], jpd, jqd, lams,
                     self.g_wgt[g].astype(jnp.float32),
                     self._gsr(g).astype(jnp.float32),
-                    block_w=self._block_w(self.g_width[g]),
+                    block_w=self._block_wg(g),
                     log_min_scale=self.log_min_scale,
                     interpret=interpret))
             return jnp.stack(self._unstack(outs))
@@ -1801,7 +1827,7 @@ class LikelihoodEngine:
                         self.d_EIGN[m][0][None, :].astype(jnp.float32),
                         self._gsr(g).astype(jnp.float32),
                         jnp.asarray([lz], dtype=jnp.float32),
-                        block_w=self._block_w(self.g_width[g]),
+                        block_w=self._block_wg(g),
                         log_min_scale=self.log_min_scale,
                         interpret=interpret), dtype=np.float64)
                     continue
@@ -1822,7 +1848,7 @@ class LikelihoodEngine:
                                for m in ms]),
                     self._gsr(g).astype(jnp.float32),
                     jnp.asarray(lzs, jnp.float32),
-                    block_w=self._block_w(self.g_width[g]),
+                    block_w=self._block_wg(g),
                     log_min_scale=self.log_min_scale,
                     interpret=interpret), dtype=np.float64)
                 for j, m in enumerate(ms):
@@ -1890,7 +1916,11 @@ class LikelihoodEngine:
                 # HBM variant: prefer the whole member width (fewest DMA
                 # issues — the scalar core's issue rate is the binding
                 # resource); VMEM holds the gather scratch + the blocked
-                # scale-counter columns of every row
+                # scale-counter columns of every row. The HBM branch runs
+                # against a 14 MB ceiling (vs the resident 12 MB): the
+                # K = 96 sweet spot g=2 x bw=4096 needs 13.7 MB and runs
+                # 2.1x faster than the 12 MB-admissible g=4 x bw=2048
+                # (measured 12.1 vs 21.4 ms per 62-op AA wave)
                 for cand in ([self.g_width[g], 4096, 2048, 1024, 512,
                               256, 128]):
                     if (cand > self.g_width[g] or self.g_width[g] % cand
@@ -1901,7 +1931,7 @@ class LikelihoodEngine:
                     # (validated on hardware at 1032 rows x 1664 cols)
                     need = (self.rows * cand * 4
                             + 3 * gd * K * cand * 4)
-                    if need <= budget:
+                    if need <= 14 * 2 ** 20:
                         bw = -cand       # HBM-resident marker
                         break
                 if bw is None:
@@ -2135,7 +2165,12 @@ class LikelihoodEngine:
         (252M site-updates/s); shrunk when the gather scratch (3
         [G, K, bw] f32 buffers) would crowd VMEM."""
         g = min(PALLAS_GROUP, 4)
-        while g > 1 and 3 * g * k_dim * bw * 4 > 6 * 2 ** 20:
+        # 10 MB gather-scratch allowance: at K = 96 (AA) the old 6 MB cap
+        # forced g = 1 and left the loop DMA-latency-bound — measured
+        # 64-taxa × 16k AA wave 40.5 ms (g=1, bw=4096) vs 12.0 ms
+        # (g=2, bw=4096) / 12.2 ms (g=2, bw=2048): 4.3× from concurrent
+        # gathers. DNA's K = 16 plans are unchanged (1.3 MB at g=4).
+        while g > 1 and 3 * g * k_dim * bw * 4 > 10 * 2 ** 20:
             g //= 2
         return g
 
@@ -2144,15 +2179,36 @@ class LikelihoodEngine:
             return 1
         return self._hbm_group_raw(k_dim, bw)
 
+    @property
+    def _fused_pack_group(self) -> int:
+        """Block size of the grouped descriptor: the LARGEST kernel DMA
+        group any partition's HBM plan uses. Packing at a fixed 8 padded
+        every 1-wide chain level to 8 slots (7/8 dummy ops executed —
+        measured 51.6 ms vs 21.4 ms for the same 62-op AA wave on a
+        chain-heavy tree); padding now matches what the kernels actually
+        run concurrently."""
+        v = self.__dict__.get('_fused_pack_group_c')
+        if v is None:
+            plan = self._fused_plan_rows(self.rows)
+            v = 1
+            if plan is not None:
+                for g, bw in enumerate(plan[1]):
+                    if bw < 0:
+                        K = self.n_cats * self._padded_states(
+                            self.groups[g][0])
+                        v = max(v, self._hbm_group_raw(K, -bw))
+            self.__dict__['_fused_pack_group_c'] = v
+        return v
+
     def _pack_fused(self, entries) -> PackedTraversal:
         """Descriptor packing for the fused-traversal programs (all
         callers of _pallas_program must use this so one compiled program
         serves every traversal)."""
         if self._fused_grouped:
+            gp = self._fused_pack_group
             return pack_grouped(
-                self.tree, entries, group=PALLAS_GROUP,
-                pad_rows=[self.pad_sink_base + i
-                          for i in range(PALLAS_GROUP)])
+                self.tree, entries, group=gp,
+                pad_rows=[self.pad_sink_base + i for i in range(gp)])
         return pack_traversal(self.tree, entries,
                               slots=self._fused_slots(len(entries)))
 
@@ -2307,7 +2363,7 @@ class LikelihoodEngine:
                     self.clv[g], self.scaler[g] = fn(
                         self.clv[g], self.scaler[g], jp, jq, jr, jt, zq,
                         zr, third, self.d_EIGN[m], self.d_EI[m],
-                        self.d_EV[m], block_w=self._block_w(self.widths[m]),
+                        self.d_EV[m], block_w=self._block_wk(self.widths[m], m),
                         min_scale=self.min_scale,
                         inv_min_scale=self.inv_min_scale,
                         interpret=interpret)
@@ -2349,7 +2405,7 @@ class LikelihoodEngine:
                                    for m in ms]),
                         self._gsr(g).astype(jnp.float32),
                         jnp.asarray(ex_g, jnp.int32),
-                        block_w=self._block_w(self.g_width[g]),
+                        block_w=self._block_wg(g),
                         min_scale=self.min_scale,
                         inv_min_scale=self.inv_min_scale,
                         interpret=interpret)
@@ -2401,7 +2457,7 @@ class LikelihoodEngine:
                     self.clv[g], self.scaler[g], jp, jq, jr, jt,
                     jnp.stack(pls), jnp.stack(prs), jnp.stack(evb),
                     jnp.asarray(ex_g, jnp.int32),
-                    block_w=self._block_w(self.g_width[g]),
+                    block_w=self._block_wg(g),
                     min_scale=self.min_scale,
                     inv_min_scale=self.inv_min_scale,
                     shard_member=self.g_member_sharded[g],
@@ -2624,7 +2680,7 @@ class LikelihoodEngine:
                         lam.astype(jnp.float32),
                         self.g_wgt[g].astype(jnp.float32),
                         self._gsr(g).astype(jnp.float32),
-                        block_w=self._block_w(self.g_width[g]),
+                        block_w=self._block_wg(g),
                         log_min_scale=self.log_min_scale,
                         interpret=interpret))
                     continue
@@ -2644,7 +2700,7 @@ class LikelihoodEngine:
                     self.clv[g], self.scaler[g], jp, jq, lams,
                     self.g_wgt[g].astype(jnp.float32),
                     self._gsr(g).astype(jnp.float32),
-                    block_w=self._block_w(self.g_width[g]),
+                    block_w=self._block_wg(g),
                     log_min_scale=self.log_min_scale,
                     interpret=interpret))
             return np.array([float(np.asarray(o)) for o in
@@ -2665,7 +2721,7 @@ class LikelihoodEngine:
             if len(ms) == 1:
                 outs.append(fn(self.clv[g], self.scaler[g], jp, jq,
                                dws[0], self.g_wgt[g].astype(jnp.float32),
-                               block_w=self._block_w(self.g_width[g]),
+                               block_w=self._block_wg(g),
                                log_min_scale=self.log_min_scale,
                                interpret=interpret))
             else:
@@ -2681,7 +2737,7 @@ class LikelihoodEngine:
                 outs.append(sfn(self.clv[g], self.scaler[g], jp, jq,
                                 jnp.stack(dws),
                                 self.g_wgt[g].astype(jnp.float32),
-                                block_w=self._block_w(self.g_width[g]),
+                                block_w=self._block_wg(g),
                                 log_min_scale=self.log_min_scale,
                                 shard_member=self.g_member_sharded[g],
                                 interpret=interpret))
@@ -2760,7 +2816,7 @@ class LikelihoodEngine:
                 lhs.append(_PK.evaluate_pallas(
                     c2, s2, p_rows[g], q_rows[g], dw,
                     gwgts[g].astype(jnp.float32),
-                    block_w=self._block_w(self.g_width[g]),
+                    block_w=self._block_wg(g),
                     log_min_scale=self.log_min_scale,
                     interpret=interpret))
             return tuple(out_c), tuple(out_s), jnp.stack(lhs)
@@ -2845,7 +2901,7 @@ class LikelihoodEngine:
                             self.wgts[m].astype(jnp.float32),
                             self.d_site_rates[m].astype(jnp.float32),
                             jnp.asarray([core_lz[col]], dtype=jnp.float32),
-                            block_w=self._block_w(self.widths[m]),
+                            block_w=self._block_wk(self.widths[m], m),
                             interpret=interpret)
             else:
                 _PK = self.PK  # fold_lam, fold_rw
@@ -2856,7 +2912,7 @@ class LikelihoodEngine:
                 d1, d2 = fn(self.clv[m], self.scaler[m], jp, jq,
                             lam[None, :].astype(jnp.float32), d[None, :],
                             self.wgts[m].astype(jnp.float32),
-                            block_w=self._block_w(self.widths[m]),
+                            block_w=self._block_wk(self.widths[m], m),
                             log_min_scale=self.log_min_scale,
                             interpret=interpret)
             d1s[m] = float(d1)
@@ -3308,7 +3364,7 @@ class LikelihoodEngine:
                         gwgts[g].astype(jnp.float32),
                         site_rates[g].astype(jnp.float32),
                         core_lz[col][None].astype(jnp.float32),
-                        block_w=self._block_w(self.g_width[g]),
+                        block_w=self._block_wg(g),
                         interpret=interpret)
                 else:
                     cols = jnp.asarray(self._g_cols(ms))
@@ -3319,7 +3375,7 @@ class LikelihoodEngine:
                         gwgts[g].astype(jnp.float32),
                         site_rates[g].astype(jnp.float32),
                         core_lz[cols].astype(jnp.float32),
-                        block_w=self._block_w(self.g_width[g]),
+                        block_w=self._block_wg(g),
                         interpret=interpret)
                 d1o.append(d1)
                 d2o.append(d2)
@@ -3752,20 +3808,30 @@ class LikelihoodEngine:
 
         def nv_op(state, model, pr, qr, rr, eq, er, tt):
             clvs, scalers, z, smoothed = state
-            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts, srs = model
             zq = z[eq]                             # scalar (B == 1)
             zr = z[er]
             out_c, out_s = self._g_junctions(
                 clvs, scalers, gammas, eigns, eis, evs, pr[None],
                 qr[None], rr[None], zq[None], zr[None], tt[None],
-                interpret)
+                interpret, srs=srs if self.is_psr else None)
             return (out_c, out_s, z, smoothed)
 
         def derivatives(clvs, scalers, model, jp, jq, core_lz):
-            gammas, eigns, eis, evs, rate_weights, gwgts = model
-            d1m, d2m = self._g_nr_derivs(
-                clvs, scalers, gammas, eigns, rate_weights, gwgts, jp,
-                jq, core_lz[None], interpret)
+            gammas, eigns, eis, evs, rate_weights, gwgts, srs = model
+            if self.is_psr:
+                # batched kernels with N = 1 (the non-batch NR helper is
+                # GAMMA-only; coreGTRCAT semantics ride the PSR wave
+                # kernels)
+                d1m, d2m = self._g_nr_derivs_batch(
+                    clvs, scalers, gammas, eigns, rate_weights, gwgts,
+                    jp, jq, core_lz[None], interpret, srs=srs)
+                d1m = d1m[:, 0]
+                d2m = d2m[:, 0]
+            else:
+                d1m, d2m = self._g_nr_derivs(
+                    clvs, scalers, gammas, eigns, rate_weights, gwgts,
+                    jp, jq, core_lz[None], interpret)
             d1t = 0.0
             d2t = 0.0
             for m in range(M):
@@ -3875,10 +3941,11 @@ class LikelihoodEngine:
                 clvs, scalers, z, model, ops1, ops2, maxtimes)
             clvs, scalers, z, _ = run_ops(
                 (clvs, scalers, z, jnp.asarray(True)), model, ops3)
-            gammas, eigns, eis, evs, rate_weights, gwgts = model
+            gammas, eigns, eis, evs, rate_weights, gwgts, srs = model
             lhs = self._g_evaluate_all(
                 clvs, scalers, gammas, eigns, rate_weights, gwgts,
-                p_row, q_row, z[e_root][None], interpret)
+                p_row, q_row, z[e_root][None], interpret,
+                srates=srs if self.is_psr else None)
             return clvs, scalers, z, smoothed, k, lhs
 
         return jax.jit(smooth_eval, donate_argnums=(0, 1),
@@ -3887,7 +3954,7 @@ class LikelihoodEngine:
     def _smooth_schedules(self, maxtimes: int):
         """(emap, z0, ops1, ops2, vflags) for the device smoothing
         program, or None when the device path is unsupported."""
-        if (not self.use_pallas or self.is_psr or self.num_branches != 1
+        if (not self.use_pallas or self.num_branches != 1
                 or maxtimes < 1):
             return None
         emap, z0 = self._edge_index()
@@ -3963,7 +4030,8 @@ class LikelihoodEngine:
         p3 = self._pack_smooth_ops(ops3)
         model = (tuple(self.d_gamma), tuple(self.d_EIGN),
                  tuple(self.d_EI), tuple(self.d_EV),
-                 tuple(self.d_rate_weights), tuple(self.g_wgt))
+                 tuple(self.d_rate_weights), tuple(self.g_wgt),
+                 tuple(self._gsr(g) for g in range(self.n_groups)))
         clvs, scalers, z, smoothed, k, lhs = fn(
             tuple(self.clv), tuple(self.scaler),
             jnp.asarray(z0[:, 0], dtype=jnp.float32), model, p1, p2,
@@ -4008,8 +4076,9 @@ class LikelihoodEngine:
         return self.tree_evaluate_finish(spec, znew, lhs)
 
     def _smooth_tree_device(self, maxtimes: int) -> bool:
-        """Whole smooth_tree as one device dispatch (accelerator, GAMMA,
-        single branch class). Returns False when unsupported."""
+        """Whole smooth_tree as one device dispatch (accelerator,
+        single branch class; GAMMA and PSR). Returns False when
+        unsupported."""
         sched = self._smooth_schedules(maxtimes)
         if sched is None:
             return False
@@ -4024,7 +4093,8 @@ class LikelihoodEngine:
         p2 = self._pack_smooth_ops(ops2)
         model = (tuple(self.d_gamma), tuple(self.d_EIGN),
                  tuple(self.d_EI), tuple(self.d_EV),
-                 tuple(self.d_rate_weights), tuple(self.g_wgt))
+                 tuple(self.d_rate_weights), tuple(self.g_wgt),
+                 tuple(self._gsr(g) for g in range(self.n_groups)))
         clvs, scalers, z, smoothed, k = fn(
             tuple(self.clv), tuple(self.scaler),
             jnp.asarray(z0[:, 0], dtype=jnp.float32), model, p1, p2,

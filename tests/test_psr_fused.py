@@ -67,6 +67,26 @@ def test_psr_fused_tree_evaluate_matches_level():
     assert lf == pytest.approx(ll, abs=0.05)
 
 
+def test_psr_device_smoothing_matches_host():
+    """treeEvaluate through the one-program device smoothing (now PSR-
+    capable — was the PSR search's dominant sync source: 90799
+    makenewz_device round trips on the 49 full search) vs the host-driven
+    smoothing loop: same likelihood and branch lengths."""
+    ed, td = _psr_engine(fused=True)
+    eh, th = _psr_engine(fused=True)
+    eh._smooth_schedules = lambda *a, **k: None     # force the host path
+    ed.evaluate(td.start, full_traversal_=True)
+    eh.evaluate(th.start, full_traversal_=True)
+    ld = ed.tree_evaluate(1.0)
+    assert ed.op_stats.get('tree_eval_device', 0) == 1, \
+        'the device smoothing program did not run for PSR'
+    lh = eh.tree_evaluate(1.0)
+    assert ld == pytest.approx(lh, abs=0.05)
+    zd = sorted(round(float(z), 5) for b in td.branches() for z in b.z)
+    zh = sorted(round(float(z), 5) for b in th.branches() for z in b.z)
+    np.testing.assert_allclose(zd, zh, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_psr_batched_cycle_matches_sequential():
     """One fast SPR cycle under PSR: the batched+speculative driver
