@@ -115,14 +115,15 @@ def test_stacked_device_modopt():
         opt = DeviceParamOptimizer(eng)
         lane_of = list(range(eng.n_models))
         assert opt.supported(ALPHA_F, lane_of)
-        xmin, end = opt.optimize(
+        xmin, end, start = opt.optimize(
             ALPHA_F, 0, lane_of, eng.n_models,
             [eng.partitions[m].alpha for m in range(eng.n_models)],
             np.full(eng.n_models, 0.02), np.full(eng.n_models, 1000.0),
             np.full(eng.n_models, 0.1))
-        outs.append((xmin, end))
+        outs.append((xmin, end, start))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
 
 
 @pytest.mark.slow

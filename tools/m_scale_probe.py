@@ -65,17 +65,24 @@ def main():
           flush=True)
     assert lnl2 >= lnl - 1e-3
 
-    # one thorough SPR pass over a few nodes: the [N, B]-lane junction +
-    # NR wave kernels at partition scale
+    # one thorough SPR side: the [N, B]-lane junction + NR wave kernels
+    # at partition scale (a full cycle at B=256 spends tens of minutes in
+    # remote thorough-shape compiles; one wave proves the kernels plan)
     s = SprSearch(eng)
     s.thorough = True
     assert s.batch_thorough
-    bt = BestList(20)
+    s.start_lh = s.end_lh = eng.likelihood
+    s.lh_cutoff = float('inf')
+    s.best_of_node = float('-inf')
+    p_node = next(n for n in (tree.nodep[i] for i in
+                              range(tree.mxtips + 1, 2 * tree.mxtips - 1))
+                  if not tree.is_tip(n.number)
+                  and not tree.is_tip(n.next.back.number))
     t0 = time.time()
-    lh = s.tree_optimize_rapid(1, 2, bt)
-    print(f'thorough cycle {time.time() - t0:.1f}s lh={lh:.2f}',
-          flush=True)
-    assert np.isfinite(lh)
+    nb = s.rearrange_big(p_node, 1, 2)
+    print(f'thorough wave {time.time() - t0:.1f}s n={nb} '
+          f'best={s.best_of_node:.2f}', flush=True)
+    assert nb == 1 and np.isfinite(s.best_of_node)
     print('M-SCALE OK', flush=True)
 
 
