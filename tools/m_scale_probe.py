@@ -17,6 +17,13 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main():
+    import jax
+    if jax.default_backend() not in ('cpu',):
+        import os
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/repo/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
     import jax.numpy as jnp
     from examl_tpu.datatypes import DataType, ProtModel
     from examl_tpu.engine import LikelihoodEngine
@@ -76,8 +83,8 @@ def main():
     s.best_of_node = float('-inf')
     p_node = next(n for n in (tree.nodep[i] for i in
                               range(tree.mxtips + 1, 2 * tree.mxtips - 1))
-                  if not tree.is_tip(n.number)
-                  and not tree.is_tip(n.next.back.number))
+                  if not (tree.is_tip(n.next.back.number)
+                          and tree.is_tip(n.next.next.back.number)))
     t0 = time.time()
     nb = s.rearrange_big(p_node, 1, 2)
     print(f'thorough wave {time.time() - t0:.1f}s n={nb} '
