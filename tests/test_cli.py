@@ -33,3 +33,28 @@ def test_cli_parse_and_run(tmp_path):
     assert 'Likelihood of best tree: -5063.295' in info
     assert (tmp_path / 'ExaML_result.clirun').exists()
     assert (tmp_path / 'ExaML_modelFile.clirun').exists()
+
+
+def test_cli_S_flag_gating():
+    """-S (induced-subtree compaction) is a tree-evaluation-mode flag:
+    -f d must be rejected with a clear message (in-process main)."""
+    from examl_tpu.cli import main
+    with pytest.raises(SystemExit) as e:
+        main(['run', '-s', str(DATA / '49.binary'),
+              '-t', '/root/reference/testData/49.tree', '-n', 'sgate',
+              '-f', 'd', '-S', '--platform', 'cpu', '-w', '/tmp'])
+    assert 'compaction' in str(e.value)
+
+
+@pytest.mark.slow
+def test_cli_S_tree_evaluation(tmp_path):
+    """-f e -S end to end through the CLI: model optimization at fixed
+    branch lengths on the compacted engine; artifacts written."""
+    from examl_tpu.cli import main
+    rc = main(['run', '-s', str(DATA / '49.binary'),
+               '-t', '/root/reference/testData/49.tree', '-n', 'scli',
+               '-f', 'e', '-S', '--platform', 'cpu', '-w', str(tmp_path)])
+    assert not rc
+    info = (tmp_path / 'ExaML_info.scli').read_text()
+    assert 'compaction' in info
+    assert (tmp_path / 'ExaML_result.scli').exists()
